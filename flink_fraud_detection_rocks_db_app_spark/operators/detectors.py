@@ -1,0 +1,222 @@
+"""Fraud-detector queries: projections, threshold filters, alerts,
+union + max-by — the reference's P1/P2/P6/P7, F2, M1, A7 operators.
+
+The reference's `Alert` is a payload-free marker object
+(reference: master/src/main/java/InorderTumblingWindow/FraudDetector2.java:26-29);
+our alert rows carry (account_id, w_start, agg value) — strictly more
+informative, same trigger condition.
+
+Threshold gating rounds the aggregate to 6 decimals before comparing,
+so double summation-order differences between Spark and the DuckDB
+oracle cannot flip a row in or out of the result (documented tolerance;
+SURVEY §5 comparison rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..fixtures import load, transactions
+from ..registry import register
+from .windows import MS, sliding, sql_slide, sql_tumble, tumbling
+
+# ------------------------------------------------------------- projections
+
+
+@register(
+    "project_account_amount",
+    oracle="SELECT user_id AS account_id, value AS amount FROM events",
+    doc="P1: Transaction -> Tuple2(accountId, amount) projection "
+    "(reference: master/src/main/java/InorderSlidingWindow/FraudDetectionJob.java:218-231)",
+    tags=("projection", "parity"),
+)
+def project_account_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transactions(spark, sf_dir).select("account_id", "amount")
+
+
+@register(
+    "project_account_amount_ts",
+    oracle="SELECT user_id AS account_id, value AS amount, epoch_ms(ts) AS t_ms FROM events",
+    doc="P2: Tuple3 projection keeping the timestamp "
+    "(reference: master/src/main/java/InorderTumblingWindow/FraudDetectionJob.java:239-252)",
+    tags=("projection", "parity"),
+)
+def project_account_amount_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transactions(spark, sf_dir).select(
+        "account_id", "amount", F.unix_millis("event_time").alias("t_ms")
+    )
+
+
+# ------------------------------------------------------------ record filters
+
+
+@register(
+    "filter_amount_gt_1000",
+    oracle="SELECT user_id AS account_id, value AS amount FROM events WHERE value > 1000",
+    doc="P7 parity: per-record threshold amount > 1000 "
+    "(reference: CustomWindowAssigner/metrics/src/main/java/spendreport/FraudDetector1.java:55-60). "
+    "Empty on the fixture (max value ~560) exactly as the reference's "
+    "threshold yields no alerts on its [0,1000) source.",
+    tags=("filter", "parity"),
+)
+def filter_amount_gt_1000(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = transactions(spark, sf_dir).select("account_id", "amount")
+    return df.where(F.col("amount") > 1000)
+
+
+@register(
+    "filter_amount_gt_100",
+    oracle="SELECT user_id AS account_id, value AS amount, epoch_ms(ts) AS t_ms "
+    "FROM events WHERE value > 100",
+    doc="P7 scaled to the fixture's value range so the filter is non-trivial; "
+    "predicate pushed to the parquet scan (tests/test_plans.py)",
+    tags=("filter",),
+)
+def filter_amount_gt_100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = transactions(spark, sf_dir)
+    return df.where(F.col("amount") > 100).select(
+        "account_id", "amount", F.unix_millis("event_time").alias("t_ms")
+    )
+
+
+# ------------------------------------------------------------------- alerts
+
+
+@register(
+    "alert_tumble_sum_3s_gt_10000",
+    oracle=sql_tumble(
+        3_000, "SUM(value) AS sum_amount", having="round(SUM(value), 6) > 10000"
+    ),
+    doc="EP1 end-to-end: 3s tumbling sum, alert when sum > 10000 (F2, "
+    "reference: master/src/main/java/InorderTumblingWindow/FraudDetector2.java:19-30). "
+    "Empty on the fixture (3s windows are sparse), matching the reference "
+    "behavior at its 10 ev/s source rate.",
+    tags=("alert", "parity"),
+)
+def alert_tumble_sum_3s_gt_10000(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = tumbling(transactions(spark, sf_dir), 3 * MS["s"], [F.sum("amount").alias("sum_amount")])
+    return agg.where(F.round("sum_amount", 6) > 10000)
+
+
+@register(
+    "alert_global_daily_sum_gt_10000",
+    oracle=sql_tumble(
+        86_400_000,
+        "SUM(value) AS sum_amount",
+        key=False,
+        having="round(SUM(value), 6) > 10000",
+    ),
+    doc="F2's threshold on a window dense enough to fire on the fixture: "
+    "global daily sum > 10000",
+    tags=("alert",),
+)
+def alert_global_daily_sum_gt_10000(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = tumbling(
+        transactions(spark, sf_dir), MS["d"], [F.sum("amount").alias("sum_amount")], key=None
+    )
+    return agg.where(F.round("sum_amount", 6) > 10000)
+
+
+@register(
+    "alert_user_daily_sum_gt_300",
+    oracle=sql_tumble(
+        86_400_000, "SUM(value) AS sum_amount", having="round(SUM(value), 6) > 300"
+    ),
+    doc="Keyed alert with a fixture-calibrated threshold (per-account daily sum)",
+    tags=("alert",),
+)
+def alert_user_daily_sum_gt_300(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = tumbling(transactions(spark, sf_dir), MS["d"], [F.sum("amount").alias("sum_amount")])
+    return agg.where(F.round("sum_amount", 6) > 300)
+
+
+# --------------------------------------------------- union + keyed max-by
+
+
+@register(
+    "union_max_by",
+    oracle=f"""
+WITH a AS ({sql_slide(5 * 60_000, 60_000, "AVG(value) AS mean_amount")}),
+b AS ({sql_tumble(5 * 60_000, "AVG(value) AS mean_amount")}),
+u AS (
+  SELECT *, 'slide' AS src FROM a
+  UNION ALL
+  SELECT *, 'tumble' AS src FROM b
+)
+SELECT account_id, w_start, round(mean_amount, 6) AS mean_r, src
+FROM u
+QUALIFY row_number() OVER (
+  PARTITION BY account_id
+  ORDER BY round(mean_amount, 6) DESC, w_start ASC, src ASC
+) = 1
+""",
+    doc="M1 + A7: union of two windowed aggregate streams, then keyed max-by "
+    "(reference: GraphSolution-Prometheus-SlidingWindows/src/main/java/spendreport/"
+    "FraudDetectionJob.java:125-135, reduce max-by at :126-135). Rank key is "
+    "rounded + fully tie-broken (w_start, src) so the winner is deterministic "
+    "across engines.",
+    tags=("union", "max_by", "parity"),
+)
+def union_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = transactions(spark, sf_dir)
+    a = sliding(df, 5 * MS["m"], MS["m"], [F.avg("amount").alias("mean_amount")]).withColumn(
+        "src", F.lit("slide")
+    )
+    b = tumbling(df, 5 * MS["m"], [F.avg("amount").alias("mean_amount")]).withColumn(
+        "src", F.lit("tumble")
+    )
+    u = a.unionByName(b).withColumn("mean_r", F.round("mean_amount", 6))
+    w = Window.partitionBy("account_id").orderBy(
+        F.desc("mean_r"), F.asc("w_start"), F.asc("src")
+    )
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("account_id", "w_start", "mean_r", "src")
+    )
+
+
+@register(
+    "max_by_amount",
+    oracle="""
+SELECT user_id AS account_id, value AS amount, epoch_ms(ts) AS t_ms
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY value DESC, epoch_ms(ts) ASC
+) = 1
+""",
+    doc="A7: keyed running max-by amount (reference reduce "
+    "(t1,t2) -> t1.f1 > t2.f1 ? t1 : t2, GraphSolution-Prometheus-SlidingWindows/"
+    "src/main/java/spendreport/FraudDetectionJob.java:126-135); batch form is "
+    "per-key argmax with deterministic (ts) tiebreak on raw stored doubles.",
+    tags=("max_by", "parity"),
+)
+def max_by_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = transactions(spark, sf_dir).select(
+        "account_id", "amount", F.unix_millis("event_time").alias("t_ms")
+    )
+    w = Window.partitionBy("account_id").orderBy(F.desc("amount"), F.asc("t_ms"))
+    return df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+
+
+# ------------------------------------------------- misc keyed aggregation
+
+
+@register(
+    "event_type_stats",
+    oracle="SELECT event_type, COUNT(*) AS n_events, SUM(value) AS sum_value, "
+    "AVG(value) AS mean_value FROM events GROUP BY 1",
+    doc="Plain keyed aggregation over a categorical key (sanity/coverage)",
+    tags=("aggregate",),
+)
+def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.avg("value").alias("mean_value"),
+        )
+    )

@@ -1,0 +1,209 @@
+"""Batch relational surface over the TPC-H-ish star schema.
+
+The reference contract is join-free (SURVEY §2.8: "Joins: none"), but a
+usable engine — and the driver's oracle harness — needs the standard
+relational operators: multi-way joins, sorts, limits, set ops, and
+grouped aggregation. These are pure Catalyst plans; the interesting
+part is the physical strategy at 100 TB:
+
+- dimension tables (region/nation/supplier/part/customer) are
+  broadcast-joined explicitly (`F.broadcast`) so the fact-table scan
+  never shuffles for them;
+- fact-fact joins (lineitem x orders) shuffle on the join key, which
+  is also the natural bucketing key for a warehouse deployment;
+- top-k uses sort+limit (Spark's TakeOrderedAndProject — no global
+  sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures import load
+from ..registry import register
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       SUM(l_extendedprice) AS sum_base_price,
+       SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+       AVG(l_quantity) AS avg_qty,
+       AVG(l_extendedprice) AS avg_price,
+       AVG(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1 shape: scan-heavy grouped aggregation with 8 aggregates; "
+    "the whole-stage-codegen benchmark workhorse",
+    tags=("batch", "aggregate"),
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+SELECT n_name,
+       SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    doc="4-way join star query: fact-fact shuffle join (lineitem x orders) "
+    "+ broadcast dims (customer at small SF would broadcast via AQE; "
+    "nation is forced broadcast)",
+    tags=("batch", "join"),
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "revenue_by_region_segment",
+    oracle="""
+SELECT r_name, c_mktsegment,
+       SUM(o_totalprice) AS total_revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, c_mktsegment
+""",
+    doc="Join through two broadcast dimension hops + two-key grouping",
+    tags=("batch", "join"),
+)
+def revenue_by_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "c_mktsegment")
+        .agg(F.sum("o_totalprice").alias("total_revenue"), F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "top10_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+""",
+    doc="Sort + limit (TakeOrderedAndProject): deterministic tiebreak on key; "
+    "ordering on raw stored doubles is bit-identical across engines",
+    tags=("batch", "sort", "limit"),
+)
+def top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "top3_orders_per_segment",
+    oracle="""
+SELECT c_mktsegment, o_orderkey, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+QUALIFY row_number() OVER (
+  PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC
+) <= 3
+""",
+    doc="Top-K per group: window rank over a join (the classic OLAP pattern)",
+    tags=("batch", "window_function"),
+)
+def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+""",
+    doc="Set op / anti-join surface (EXCEPT -> left-anti join physically)",
+    tags=("batch", "setop"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    ord_keys = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return cust.subtract(ord_keys)
+
+
+@register(
+    "order_priority_by_status",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+""",
+    doc="Two-key categorical rollup base (cube/rollup available as Spark "
+    "built-ins beyond the reference contract)",
+    tags=("batch", "aggregate"),
+)
+def order_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )

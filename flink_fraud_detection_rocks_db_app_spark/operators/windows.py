@@ -1,0 +1,356 @@
+"""Event-time window operators (the heart of the reference).
+
+The reference implements tumbling and sliding event-time windows twice
+over — a record-buffer strategy and a pane-slicing strategy
+(reference: master/src/main/java/InorderTumblingWindow/CustomTumblingWindow.java:33-77,
+master/src/main/java/InorderTumblingWindow/CustomSlidingWindow.java:25-147) —
+plus Flink built-in assigners used as test oracles. In Spark all of
+them are the single declarative `F.window()` / `F.session_window()`
+expression: Catalyst plans the partial/final aggregation split that the
+reference hand-codes as `AggregateFunction.merge`, and the sliding
+"pane sharing" optimization becomes Spark's Expand + partial-agg
+pipeline (see plans/ notes and SURVEY §4).
+
+Window-start convention: epoch-ms BIGINT `w_start` on both engines —
+Spark `unix_millis(window.start)`, DuckDB `(epoch_ms(ts)//size)*size`.
+Both floor the raw parquet nanosecond timestamps, and Spark's window
+alignment is epoch-based with fixed-width intervals, so the arithmetic
+is bit-identical.
+
+Scale notes: each windowed aggregate is a single hash-aggregate with
+map-side partial aggregation; the shuffle key is (account_id, window)
+so cardinality grows with keys x windows and stays skew-free for
+uniform accounts. Sliding windows Expand each row into size/slide
+copies *before* the partial agg — at 100 TB keep size/slide small
+(ours are 5x) or use the pane-sliced two-level variant below
+(`slide_sum_50s_10s_paned`), which shrinks the expanded volume by
+first collapsing rows into gcd(size, slide) panes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures import transactions
+from ..registry import register
+
+MS = {"s": 1_000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
+
+
+def _dur(ms: int) -> str:
+    """Milliseconds -> Spark interval string."""
+    return f"{ms} milliseconds"
+
+
+def tumbling(
+    df: DataFrame,
+    size_ms: int,
+    aggs: list,
+    key: str | None = "account_id",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Keyed (or global) tumbling window aggregate.
+
+    Parity: CustomTumblingWindow assigns [ts - ts % size, +size)
+    (reference: master/src/main/java/InorderTumblingWindow/CustomTumblingWindow.java:41-43)
+    which is exactly Spark's epoch-aligned window().
+    """
+    keys = [F.window(time_col, _dur(size_ms)).alias("w")]
+    if key:
+        keys.append(F.col(key))
+    out = df.groupBy(*keys).agg(*aggs)
+    cols = [F.unix_millis(F.col("w.start")).alias("w_start")]
+    if key:
+        cols.append(F.col(key))
+    return out.select(*cols, *[c for c in out.columns if c not in ("w", key)])
+
+
+def sliding(
+    df: DataFrame,
+    size_ms: int,
+    slide_ms: int,
+    aggs: list,
+    key: str | None = "account_id",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Keyed (or global) sliding window aggregate.
+
+    Parity: CustomSlidingWindow assigns the set of windows covering an
+    element (reference: master/src/main/java/InorderTumblingWindow/CustomSlidingWindow.java:33-46).
+    """
+    keys = [F.window(time_col, _dur(size_ms), _dur(slide_ms)).alias("w")]
+    if key:
+        keys.append(F.col(key))
+    out = df.groupBy(*keys).agg(*aggs)
+    cols = [F.unix_millis(F.col("w.start")).alias("w_start")]
+    if key:
+        cols.append(F.col(key))
+    return out.select(*cols, *[c for c in out.columns if c not in ("w", key)])
+
+
+# ---------------------------------------------------------------- SQL helpers
+
+
+def sql_tumble(
+    size_ms: int,
+    agg_sql: str,
+    key: bool = True,
+    having: str | None = None,
+    where: str | None = None,
+) -> str:
+    key_sel = "user_id AS account_id, " if key else ""
+    group = "GROUP BY 1, 2" if key else "GROUP BY 1"
+    return (
+        f"SELECT (epoch_ms(ts) // {size_ms}) * {size_ms} AS w_start, {key_sel}{agg_sql} "
+        f"FROM events {f'WHERE {where} ' if where else ''}{group}"
+        f"{f' HAVING {having}' if having else ''}"
+    )
+
+
+def sql_slide(
+    size_ms: int,
+    slide_ms: int,
+    agg_sql: str,
+    key: bool = True,
+    having: str | None = None,
+) -> str:
+    """Sliding windows via explicit window-start enumeration.
+
+    A row at time t belongs to every window start w = floor(t/slide)*slide
+    - i*slide with w > t - size; identical to Spark's Expand-based
+    assignment.
+    """
+    nwin = -(-size_ms // slide_ms)  # ceil
+    key_sel = "user_id AS account_id, " if key else ""
+    group = "GROUP BY 1, 2" if key else "GROUP BY 1"
+    return f"""
+WITH e AS (SELECT user_id, value, epoch_ms(ts) AS tms FROM events),
+c AS (
+  SELECT user_id, value,
+         (tms // {slide_ms}) * {slide_ms} - i * {slide_ms} AS w_start
+  FROM e CROSS JOIN (SELECT unnest(range({nwin})) AS i)
+  WHERE (tms // {slide_ms}) * {slide_ms} - i * {slide_ms} > tms - {size_ms}
+)
+SELECT w_start, {key_sel}{agg_sql} FROM c {group}{f" HAVING {having}" if having else ""}
+"""
+
+
+# ------------------------------------------------------------------- queries
+# Tumbling: WA1/WA4/WA5/WA7 + A1/A2/A6 configurations.
+
+
+@register(
+    "tumble_sum_3s",
+    oracle=sql_tumble(3_000, "SUM(value) AS sum_amount"),
+    doc="EP1: per-account 3s tumbling SUM (CustomTumblingWindow(3000,100), "
+    "reference: master/src/main/java/InorderTumblingWindow/FraudDetectionJob.java:68-76)",
+    tags=("window", "tumbling", "parity"),
+)
+def tumble_sum_3s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling(transactions(spark, sf_dir), 3 * MS["s"], [F.sum("amount").alias("sum_amount")])
+
+
+@register(
+    "tumble_sum_5s",
+    oracle=sql_tumble(5_000, "SUM(value) AS sum_amount"),
+    doc="F1's hand-rolled 5s record-buffer tumbling sum "
+    "(reference: master/src/main/java/InorderTumblingWindow/FraudDetector.java:35-119)",
+    tags=("window", "tumbling", "parity"),
+)
+def tumble_sum_5s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling(transactions(spark, sf_dir), 5 * MS["s"], [F.sum("amount").alias("sum_amount")])
+
+
+@register(
+    "tumble_sum_5m",
+    oracle=sql_tumble(5 * 60_000, "SUM(value) AS sum_amount"),
+    doc="WA7 oracle config: built-in TumblingEventTimeWindows.of(5 min) + sum "
+    "(reference: master/src/test/java/CustomTumblingWindowTest.java:59-64)",
+    tags=("window", "tumbling", "parity"),
+)
+def tumble_sum_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling(transactions(spark, sf_dir), 5 * MS["m"], [F.sum("amount").alias("sum_amount")])
+
+
+@register(
+    "tumble_mean_3s",
+    oracle=sql_tumble(3_000, "AVG(value) AS mean_amount, COUNT(*) AS n_events"),
+    doc="A2/A3 IncrementalMeanAggregate on tumbling windows "
+    "(reference: master/src/main/java/InorderSlidingWindow/FraudDetectionJob.java:137-172)",
+    tags=("window", "tumbling", "parity"),
+)
+def tumble_mean_3s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling(
+        transactions(spark, sf_dir),
+        3 * MS["s"],
+        [F.avg("amount").alias("mean_amount"), F.count("*").alias("n_events")],
+    )
+
+
+@register(
+    "tumble_stats_1h",
+    oracle=sql_tumble(
+        3_600_000,
+        "SUM(value) AS sum_amount, AVG(value) AS mean_amount, COUNT(*) AS n_events, "
+        "MIN(value) AS min_amount, MAX(value) AS max_amount",
+    ),
+    doc="Dense-window variant (hourly) so aggregates combine many rows; "
+    "exercises partial/final agg like A1-A3 merge paths",
+    tags=("window", "tumbling"),
+)
+def tumble_stats_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling(
+        transactions(spark, sf_dir),
+        MS["h"],
+        [
+            F.sum("amount").alias("sum_amount"),
+            F.avg("amount").alias("mean_amount"),
+            F.count("*").alias("n_events"),
+            F.min("amount").alias("min_amount"),
+            F.max("amount").alias("max_amount"),
+        ],
+    )
+
+
+# Sliding: WA2/WA3/WA8 configurations.
+
+
+@register(
+    "slide_mean_50s_10s",
+    oracle=sql_slide(50_000, 10_000, "AVG(value) AS mean_amount"),
+    doc="EP2: pane-sliced sliding mean, size 50s slide 10s "
+    "(reference: master/src/main/java/InorderSlidingWindow/FraudDetectionJob.java:77-83)",
+    tags=("window", "sliding", "parity"),
+)
+def slide_mean_50s_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding(
+        transactions(spark, sf_dir), 50 * MS["s"], 10 * MS["s"], [F.avg("amount").alias("mean_amount")]
+    )
+
+
+@register(
+    "slide_sum_5m_1m",
+    oracle=sql_slide(5 * 60_000, 60_000, "SUM(value) AS sum_amount"),
+    doc="WA8: built-in SlidingEventTimeWindows.of(5 min, 1 min) + sum "
+    "(reference: master/src/test/java/CustomSlidingWindowTest.java:61)",
+    tags=("window", "sliding", "parity"),
+)
+def slide_sum_5m_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding(
+        transactions(spark, sf_dir), 5 * MS["m"], MS["m"], [F.sum("amount").alias("sum_amount")]
+    )
+
+
+@register(
+    "global_slide_mean_5m_1m",
+    oracle=sql_slide(5 * 60_000, 60_000, "AVG(value) AS mean_amount", key=False),
+    doc="WA9: non-keyed windowAll sliding mean "
+    "(reference: GraphSolution-Prometheus-SlidingWindows/src/main/java/spendreport/FraudDetectionJob.java:108-113)",
+    tags=("window", "sliding", "global", "parity"),
+)
+def global_slide_mean_5m_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding(
+        transactions(spark, sf_dir), 5 * MS["m"], MS["m"], [F.avg("amount").alias("mean_amount")], key=None
+    )
+
+
+@register(
+    "slide_sum_50s_10s_paned",
+    oracle=sql_slide(50_000, 10_000, "SUM(value) AS sum_amount, COUNT(*) AS n_events"),
+    doc="WA2/WA3 pane-slicing strategy, faithfully as a two-level aggregate: "
+    "rows -> gcd(size,slide)=10s panes (partial sum/count) -> windows "
+    "(reference: SlidingWIndowSlicingStrategy/CustomSlidingWindow.java:15-103, "
+    "combinePanes master/src/main/java/InorderTumblingWindow/CustomSlidingWindow.java:108-127). "
+    "At scale this shrinks the Expand input from |rows| to |panes|.",
+    tags=("window", "sliding", "parity", "perf"),
+)
+def slide_sum_50s_10s_paned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    size_ms, slide_ms = 50_000, 10_000
+    pane_ms = math.gcd(size_ms, slide_ms)
+    df = transactions(spark, sf_dir)
+    # Level 1: collapse rows into (key, pane) partial aggregates.
+    panes = df.groupBy(
+        F.col("account_id"),
+        (F.unix_millis("event_time") - F.unix_millis("event_time") % pane_ms).alias("pane_ms"),
+    ).agg(F.sum("amount").alias("p_sum"), F.count("*").alias("p_cnt"))
+    # Level 2: expand each pane into the size/slide windows covering it,
+    # then combine pane partials (combinePanes).
+    nwin = size_ms // slide_ms
+    expanded = panes.select(
+        "account_id",
+        "p_sum",
+        "p_cnt",
+        F.explode(
+            F.sequence(
+                (F.col("pane_ms") / slide_ms).cast("long") * slide_ms - (nwin - 1) * slide_ms,
+                (F.col("pane_ms") / slide_ms).cast("long") * slide_ms,
+                F.lit(slide_ms),
+            )
+        ).alias("w_start"),
+    ).where(F.col("w_start") > F.col("pane_ms") + F.lit(pane_ms - 1) - size_ms)
+    return expanded.groupBy("w_start", "account_id").agg(
+        F.sum("p_sum").alias("sum_amount"), F.sum("p_cnt").alias("n_events")
+    )
+
+
+# Session windows: DESIGN.md:104's stated goal (trigger has vestigial
+# canMerge/onMerge support, reference:
+# master/src/main/java/InorderTumblingWindow/CustomTumblingTrigger.java:103-114).
+
+
+def sql_session(gap_ms: int, key: bool = True) -> str:
+    part = "PARTITION BY user_id" if key else ""
+    key_sel = "user_id AS account_id, " if key else ""
+    group = "GROUP BY user_id, sid" if key else "GROUP BY sid"
+    gap_us = gap_ms * 1000
+    return f"""
+WITH e AS (SELECT user_id, value, epoch_us(ts) AS tus FROM events),
+o AS (
+  SELECT *, CASE WHEN lag(tus) OVER ({part} ORDER BY tus) IS NULL
+                   OR tus - lag(tus) OVER ({part} ORDER BY tus) >= {gap_us}
+                 THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (SELECT *, SUM(brk) OVER ({part} ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+SELECT MIN(tus) // 1000 AS w_start, {key_sel}SUM(value) AS sum_amount, COUNT(*) AS n_events
+FROM s {group}
+"""
+
+
+@register(
+    "session_sum_user_6h",
+    oracle=sql_session(6 * 3_600_000),
+    doc="Keyed session window (6h gap): Spark session_window(); covers the "
+    "merging-window capability the reference trigger was built to support",
+    tags=("window", "session"),
+)
+def session_sum_user_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = transactions(spark, sf_dir)
+    out = df.groupBy(
+        F.session_window("event_time", "6 hours").alias("w"), F.col("account_id")
+    ).agg(F.sum("amount").alias("sum_amount"), F.count("*").alias("n_events"))
+    return out.select(
+        F.unix_millis(F.col("w.start")).alias("w_start"),
+        "account_id",
+        "sum_amount",
+        "n_events",
+    )
+
+
+@register(
+    "session_sum_global_10m",
+    oracle=sql_session(10 * 60_000, key=False),
+    doc="Global session window (10m gap) over the whole stream",
+    tags=("window", "session", "global"),
+)
+def session_sum_global_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = transactions(spark, sf_dir).withColumn("g", F.lit(1))
+    out = df.groupBy(F.session_window("event_time", "10 minutes").alias("w"), "g").agg(
+        F.sum("amount").alias("sum_amount"), F.count("*").alias("n_events")
+    )
+    return out.select(
+        F.unix_millis(F.col("w.start")).alias("w_start"), "sum_amount", "n_events"
+    )
