@@ -59,3 +59,14 @@ def transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
         F.col("value").alias("amount"),
     )
+
+
+def transactions_with_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`transactions` plus event_id, the deterministic order tiebreak
+    used by the order-sensitive stateful folds (FIXTURES.md §3)."""
+    return load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("account_id"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+        F.col("value").alias("amount"),
+        "event_id",
+    )

@@ -1,3 +1,3 @@
 """Operator modules; importing this package populates the query registry."""
 
-from . import detectors, relational, windows  # noqa: F401
+from . import detectors, relational, stateful, windows  # noqa: F401

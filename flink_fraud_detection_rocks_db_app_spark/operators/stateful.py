@@ -1,0 +1,126 @@
+"""Batch registry entries for the stateful-detector semantics
+(F3/F5 reset-on-alert, T3 count-or-time trigger) — SURVEY §2.5/§2.7.
+
+T3 is fully SQL-expressible on batch data: FIRE_AND_PURGE at every
+maxCount-th element chops each (key, window) into deterministic
+segments of maxCount events ((row_number-1) / maxCount), so it gets a
+real DuckDB oracle. F3/F5 resets depend on running *values*, which SQL
+window functions cannot express — those are rows-only checks here plus
+Python-golden tests in tests/test_stateful.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..fixtures import transactions_with_id
+from ..registry import register
+from ..streaming.stateful import running_mean_alerts_batch, running_sum_alerts_batch
+
+
+def count_or_time_segments(
+    df: DataFrame, size_ms: int, max_count: int, key: bool = True
+) -> DataFrame:
+    """T3: count-or-time trigger (reference:
+    master/src/main/java/InorderTumblingWindow/CustomTrigger.java:34-78).
+    FIRE_AND_PURGE when the per-(key,window) count reaches max_count,
+    else fire at the window-end timer. Each emission is one segment.
+    Pure JVM plan: window rank -> integer division -> hash aggregate.
+    """
+    cols = ["w_start"] + (["account_id"] if key else [])
+    w = Window.partitionBy(*cols).orderBy("event_time", "event_id")
+    seg = (
+        df.withColumn(
+            "w_start",
+            F.unix_millis("event_time") - F.unix_millis("event_time") % size_ms,
+        )
+        .withColumn("seg", ((F.row_number().over(w) - 1) / max_count).cast("long"))
+        .groupBy(*cols, "seg")
+        .agg(F.sum("amount").alias("sum_amount"), F.count("*").alias("n_events"))
+    )
+    return seg.withColumn(
+        "emit",
+        F.when(F.col("n_events") == max_count, F.lit("early")).otherwise(F.lit("final")),
+    )
+
+
+def sql_count_or_time(size_ms: int, max_count: int, key: bool = True) -> str:
+    part = "w_start, user_id" if key else "w_start"
+    key_sel = "user_id AS account_id, " if key else ""
+    group = "GROUP BY w_start, user_id, seg" if key else "GROUP BY w_start, seg"
+    return f"""
+WITH e AS (
+  SELECT user_id, value, event_id, epoch_us(ts) AS tus,
+         (epoch_ms(ts) // {size_ms}) * {size_ms} AS w_start
+  FROM events
+),
+r AS (
+  SELECT *, (row_number() OVER (PARTITION BY {part} ORDER BY tus, event_id) - 1)
+            // {max_count} AS seg
+  FROM e
+)
+SELECT w_start, {key_sel}seg, SUM(value) AS sum_amount, COUNT(*) AS n_events,
+       CASE WHEN COUNT(*) = {max_count} THEN 'early' ELSE 'final' END AS emit
+FROM r {group}
+"""
+
+
+@register(
+    "count_or_time_global_1h_10",
+    oracle=sql_count_or_time(3_600_000, 10, key=False),
+    doc="T3 on a global hourly window, early-fire every 10 events "
+    "(reference: master/src/main/java/InorderTumblingWindow/CustomTrigger.java:47-54)",
+    tags=("trigger", "stateful", "parity"),
+)
+def count_or_time_global_1h_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return count_or_time_segments(
+        transactions_with_id(spark, sf_dir), 3_600_000, 10, key=False
+    )
+
+
+@register(
+    "count_or_time_user_1d_3",
+    oracle=sql_count_or_time(86_400_000, 3, key=True),
+    doc="T3 keyed: per-account daily window, early-fire every 3 events",
+    tags=("trigger", "stateful", "parity"),
+)
+def count_or_time_user_1d_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return count_or_time_segments(
+        transactions_with_id(spark, sf_dir), 86_400_000, 3, key=True
+    )
+
+
+@register(
+    "running_sum_alerts_gt_500",
+    oracle=None,  # reset depends on running values: not SQL-expressible
+    doc="F5: per-key running sum, alert + state reset when sum > 500 "
+    "(reference: workspace/frauddetection/src/main/java/spendreport/FraudDetector.java:29-46); "
+    "threshold fixture-calibrated; golden-tested in tests/test_stateful.py "
+    "and replayed as a stream in tests/test_streaming.py",
+    tags=("detector", "stateful"),
+)
+def running_sum_alerts_gt_500(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return running_sum_alerts_batch(transactions_with_id(spark, sf_dir), 500.0)
+
+
+@register(
+    "running_sum_alerts_gt_10000",
+    oracle=None,
+    doc="F5 at the reference's exact threshold (10000) — empty on the "
+    "fixture, like the reference on its own source",
+    tags=("detector", "stateful", "parity"),
+)
+def running_sum_alerts_gt_10000(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return running_sum_alerts_batch(transactions_with_id(spark, sf_dir), 10_000.0)
+
+
+@register(
+    "running_mean_alerts_gt_90",
+    oracle=None,
+    doc="F3: per-key running mean, alert + reset when mean > 90 "
+    "(reference: TumblingWindowWithTest/src/main/java/spendreport/FraudDetectorSliding.java:33-71)",
+    tags=("detector", "stateful"),
+)
+def running_mean_alerts_gt_90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return running_mean_alerts_batch(transactions_with_id(spark, sf_dir), 90.0)

@@ -1,0 +1,17 @@
+"""Structured Streaming layer: replay source, declarative jobs,
+stateful detectors, metrics listener."""
+
+from .jobs import IN_ORDER, OUT_OF_ORDER_5S, alert_stream, windowed_agg_stream  # noqa: F401
+from .listener import JobMetrics, MetricsListener  # noqa: F401
+from .replay import (  # noqa: F401
+    read_replay_batch,
+    read_replay_stream,
+    run_to_memory,
+    write_replay_chunks,
+)
+from .stateful import (  # noqa: F401
+    record_buffer_tumbling_stream,
+    running_mean_alerts_batch,
+    running_sum_alerts_batch,
+    running_sum_alerts_stream,
+)

@@ -1,0 +1,54 @@
+"""Declarative Structured Streaming jobs mirroring the reference's
+entry points (EP1/EP2 shapes), plus watermark wiring.
+
+Watermark parity (SURVEY §1.4):
+- in-order: AscendingTimestampExtractor == `withWatermark(_, "0 seconds")`
+  (reference: master/src/main/java/InorderTumblingWindow/FraudDetectionJob.java:52-58)
+- out-of-order: forBoundedOutOfOrderness(5 s) == `withWatermark(_, "5 seconds")`
+  (reference: master/src/main/java/OutofOrderTumblingWindow/FraudDetectionJob.java:63-70)
+
+Emission parity note (SURVEY §7 risk 1): Flink fires per window when
+the watermark passes the end; Spark append mode emits closed windows
+at micro-batch boundaries. Final window values are identical; tests
+compare final results, not emission timing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IN_ORDER = "0 seconds"
+OUT_OF_ORDER_5S = "5 seconds"
+
+
+def windowed_agg_stream(
+    stream: DataFrame,
+    size_ms: int,
+    slide_ms: int | None = None,
+    watermark: str = IN_ORDER,
+    key: str | None = "account_id",
+    aggs: list | None = None,
+) -> DataFrame:
+    """EP1/EP2 streaming shape: watermark -> keyed event-time window ->
+    aggregate. Output columns match the batch `windows.tumbling/sliding`
+    builders so stream==batch equality is a direct DataFrame compare."""
+    if aggs is None:
+        aggs = [F.sum("amount").alias("sum_amount")]
+    win = (
+        F.window("event_time", f"{size_ms} milliseconds")
+        if slide_ms is None
+        else F.window("event_time", f"{size_ms} milliseconds", f"{slide_ms} milliseconds")
+    )
+    keys = [win.alias("w")] + ([F.col(key)] if key else [])
+    out = stream.withWatermark("event_time", watermark).groupBy(*keys).agg(*aggs)
+    cols = [F.unix_millis(F.col("w.start")).alias("w_start")]
+    if key:
+        cols.append(F.col(key))
+    return out.select(*cols, *[c for c in out.columns if c not in ("w", key)])
+
+
+def alert_stream(agg_stream: DataFrame, threshold: float, value_col: str = "sum_amount") -> DataFrame:
+    """F2: stateless threshold on the windowed aggregate -> alerts
+    (reference: master/src/main/java/InorderTumblingWindow/FraudDetector2.java:14-31)."""
+    return agg_stream.where(F.col(value_col) > threshold)

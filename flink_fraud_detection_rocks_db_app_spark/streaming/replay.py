@@ -1,0 +1,146 @@
+"""Deterministic stream replay of the `events` fixture.
+
+The reference generates its stream with a rate-limited SourceFunction
+(reference: master/src/main/java/InorderTumblingWindow/TransactionStreamSource.java:24-36)
+and derives out-of-order variants by adding +/-500s jitter
+(reference: master/src/main/java/OutofOrderTumblingWindow/FraudDetectionJob.java:64-70)
+or by `.shuffle()` repartitioning
+(reference: master/src/main/java/OutofOrderSlidingWindow/FraudDetectionJob.java:59).
+
+Here the same fixture rows are replayed as a chunked parquet
+file-stream: rows sorted by ts are split into N sequential files and
+consumed one file per micro-batch, so the event-time watermark
+genuinely advances between batches and late rows are genuinely
+dropped — the semantics under test, without wall-clock sleeps.
+
+Jitter is derived deterministically from event_id (no RNG), so
+out-of-order runs are reproducible.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..fixtures import load
+
+# Chunks carry the event time as a raw microsecond long (t_us): parquet
+# timestamp logical types round-trip inconsistently between pandas and
+# Spark (NANOS is unreadable, naive MICROS flips to TIMESTAMP_NTZ);
+# integers are unambiguous and the reader rebuilds the TimestampType.
+REPLAY_SCHEMA = T.StructType(
+    [
+        T.StructField("account_id", T.LongType()),
+        T.StructField("t_us", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("event_id", T.LongType()),
+    ]
+)
+
+
+def _prepared(spark: SparkSession, sf_dir: str, jitter_ms: int, late_every: int) -> DataFrame:
+    """Fixture rows projected to the transaction schema, optionally
+    disordered: every row gets a deterministic jitter in
+    [-jitter_ms, +jitter_ms] from event_id, and every `late_every`-th
+    row is pushed far past the watermark to exercise late-drop."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("account_id"),
+        F.expr("ts div 1000").alias("t_us"),
+        F.col("value").alias("amount"),
+        "event_id",
+    )
+    if jitter_ms:
+        # deterministic pseudo-jitter: hash event_id into [-j, +j]
+        ev = ev.withColumn(
+            "t_us",
+            F.col("t_us")
+            + (F.pmod(F.xxhash64("event_id"), F.lit(2 * jitter_ms + 1)) - jitter_ms) * 1000,
+        )
+    if late_every:
+        ev = ev.withColumn(
+            "t_us",
+            F.when(
+                F.col("event_id") % late_every == 0, F.col("t_us") - F.lit(3_600_000_000)
+            ).otherwise(F.col("t_us")),
+        )
+    return ev.select("account_id", "t_us", "amount", "event_id")
+
+
+def write_replay_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    scratch_dir: str,
+    n_chunks: int = 8,
+    jitter_ms: int = 0,
+    late_every: int = 0,
+) -> str:
+    """Materialize the fixture as `n_chunks` sequential parquet files
+    under scratch_dir/chunks and return that path.
+
+    Chunks follow *arrival order* (original ts), so with jitter the
+    stream is genuinely out-of-order in event time while arrival is
+    monotone-ish — the reference's out-of-order model.
+    """
+    out = os.path.join(scratch_dir, "chunks")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    df = _prepared(spark, sf_dir, jitter_ms, late_every)
+    # In-order replay arrives sorted by event time; disordered replay
+    # arrives in original (pre-jitter) order, i.e. jitter makes event
+    # time non-monotone across arrival — the reference's model.
+    order_col = "t_us" if not (jitter_ms or late_every) else "event_id"
+    pdf = df.orderBy(order_col, "event_id").toPandas()
+    n = len(pdf)
+    size = -(-n // n_chunks)
+    for i in range(n_chunks):
+        chunk = pdf.iloc[i * size : (i + 1) * size]
+        if len(chunk) == 0:
+            continue
+        chunk.to_parquet(os.path.join(out, f"chunk_{i:04d}.parquet"), index=False)
+    return out
+
+
+def read_replay_stream(spark: SparkSession, chunks_dir: str) -> DataFrame:
+    """Streaming DataFrame over the replay chunks, one file per
+    micro-batch (so watermarks advance between batches)."""
+    return (
+        spark.readStream.schema(REPLAY_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks_dir)
+        .select(
+            "account_id",
+            F.timestamp_micros("t_us").alias("event_time"),
+            "amount",
+            "event_id",
+        )
+    )
+
+
+def read_replay_batch(spark: SparkSession, chunks_dir: str) -> DataFrame:
+    """Batch view of the same replay chunks (for stream==batch checks)."""
+    return spark.read.schema(REPLAY_SCHEMA).parquet(chunks_dir).select(
+        "account_id",
+        F.timestamp_micros("t_us").alias("event_time"),
+        "amount",
+        "event_id",
+    )
+
+
+def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "append") -> None:
+    """Run a streaming query over the (finite) replay to completion,
+    results land in the in-memory table `name`."""
+    q = (
+        sdf.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()

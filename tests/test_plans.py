@@ -1,0 +1,59 @@
+"""Optimizer-shape tests: the plan Catalyst produces must be the plan
+we'd want at 100 TB — filters pushed to the scan, columns pruned,
+small dimensions broadcast. (The reference has no optimizer; these
+guard OUR physical strategy.)"""
+
+from __future__ import annotations
+
+from flink_fraud_detection_rocks_db_app_spark.fixtures import transactions
+from flink_fraud_detection_rocks_db_app_spark.plans import (
+    explain_str,
+    pushed_filters,
+    read_schema_columns,
+)
+from flink_fraud_detection_rocks_db_app_spark.registry import all_queries
+
+from .conftest import SF_SMALL
+
+
+def test_projection_prunes_scan(spark):
+    df = transactions(spark, SF_SMALL)
+    cols = read_schema_columns(df)
+    assert cols, "expected a parquet scan"
+    assert set(cols[0]) == {"ts", "user_id", "value"}, cols
+
+
+def test_filter_pushed_to_scan(spark):
+    df = all_queries()["filter_amount_gt_100"].fn(spark, SF_SMALL)
+    pf = pushed_filters(df)
+    assert "GreaterThan(value,100" in pf, pf
+
+
+def test_dim_joins_broadcast(spark):
+    df = all_queries()["revenue_by_region_segment"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_tumbling_is_single_shuffle_hashagg(spark):
+    """Tumbling agg should be partial agg -> single exchange -> final
+    agg (the reference hand-codes this split as AggregateFunction.merge)."""
+    import re
+
+    df = all_queries()["tumble_sum_3s"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    # formatted explain lists each node once as a "(N) Name" header
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "HashAggregate" in plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    # AQE wraps the un-executed plan, hiding codegen spans; disable it
+    # just for the inspection so the subtrees are visible.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = all_queries()["tpch_q1_pricing_summary"].fn(spark, SF_SMALL)
+        plan = explain_str(df, "codegen")
+        assert "Found 0 WholeStageCodegen" not in plan, plan[:500]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

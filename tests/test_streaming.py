@@ -1,0 +1,202 @@
+"""Streaming semantics: stream==batch (Structured Streaming prefix
+integrity), watermark late-drop, stateful detectors on a real replayed
+stream, and the reference's own differential test (EP3): custom
+stateful-UDF window vs built-in declarative window."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_fraud_detection_rocks_db_app_spark.operators.windows import MS, tumbling
+from flink_fraud_detection_rocks_db_app_spark.fixtures import (
+    transactions,
+    transactions_with_id,
+)
+from flink_fraud_detection_rocks_db_app_spark.streaming import (
+    IN_ORDER,
+    read_replay_batch,
+    OUT_OF_ORDER_5S,
+    MetricsListener,
+    read_replay_stream,
+    record_buffer_tumbling_stream,
+    run_to_memory,
+    running_sum_alerts_batch,
+    running_sum_alerts_stream,
+    windowed_agg_stream,
+    write_replay_chunks,
+)
+
+from .conftest import SF_SMALL
+
+SIZE_MS = MS["h"]  # 1h tumbling: dense enough at sf0.001
+
+
+def _batch_tumble(spark, closed_before_ms=None):
+    df = tumbling(
+        transactions(spark, SF_SMALL), SIZE_MS, [F.sum("amount").alias("sum_amount")]
+    )
+    rows = {(r.w_start, r.account_id): r.sum_amount for r in df.collect()}
+    if closed_before_ms is not None:
+        rows = {k: v for k, v in rows.items() if k[0] + SIZE_MS <= closed_before_ms}
+    return rows
+
+
+def _max_t_ms(spark):
+    df = transactions(spark, SF_SMALL)
+    return df.agg(F.max(F.unix_millis("event_time"))).collect()[0][0]
+
+
+def test_stream_equals_batch_inorder(spark, scratch):
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=6)
+    stream = read_replay_stream(spark, chunks)
+    agg = windowed_agg_stream(stream, SIZE_MS, watermark=IN_ORDER)
+    run_to_memory(agg, "t_inorder")
+    got = {
+        (r.w_start, r.account_id): r.sum_amount
+        for r in spark.table("t_inorder").collect()
+    }
+    wm = _max_t_ms(spark)  # final watermark = max event time - 0s
+    want = _batch_tumble(spark, closed_before_ms=wm)
+    full = _batch_tumble(spark)
+    # every emitted window must match batch exactly
+    for k, v in got.items():
+        assert abs(v - full[k]) < 1e-9, k
+    # and every batch-closed window must have been emitted
+    missing = set(want) - set(got)
+    assert not missing, f"closed windows never emitted: {sorted(missing)[:5]}"
+
+
+def test_stream_out_of_order_bounded_jitter(spark, scratch):
+    """Jitter within the 5s watermark bound must not lose any data:
+    stream result == batch result on the jittered timestamps."""
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=6, jitter_ms=4_000)
+    stream = read_replay_stream(spark, chunks)
+    agg = windowed_agg_stream(stream, SIZE_MS, watermark=OUT_OF_ORDER_5S)
+    run_to_memory(agg, "t_ooo")
+    got = {
+        (r.w_start, r.account_id): r.sum_amount for r in spark.table("t_ooo").collect()
+    }
+    # batch over the same jittered input
+    batch_src = read_replay_batch(spark, chunks)
+    want_df = tumbling(batch_src, SIZE_MS, [F.sum("amount").alias("sum_amount")])
+    want = {(r.w_start, r.account_id): r.sum_amount for r in want_df.collect()}
+    wm = (
+        batch_src.agg(F.max(F.unix_millis("event_time"))).collect()[0][0] - 5_000
+    )
+    closed = {k: v for k, v in want.items() if k[0] + SIZE_MS <= wm}
+    for k in closed:
+        assert k in got and abs(got[k] - closed[k]) < 1e-9, k
+    for k, v in got.items():
+        assert abs(v - want[k]) < 1e-9, k
+
+
+def test_stream_drops_late_rows(spark, scratch):
+    """Rows 1h behind the stream's progress are beyond the 5s watermark
+    and must be dropped (reference trigger drops via CONTINUE-until-
+    watermark then FIRE_AND_PURGE; no allowed-lateness)."""
+    chunks = write_replay_chunks(
+        spark, SF_SMALL, scratch, n_chunks=6, late_every=97
+    )
+    stream = read_replay_stream(spark, chunks)
+    agg = windowed_agg_stream(
+        stream,
+        SIZE_MS,
+        watermark=OUT_OF_ORDER_5S,
+        aggs=[F.sum("amount").alias("sum_amount"), F.count("*").alias("n_events")],
+    )
+    run_to_memory(agg, "t_late")
+    stream_events = sum(r.n_events for r in spark.table("t_late").collect())
+    batch_src = read_replay_batch(spark, chunks)
+    late_ids = {
+        r.event_id
+        for r in batch_src.where(F.col("event_id") % 97 == 0).collect()
+    }
+    total = batch_src.count()
+    assert stream_events < total, "late rows should have been dropped"
+    assert total - stream_events <= len(late_ids), "only late rows may be dropped"
+    # windows containing no late rows must match batch exactly
+    got = {
+        (r.w_start, r.account_id): r.sum_amount for r in spark.table("t_late").collect()
+    }
+    clean = (
+        batch_src.where(~F.col("event_id").isin(list(late_ids)))
+        .groupBy(
+            (F.unix_millis("event_time") - F.unix_millis("event_time") % SIZE_MS).alias(
+                "w_start"
+            ),
+            "account_id",
+        )
+        .agg(F.sum("amount").alias("sum_amount"))
+    )
+    late_windows = {
+        (r.w_start, r.account_id)
+        for r in batch_src.where(F.col("event_id").isin(list(late_ids)))
+        .select(
+            (F.unix_millis("event_time") - F.unix_millis("event_time") % SIZE_MS).alias(
+                "w_start"
+            ),
+            "account_id",
+        )
+        .collect()
+    }
+    wm = batch_src.agg(F.max(F.unix_millis("event_time"))).collect()[0][0] - 5_000
+    for r in clean.collect():
+        k = (r.w_start, r.account_id)
+        if k in late_windows or k[0] + SIZE_MS > wm:
+            continue
+        assert k in got and abs(got[k] - r.sum_amount) < 1e-9, k
+
+
+def test_running_sum_alert_stream_equals_batch_fold(spark, scratch):
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=6)
+    stream = read_replay_stream(spark, chunks)
+    alerts = running_sum_alerts_stream(stream, 500.0)
+    run_to_memory(alerts, "t_f5")
+    got = sorted(tuple(r) for r in spark.table("t_f5").collect())
+    want = sorted(
+        tuple(r)
+        for r in running_sum_alerts_batch(
+            transactions_with_id(spark, SF_SMALL), 500.0
+        ).collect()
+    )
+    assert len(got) > 0
+    assert [g[:2] for g in got] == [w[:2] for w in want]
+    assert all(abs(g[2] - w[2]) < 1e-9 for g, w in zip(got, want))
+
+
+def test_record_buffer_window_differential(spark, scratch):
+    """EP3, the reference's own test strategy: the stateful-UDF
+    record-buffer tumbling window must equal the built-in window
+    aggregate on the same input
+    (reference: master/src/test/java/CustomTumblingWindowTest.java:28-132)."""
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=6)
+    stream = read_replay_stream(spark, chunks)
+    custom = record_buffer_tumbling_stream(stream, SIZE_MS)
+    run_to_memory(custom, "t_f1")
+    got = {
+        (r.w_start, r.account_id): r.sum_amount for r in spark.table("t_f1").collect()
+    }
+    full = _batch_tumble(spark)
+    for k, v in got.items():
+        assert abs(v - full[k]) < 1e-9, k
+    wm = _max_t_ms(spark)
+    want = _batch_tumble(spark, closed_before_ms=wm)
+    missing = set(want) - set(got)
+    assert not missing, f"closed windows never emitted: {sorted(missing)[:5]}"
+
+
+def test_metrics_listener(spark, scratch):
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=4)
+        stream = read_replay_stream(spark, chunks)
+        agg = windowed_agg_stream(stream, SIZE_MS, watermark=IN_ORDER)
+        run_to_memory(agg, "t_metrics")
+    finally:
+        spark.streams.removeListener(listener)
+    m = listener.metrics
+    assert m.num_events == 1000
+    assert m.batches >= 4
+    assert m.throughput_events_per_sec > 0
+    assert m.latency_ms_per_event > 0
