@@ -1,3 +1,12 @@
 """Operator modules; importing this package populates the query registry."""
 
-from . import detectors, relational, stateful, windows  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    detectors,
+    multimodal,
+    relational,
+    similarity,
+    stateful,
+    text,
+    windows,
+)

@@ -1,0 +1,143 @@
+"""Multimodal column handling — SURVEY §7 phase E.
+
+Media (image/audio/video) is modeled as an opaque `binary` payload
+column plus typed metadata, the standard lakehouse shape for
+multimodal training data. The fixture has no real media, so the
+payload is derived deterministically from `documents.text`
+(utf-8 bytes); everything Spark-side — schema, Arrow batch transfer,
+mapInPandas signatures, partition behavior — is real and tested.
+
+The actual codec step is STUBBED: `decode_image()` raises
+NotImplementedError when a real decoder is requested (PIL/cv2 are not
+in this container) and otherwise produces a deterministic fake
+"decode" from the bytes. Swapping in a real decoder is a one-function
+change; the distributed plumbing around it does not move.
+
+Scale notes: payloads never shuffle — metadata extraction and feature
+UDFs are scan-local (mapInPandas), and downstream joins/aggs use only
+the small typed columns. At 100 TB the binary column stays in parquet
+row groups and is column-pruned away from every query that doesn't
+touch it.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..fixtures import load
+from ..registry import register
+
+FEATURE_DIM = 16
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, payload binary, media_type, n_bytes)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+    )
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+SELECT doc_id, 'text/plain' AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS checksum
+FROM documents
+""",
+    doc="Typed metadata extraction from the opaque binary payload "
+    "(byte length + checksum) — scan-local, no shuffle, binary column "
+    "pruned from downstream plans",
+    tags=("multimodal",),
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        "media_type",
+        F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("checksum"),
+    )
+
+
+def decode_image(payload: bytes, real_codec: bool = False) -> list[float]:
+    """STUB decode step. A real deployment plugs PIL/ffmpeg in here;
+    this container has neither, so `real_codec=True` raises and the
+    default path computes a deterministic fake feature: a 16-bin
+    byte-value histogram, L1-normalized. Same signature, same batch
+    shape, same determinism contract as a real extractor."""
+    if real_codec:
+        raise NotImplementedError(
+            "real image/audio codecs are not available in this environment; "
+            "plug PIL/cv2/ffmpeg in here"
+        )
+    hist = [0] * FEATURE_DIM
+    for b in payload:
+        hist[b % FEATURE_DIM] += 1
+    total = float(len(payload)) or 1.0
+    return [h / total for h in hist]
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # the stub feature has no SQL analogue; shape- and
+    # determinism-tested in tests/test_multimodal.py
+    doc="Feature extraction over binary payloads via mapInPandas (Arrow "
+    "batches in, per-partition iterator, no driver involvement). The "
+    "decode step is the documented stub in decode_image().",
+    tags=("multimodal", "udf"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_image(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "feature": feats,
+                }
+            )
+
+    return m.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+@register(
+    "multimodal_feature_agg",
+    oracle=None,  # downstream of the stub features (rows-only check);
+    # the aggregation itself is plain groupBy/avg
+    doc="Downstream use of extracted features: join features back to "
+    "document metadata and aggregate per (lang, media_type) — the features "
+    "shuffle, the payloads never do",
+    tags=("multimodal", "aggregate"),
+)
+def multimodal_feature_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = multimodal_features(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        feats.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg("n_bytes").alias("avg_bytes"),
+            F.avg(F.element_at("feature", 1)).alias("avg_f0"),
+        )
+    )

@@ -1,0 +1,187 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-d):
+brute-force cosine top-k (exact baseline) and a sign-LSH bucketed
+variant (the scale path) — SURVEY §7 phase E.
+
+Scale design:
+- vectors stay columnar end to end (`array<float>` cast to double);
+  dot products are `aggregate(zip_with(...))` — whole-stage-codegen
+  JVM expressions, no Python.
+- brute force broadcasts the (small) query set against the corpus:
+  one scan, no shuffle of the corpus, top-k per query via window rank
+  over (query, candidate) partials.
+- the LSH variant buckets vectors by projection signs and only
+  compares within buckets: candidate volume drops ~2^bits-fold; at
+  100 TB the bucket id is also the natural partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..fixtures import load
+from ..registry import register
+
+TOP_K = 5
+N_QUERIES = 10  # query set = vec_id < 10
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    return emb.select("vec_id", v.alias("v"), "label").withColumn(
+        "norm", F.sqrt(F.expr(_DOT.format(a="v", b="v")))
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+p AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.v, e.v) / (q.norm * e.norm) AS cosine
+  FROM q JOIN e ON q.vec_id <> e.vec_id
+)
+SELECT query_id, neighbor_id, cosine
+FROM p
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+) <= {TOP_K}
+""",
+    doc=f"Brute-force cosine top-{TOP_K} for the first {N_QUERIES} vectors: "
+    "broadcast queries x corpus scan, JVM dot products, window rank with "
+    "deterministic (cosine DESC, neighbor ASC) order",
+    tags=("similarity", "ann"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vectors(spark, sf_dir)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cosine = (
+        F.expr(_DOT.format(a="qv", b="v")) / (F.col("qnorm") * F.col("norm"))
+    ).alias("cosine")
+    scored = pairs.select("query_id", F.col("vec_id").alias("neighbor_id"), cosine)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+
+@register(
+    "embed_neardup_pairs",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.4
+""",
+    doc="Embedding-cosine near-duplicate pairs (cosine >= 0.4; fixture "
+    "embeddings are near-orthogonal, max ~0.51, so this is the true tail). "
+    "Exact all-pairs baseline; ann_lsh_buckets is the scale path.",
+    tags=("similarity", "dedup"),
+)
+def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vectors(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    cosine = F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .where(F.col("cosine") >= 0.4)
+    )
+
+
+LSH_SIGN_BITS = 6
+LSH_TABLES = 8
+
+
+def sign_lsh_buckets(df: DataFrame, vcol: str = "v", bits: int = LSH_SIGN_BITS,
+                     tables: int = LSH_TABLES) -> DataFrame:
+    """One (row, table, bucket) entry per hash table.
+
+    Random-hyperplane sign LSH with deterministic +/-1 hyperplane
+    weights derived from xxhash64(table*bits + plane, dim) — no RNG
+    state, reproducible on any cluster. Multiple tables are what makes
+    sign-LSH usable: a pair is a candidate if it collides in ANY table,
+    so recall compounds as 1-(1-p^bits)^tables while each table still
+    filters ~2^bits-fold.
+    """
+    table_buckets = []
+    for t in range(tables):
+        planes = []
+        for j in range(bits):
+            seed = t * bits + j
+            proj = F.expr(
+                "aggregate(zip_with({v}, sequence(0, size({v}) - 1), "
+                "(x, i) -> x * CAST(CASE WHEN pmod(xxhash64({seed}, i), 2) = 0 "
+                "THEN 1 ELSE -1 END AS DOUBLE)), "
+                "CAST(0.0 AS DOUBLE), (s, x) -> s + x)".format(v=vcol, seed=seed)
+            )
+            planes.append(F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        bucket = planes[0]
+        for p in planes[1:]:
+            bucket = bucket + p
+        table_buckets.append(bucket)
+    return df.select(
+        "*", F.posexplode(F.array(*table_buckets)).alias("lsh_table", "lsh_bucket")
+    )
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle=None,  # approximate (bucketing); mechanics + planted-cluster
+    # recall tested in tests/test_extensions.py
+    doc=f"Sign-LSH ANN: {LSH_TABLES} tables x {LSH_SIGN_BITS}-bit "
+    "random-hyperplane buckets, candidates = same-(table,bucket) pairs, "
+    f"exact cosine rerank, top-{TOP_K} per query. The 100 TB path: "
+    "(table,bucket) is the shuffle key; each table filters ~2^bits-fold "
+    "while recall compounds across tables.",
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = sign_lsh_buckets(_vectors(spark, sf_dir))
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("lsh_table").alias("qt"),
+        F.col("lsh_bucket").alias("qb"),
+    )
+    cand = (
+        e.join(
+            q,
+            (F.col("lsh_table") == F.col("qt"))
+            & (F.col("lsh_bucket") == F.col("qb"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", "qv", "qnorm", "v", "norm")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    cosine = (
+        F.expr(_DOT.format(a="qv", b="v")) / (F.col("qnorm") * F.col("norm"))
+    ).alias("cosine")
+    scored = cand.select("query_id", F.col("vec_id").alias("neighbor_id"), cosine)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )

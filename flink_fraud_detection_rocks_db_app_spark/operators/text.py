@@ -1,0 +1,168 @@
+"""Text-analysis operators over `documents`: token stats, quality
+scoring, language-ID heuristic — SURVEY §7 phase E. All pure JVM
+expressions (split/size/array ops) with exact DuckDB oracles; no UDFs
+in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures import load
+from ..registry import register
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_STOP_SQL = "', '".join(STOPWORDS)
+
+# Marker-token profiles for the n-gram language-ID heuristic. The
+# fixture's texts are synthetic (shared vocabulary), so the *accuracy*
+# of the guess is irrelevant; the operator contract is the scoring
+# pipeline: tokenize -> per-language marker hit count -> deterministic
+# argmax (ties broken by fixed language order).
+LANG_MARKERS = {
+    "en": ("the", "a", "value", "table"),
+    "de": ("der", "und", "agg", "window"),
+    "fr": ("le", "la", "query", "join"),
+    "es": ("el", "los", "data", "row"),
+    "zh": ("spark", "merge", "batch", "line"),
+}
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+WITH t AS (SELECT doc_id, n_chars, string_split(lower(text), ' ') AS w FROM documents)
+SELECT doc_id,
+       len(w) AS n_tokens,
+       len(list_distinct(w)) AS n_distinct,
+       n_chars,
+       len(list_filter(w, x -> x IN ('{_STOP_SQL}'))) AS n_stopwords
+FROM t
+""",
+    doc="Token counting: whitespace tokens, distinct tokens, stopword hits "
+    "(all scan-local expressions; zero shuffle)",
+    tags=("text",),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "size(split(lower(text), ' ')) AS n_tokens",
+        "size(array_distinct(split(lower(text), ' '))) AS n_distinct",
+        "n_chars",
+        f"size(filter(split(lower(text), ' '), x -> x IN ({stop_list}))) AS n_stopwords",
+    )
+
+
+@register(
+    "doc_quality_score",
+    oracle=f"""
+WITH t AS (SELECT doc_id, n_chars, string_split(lower(text), ' ') AS w FROM documents),
+m AS (
+  SELECT doc_id, n_chars,
+         len(w) AS n_tokens,
+         len(list_distinct(w))::DOUBLE / len(w) AS distinct_ratio,
+         len(list_filter(w, x -> x IN ('{_STOP_SQL}')))::DOUBLE / len(w) AS stop_ratio
+  FROM t
+)
+SELECT doc_id,
+       round(0.4 * LEAST(n_tokens / 100.0, 1.0)
+           + 0.4 * distinct_ratio
+           + 0.2 * (1.0 - ABS(stop_ratio - 0.4)), 6) AS quality
+FROM m
+""",
+    doc="Quality score: length saturation + lexical diversity + stopword-"
+    "ratio proximity, rounded to 6dp so the score is engine-stable. The "
+    "standard cheap pre-LLM data filter shape.",
+    tags=("text",),
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    m = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "size(split(lower(text), ' ')) AS n_tokens",
+        "size(array_distinct(split(lower(text), ' '))) / CAST(size(split(lower(text), ' ')) AS DOUBLE) AS distinct_ratio",
+        f"size(filter(split(lower(text), ' '), x -> x IN ({stop_list}))) / CAST(size(split(lower(text), ' ')) AS DOUBLE) AS stop_ratio",
+    )
+    quality = F.round(
+        0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + 0.4 * F.col("distinct_ratio")
+        + 0.2 * (1.0 - F.abs(F.col("stop_ratio") - 0.4)),
+        6,
+    )
+    return m.select("doc_id", quality.alias("quality"))
+
+
+def _langid_sql_duck() -> str:
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = "', '".join(markers)
+        score_cols.append(
+            f"len(list_filter(w, x -> x IN ('{lst}'))) AS s_{lang}"
+        )
+    scores = ",\n       ".join(score_cols)
+    # deterministic argmax, first-language-wins ties: lang L wins iff its
+    # score strictly exceeds the max of all earlier languages AND no later
+    # language beats its own predecessors — i.e. check candidates in
+    # REVERSE order (mirrors the last-overwrite-wins fold on the Spark side)
+    langs = list(LANG_MARKERS)
+    case = ""
+    for idx in range(len(langs) - 1, 0, -1):
+        prev = ", ".join(f"s_{lg}" for lg in langs[:idx])
+        case += f"WHEN s_{langs[idx]} > GREATEST({prev}) THEN '{langs[idx]}' "
+    return f"""
+WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id, lang,
+       {scores}
+  FROM t
+)
+SELECT doc_id, lang AS label_lang,
+       CASE {case}ELSE '{langs[0]}' END AS guess_lang
+FROM s
+"""
+
+
+@register(
+    "doc_langid",
+    oracle=_langid_sql_duck(),
+    doc="Language-ID heuristic: per-language marker-token hit counts, "
+    "deterministic argmax (first-language-wins ties). Shape of a real "
+    "n-gram langid (profiles x hit counting) as pure scan expressions.",
+    tags=("text", "langid"),
+)
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang", "split(lower(text), ' ') AS w"
+    )
+    scored = docs
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        scored = scored.withColumn(
+            f"s_{lang}", F.expr(f"size(filter(w, x -> x IN ({lst})))")
+        )
+    langs = list(LANG_MARKERS)
+    guess = F.lit(langs[0])
+    best = F.col(f"s_{langs[0]}")
+    for lang in langs[1:]:
+        guess = F.when(F.col(f"s_{lang}") > best, F.lit(lang)).otherwise(guess)
+        best = F.greatest(best, F.col(f"s_{lang}"))
+    return scored.select(
+        "doc_id", F.col("lang").alias("label_lang"), guess.alias("guess_lang")
+    )
+
+
+@register(
+    "doc_lang_distribution",
+    oracle="SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars "
+    "FROM documents GROUP BY 1, 2",
+    doc="Corpus composition rollup (lang x source)",
+    tags=("text", "aggregate"),
+)
+def doc_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )

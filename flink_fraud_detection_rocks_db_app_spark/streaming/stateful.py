@@ -26,6 +26,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 ALERT_SCHEMA = T.StructType(
@@ -54,42 +55,66 @@ def _sorted_arrays(pdf: pd.DataFrame):
 # ----------------------------------------------------------------- F5 / F3
 
 
+# Batch folds group by a HASH BUCKET of the key, not the key itself:
+# per-group Arrow/pandas overhead is paid ~N_FOLD_BUCKETS times instead
+# of once per account, while the fold inside walks the bucket sorted by
+# (account_id, event_time, event_id) and resets at key changes — the
+# exact same per-key semantics. At cluster scale the bucket count is
+# the parallelism knob and stays skew-free for hashed keys.
+N_FOLD_BUCKETS = 64
+
+
+def _bucketed_fold(df: DataFrame, fold_rows) -> DataFrame:
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["account_id", "event_time", "event_id"], kind="mergesort")
+        keys = pdf["account_id"].to_numpy()
+        t_ms = (pdf["event_time"].astype("int64") // 1_000_000).to_numpy()
+        amounts = pdf["amount"].to_numpy()
+        return pd.DataFrame(
+            fold_rows(keys, t_ms, amounts),
+            columns=["account_id", "t_ms", "agg_value"],
+        )
+
+    bucket = F.pmod(F.xxhash64("account_id"), F.lit(N_FOLD_BUCKETS))
+    return df.groupBy(bucket.alias("_bucket")).applyInPandas(fold, ALERT_SCHEMA)
+
+
 def running_sum_alerts_batch(df: DataFrame, threshold: float) -> DataFrame:
     """F5: per-key running sum; alert + reset state when sum > threshold
     (reference: workspace/frauddetection/src/main/java/spendreport/FraudDetector.java:29-46).
     Batch fold over (event_time, event_id) order."""
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        t_ms, amounts = _sorted_arrays(pdf)
-        key = int(pdf["account_id"].iloc[0])
-        rows, s = [], 0.0
-        for t, a in zip(t_ms, amounts):
+    def fold_rows(keys, t_ms, amounts):
+        rows, cur, s = [], None, 0.0
+        for k, t, a in zip(keys, t_ms, amounts):
+            if k != cur:
+                cur, s = k, 0.0
             s += a
             if s > threshold:
-                rows.append((key, int(t), s))
+                rows.append((int(k), int(t), s))
                 s = 0.0
-        return pd.DataFrame(rows, columns=["account_id", "t_ms", "agg_value"])
+        return rows
 
-    return df.groupBy("account_id").applyInPandas(fold, ALERT_SCHEMA)
+    return _bucketed_fold(df, fold_rows)
 
 
 def running_mean_alerts_batch(df: DataFrame, threshold: float) -> DataFrame:
     """F3: per-key running (sum, count); alert + reset when mean > threshold
     (reference: TumblingWindowWithTest/src/main/java/spendreport/FraudDetectorSliding.java:33-71)."""
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        t_ms, amounts = _sorted_arrays(pdf)
-        key = int(pdf["account_id"].iloc[0])
-        rows, s, c = [], 0.0, 0
-        for t, a in zip(t_ms, amounts):
+    def fold_rows(keys, t_ms, amounts):
+        rows, cur, s, c = [], None, 0.0, 0
+        for k, t, a in zip(keys, t_ms, amounts):
+            if k != cur:
+                cur, s, c = k, 0.0, 0
             s += a
             c += 1
             if s / c > threshold:
-                rows.append((key, int(t), s / c))
+                rows.append((int(k), int(t), s / c))
                 s, c = 0.0, 0
-        return pd.DataFrame(rows, columns=["account_id", "t_ms", "agg_value"])
+        return rows
 
-    return df.groupBy("account_id").applyInPandas(fold, ALERT_SCHEMA)
+    return _bucketed_fold(df, fold_rows)
 
 
 def running_sum_alerts_stream(stream: DataFrame, threshold: float) -> DataFrame:
