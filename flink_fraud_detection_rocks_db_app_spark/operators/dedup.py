@@ -23,17 +23,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..fixtures import load
+from ..functions import whitespace_tokens, word_ngrams
 from ..registry import register
 
 # Normalized whitespace-token view of documents; texts are single-space
 # separated already, but normalize anyway (lower + split).
 _TOKENS = "split(lower(text), ' ')"
-# 3-gram shingles (word trigrams), distinct per doc. 0-based array
-# indexing in Spark SQL brackets.
-_SHINGLES_SPARK = (
-    "array_distinct(transform(sequence(0, size(w) - 3), "
-    "i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
-)
 # DuckDB list comprehension, 1-based indexing.
 _SHINGLES_DUCK = (
     "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
@@ -46,8 +41,8 @@ NORM_SQL_DUCK = r"regexp_replace(lower(text), '\s+', ' ', 'g')"
 
 def shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return docs.selectExpr("doc_id", f"{_TOKENS} AS w").selectExpr(
-        "doc_id", f"{_SHINGLES_SPARK} AS shingles"
+    return docs.select("doc_id", whitespace_tokens("text").alias("w")).select(
+        "doc_id", word_ngrams("w", 3).alias("shingles")
     )
 
 

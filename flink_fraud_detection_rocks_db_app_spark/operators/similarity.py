@@ -20,20 +20,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..fixtures import load
+from ..functions import dot, l2_norm
 from ..registry import register
 
 TOP_K = 5
 N_QUERIES = 10  # query set = vec_id < 10
 
-_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
-
-
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     v = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-    return emb.select("vec_id", v.alias("v"), "label").withColumn(
-        "norm", F.sqrt(F.expr(_DOT.format(a="v", b="v")))
-    )
+    return emb.select("vec_id", v.alias("v"), "label").withColumn("norm", l2_norm("v"))
 
 
 @register(
@@ -67,9 +63,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
     )
     pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    cosine = (
-        F.expr(_DOT.format(a="qv", b="v")) / (F.col("qnorm") * F.col("norm"))
-    ).alias("cosine")
+    cosine = (dot("qv", "v") / (F.col("qnorm") * F.col("norm"))).alias("cosine")
     scored = pairs.select("query_id", F.col("vec_id").alias("neighbor_id"), cosine)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -101,7 +95,7 @@ def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vectors(spark, sf_dir)
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
-    cosine = F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))
+    cosine = dot("va", "vb") / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cosine.alias("cosine"))
@@ -175,9 +169,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "qv", "qnorm", "v", "norm")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    cosine = (
-        F.expr(_DOT.format(a="qv", b="v")) / (F.col("qnorm") * F.col("norm"))
-    ).alias("cosine")
+    cosine = (dot("qv", "v") / (F.col("qnorm") * F.col("norm"))).alias("cosine")
     scored = cand.select("query_id", F.col("vec_id").alias("neighbor_id"), cosine)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -1,0 +1,4 @@
+"""Source connectors for the engine."""
+
+from .rate import rate_transactions  # noqa: F401
+from .kafka import kafka_transactions  # noqa: F401

@@ -96,11 +96,18 @@ def write_replay_chunks(
     pdf = df.orderBy(order_col, "event_id").toPandas()
     n = len(pdf)
     size = -(-n // n_chunks)
+    base = int(os.stat(scratch_dir).st_mtime)
     for i in range(n_chunks):
         chunk = pdf.iloc[i * size : (i + 1) * size]
         if len(chunk) == 0:
             continue
-        chunk.to_parquet(os.path.join(out, f"chunk_{i:04d}.parquet"), index=False)
+        path = os.path.join(out, f"chunk_{i:04d}.parquet")
+        chunk.to_parquet(path, index=False)
+        # FileStreamSource orders newly-discovered files by modification
+        # time; same-second mtimes make arrival order arbitrary, which
+        # under a 0s watermark silently drops whole chunks as late.
+        # Strictly ascending mtimes pin arrival order to chunk order.
+        os.utime(path, (base + i, base + i))
     return out
 
 
