@@ -1,12 +1,15 @@
 """Operator modules; importing this package populates the query registry."""
 
 from . import (  # noqa: F401
+    asof,
     dedup,
     detectors,
     multimodal,
+    olap,
     relational,
     similarity,
     stateful,
     text,
+    timeseries,
     windows,
 )

@@ -1,0 +1,137 @@
+"""As-of and range joins — operators Spark lacks natively, built as
+compositions of existing DataFrame ops (the guide's recommended
+strategies), each with an exact DuckDB oracle.
+
+Scale design:
+- as-of join: the union-and-carry-forward pattern — tag both sides,
+  union, single sort within (key) partitions, `last_value(ignore
+  nulls)` carries the most recent right-side row to each left row.
+  One shuffle on the key, no per-row probing, no N x M blowup. This is
+  the standard distributed as-of (what pandas merge_asof does per
+  group, expressed relationally).
+- range join: bucketize the range key to an equi-join + residual
+  filter — candidate pairs shrink from |A|x|B| to pairs sharing a
+  bucket, and the bucket id is the shuffle key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..fixtures import load
+from ..registry import register
+
+
+@register(
+    "asof_latest_order",
+    oracle="""
+WITH o AS (  -- dedupe to one order per (custkey, date): deterministic as-of target
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+),
+u AS (
+  SELECT user_id, epoch_ms(ts) AS t_ms, event_id, NULL::BIGINT AS ok,
+         NULL::TIMESTAMP AS od, 0 AS is_order
+  FROM events
+  UNION ALL
+  SELECT o_custkey, epoch_ms(o_orderdate), NULL, o_orderkey, o_orderdate, 1
+  FROM o
+),
+c AS (
+  SELECT *,
+         last_value(ok IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t_ms, is_order DESC, event_id NULLS FIRST
+           ROWS UNBOUNDED PRECEDING
+         ) AS asof_orderkey
+  FROM u
+)
+SELECT user_id AS account_id, event_id, t_ms, asof_orderkey
+FROM c WHERE is_order = 0
+""",
+    doc="As-of join: each event joined to the latest order (by date) of "
+    "the same customer at or before the event time. Union + carry-forward "
+    "(last_value IGNORE NULLS) — one shuffle, no per-row probe. "
+    "Orders pre-deduped per (custkey, date) so the as-of pick is "
+    "deterministic in both engines.",
+    tags=("join", "asof"),
+)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.expr("ts div 1000000").alias("t_ms"),
+        "event_id",
+        F.lit(None).cast("long").alias("ok"),
+        F.lit(0).alias("is_order"),
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            # o_orderdate is TIMESTAMP_NTZ (midnight-aligned); go through
+            # unix_date so the epoch-ms is session-timezone-independent
+            (
+                F.unix_date(F.col("o_orderdate").cast("date")).cast("long")
+                * F.lit(86_400_000).cast("long")
+            ).alias("t_ms"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("o_orderkey").alias("ok"),
+            F.lit(1).alias("is_order"),
+        )
+    )
+    u = ev.unionByName(orders)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t_ms"), F.desc("is_order"), F.asc_nulls_first("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = u.withColumn("asof_orderkey", F.last("ok", ignorenulls=True).over(w))
+    return c.where(F.col("is_order") == 0).select(
+        F.col("user_id").alias("account_id"), "event_id", "t_ms", "asof_orderkey"
+    )
+
+
+@register(
+    "range_join_price_band",
+    oracle="""
+SELECT e.event_id, p.p_partkey, e.value, p.p_retailprice
+FROM events e JOIN part p
+  ON e.value BETWEEN p.p_retailprice / 4 - 2.0 AND p.p_retailprice / 4 + 2.0
+""",
+    doc="Range (band) join: events matched to parts whose normalized price "
+    "(p_retailprice/4, which overlaps the value domain) is within +/-2.0 "
+    "of the event value. Spark side bucketizes both range "
+    "keys to an equi-join on floor(x/width) buckets (each left row probes "
+    "its 3 covering buckets) + residual filter — the scale shape; the "
+    "oracle is the plain theta join.",
+    tags=("join", "range"),
+)
+def range_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    band = 2.0
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", (F.col("p_retailprice") / 4).alias("price_key")
+    )
+    # buckets of width = band: a match (|v - p| <= band) implies the pair
+    # shares one of the left row's 3 adjacent buckets
+    ev_b = ev.select(
+        "*",
+        F.explode(
+            F.array(
+                (F.floor(F.col("value") / band) - 1).cast("long"),
+                F.floor(F.col("value") / band).cast("long"),
+                (F.floor(F.col("value") / band) + 1).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    part_b = part.select("*", F.floor(F.col("price_key") / band).cast("long").alias("bucket"))
+    return (
+        ev_b.join(part_b, "bucket")
+        .where(
+            (F.col("value") >= F.col("price_key") - band)
+            & (F.col("value") <= F.col("price_key") + band)
+        )
+        .select("event_id", "p_partkey", "value", "p_retailprice")
+    )

@@ -1,0 +1,171 @@
+"""Advanced OLAP surface: grouping sets (cube/rollup), pivot, exact and
+approximate distinct/quantile aggregates, semi/anti joins. All beyond
+the join-free reference contract (SURVEY §2.8) but part of a complete
+engine; Catalyst built-ins throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures import load
+from ..registry import register
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "cube_order_counts",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, SUM(o_totalprice) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="CUBE over two categorical keys (all 4 grouping sets); NULL rows "
+    "are the subtotal levels and hash-compare across engines",
+    tags=("batch", "cube"),
+)
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("total"))
+    )
+
+
+@register(
+    "rollup_daily_events",
+    oracle="""
+SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day_no, event_type,
+       COUNT(*) AS n, SUM(value) AS sum_value
+FROM events GROUP BY ROLLUP (day_no, event_type)
+""",
+    doc="ROLLUP over (day, event_type): day/type, day subtotal, grand total",
+    tags=("batch", "rollup"),
+)
+def rollup_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("CAST(ts div 86400000000000 AS BIGINT)").alias("day_no"),
+        "event_type",
+        "value",
+    )
+    return ev.rollup("day_no", "event_type").agg(
+        F.count("*").alias("n"), F.sum("value").alias("sum_value")
+    )
+
+
+@register(
+    "pivot_user_event_type",
+    oracle=f"""
+SELECT user_id AS account_id,
+       {", ".join(f"SUM(value) FILTER (event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+FROM events GROUP BY 1
+""",
+    doc="Pivot: per-account event_type columns of summed value "
+    "(Spark .pivot with explicit value list == conditional aggregation)",
+    tags=("batch", "pivot"),
+)
+def pivot_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("account_id"), "event_type", "value")
+        .groupBy("account_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.sum("value"))
+    )
+
+
+@register(
+    "distinct_users_daily",
+    oracle="""
+SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day_no,
+       COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY 1
+""",
+    doc="Exact count-distinct per day (two-phase distinct aggregate)",
+    tags=("batch", "aggregate"),
+)
+def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .select(F.expr("CAST(ts div 86400000000000 AS BIGINT)").alias("day_no"), "user_id")
+        .groupBy("day_no")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "approx_distinct_users",
+    oracle=None,  # HLL sketches differ across engines by design; the
+    # accuracy bound vs exact distinct is asserted in tests/test_olap.py
+    doc="approx_count_distinct (HyperLogLog++, rsd=0.01) per event_type — "
+    "the sketch path for 100 TB cardinalities where exact distinct "
+    "would shuffle every key",
+    tags=("batch", "approx"),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+    )
+
+
+@register(
+    "value_quantiles_by_type",
+    oracle="""
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       MIN(value) AS lo, MAX(value) AS hi
+FROM events GROUP BY 1
+""",
+    doc="Exact interpolated quantiles per event_type (Spark percentile == "
+    "DuckDB quantile_cont, both linear interpolation on sorted values)",
+    tags=("batch", "aggregate"),
+)
+def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+@register(
+    "customers_with_orders_semi",
+    oracle="SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
+    "(SELECT o_custkey FROM orders)",
+    doc="Left-semi join (EXISTS): customers having at least one order",
+    tags=("batch", "join", "setop"),
+)
+def customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "intersect_customers_suppliers_nations",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+    doc="INTERSECT set op: nations having both customers and suppliers",
+    tags=("batch", "setop"),
+)
+def intersect_customers_suppliers_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
