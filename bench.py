@@ -36,7 +36,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "doc_simhash",
     "ann_cosine_topk",
+    "ann_lsh_buckets",
     "multimodal_features",
+    "asof_latest_order",
+    "moving_avg_5_events",
+    "resample_daily_gapfill",
+    "cube_order_counts",
 ]
 
 

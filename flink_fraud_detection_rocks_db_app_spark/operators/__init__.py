@@ -1,6 +1,7 @@
 """Operator modules; importing this package populates the query registry."""
 
 from . import (  # noqa: F401
+    skew,
     asof,
     dedup,
     detectors,

@@ -10,8 +10,10 @@ from .replay import (  # noqa: F401
     write_replay_chunks,
 )
 from .stateful import (  # noqa: F401
+    count_or_time_stream,
     record_buffer_tumbling_stream,
     running_mean_alerts_batch,
+    running_mean_alerts_stream,
     running_sum_alerts_batch,
     running_sum_alerts_stream,
 )

@@ -145,6 +145,117 @@ def running_sum_alerts_stream(stream: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def running_mean_alerts_stream(stream: DataFrame, threshold: float) -> DataFrame:
+    """Streaming F3: per-key (sum, count) state, alert + reset when the
+    running mean crosses the threshold
+    (reference: TumblingWindowWithTest/src/main/java/spendreport/FraudDetectorSliding.java:33-71)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        s, c = state.get if state.exists else (0.0, 0)
+        rows = []
+        for pdf in pdf_iter:
+            t_ms, amounts = _sorted_arrays(pdf)
+            for t, a in zip(t_ms, amounts):
+                s += a
+                c += 1
+                if s / c > threshold:
+                    rows.append((key[0], int(t), s / c))
+                    s, c = 0.0, 0
+        state.update((s, c))
+        if rows:
+            yield pd.DataFrame(rows, columns=["account_id", "t_ms", "agg_value"])
+
+    return stream.groupBy("account_id").applyInPandasWithState(
+        fn,
+        ALERT_SCHEMA,
+        T.StructType(
+            [
+                T.StructField("running_sum", T.DoubleType()),
+                T.StructField("running_count", T.LongType()),
+            ]
+        ),
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------- T3
+
+SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("w_start", T.LongType()),
+        T.StructField("account_id", T.LongType()),
+        T.StructField("seg", T.LongType()),
+        T.StructField("sum_amount", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("emit", T.StringType()),
+    ]
+)
+
+
+def count_or_time_stream(stream: DataFrame, size_ms: int, max_count: int) -> DataFrame:
+    """Streaming T3: count-or-time trigger — FIRE_AND_PURGE a
+    (key, window) segment as soon as it holds max_count events (early
+    emission, mid-window), else fire the remainder when the event-time
+    watermark passes the window end
+    (reference: master/src/main/java/InorderTumblingWindow/CustomTrigger.java:34-78).
+
+    State per key: {w_start: [next_seg, cur_sum, cur_count]}. Early
+    segments stream out immediately; final segments flush on timeout.
+    Output matches `operators.stateful.count_or_time_segments` on the
+    same (ordered) input for closed windows.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        wins: dict[int, list] = (
+            {int(k): v for k, v in json.loads(state.get[0]).items()}
+            if state.exists
+            else {}
+        )
+        rows = []
+        for pdf in pdf_iter:
+            t_ms, amounts = _sorted_arrays(pdf)
+            for t, a in zip(t_ms, amounts):
+                w = int(t) - int(t) % size_ms
+                seg, s, c = wins.get(w, [0, 0.0, 0])
+                s += float(a)
+                c += 1
+                if c >= max_count:
+                    rows.append((w, key[0], seg, s, c, "early"))
+                    wins[w] = [seg + 1, 0.0, 0]
+                else:
+                    wins[w] = [seg, s, c]
+        wm = state.getCurrentWatermarkMs()
+        for w in sorted(w for w in wins if w + size_ms <= wm):
+            seg, s, c = wins.pop(w)
+            if c > 0:
+                rows.append((w, key[0], seg, s, c, "final"))
+        if wins:
+            state.update((json.dumps(wins),))
+            state.setTimeoutTimestamp(min(wins) + size_ms)
+        else:
+            state.remove()
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["w_start", "account_id", "seg", "sum_amount", "n_events", "emit"],
+            )
+
+    return (
+        stream.withWatermark("event_time", "0 seconds")
+        .groupBy("account_id")
+        .applyInPandasWithState(
+            fn,
+            SEGMENT_SCHEMA,
+            T.StructType([T.StructField("wins_json", T.StringType())]),
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 # ---------------------------------------------------------------------- F1
 
 

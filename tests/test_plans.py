@@ -57,3 +57,40 @@ def test_whole_stage_codegen_on_hot_path(spark):
         assert "Found 0 WholeStageCodegen" not in plan, plan[:500]
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_ngram_dedup_has_no_cartesian(spark):
+    """The inverted-index formulation must plan as an equi-join
+    (SortMerge/ShuffledHash on the shingle hash), never a cross join."""
+    df = all_queries()["dedup_ngram_jaccard"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_asof_is_single_shuffle_window(spark):
+    """As-of join: union + one window over the key — exactly one
+    exchange (hash by user_id), no join operator at all."""
+    import re
+
+    df = all_queries()["asof_latest_order"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2, plan
+
+
+def test_range_join_is_equi_join(spark):
+    """Bucketized range join must be an equi-join on the bucket, not a
+    nested-loop theta join."""
+    df = all_queries()["range_join_price_band"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")), plan
+
+
+def test_ann_broadcasts_queries(spark):
+    """Brute-force ANN must broadcast the small query side (scan the
+    corpus once, no corpus shuffle)."""
+    df = all_queries()["ann_cosine_topk"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan

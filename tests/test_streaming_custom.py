@@ -1,0 +1,153 @@
+"""Streaming forms of the custom operators (T3 trigger, F3 detector)
+and streaming coverage for sliding/session windows — each checked
+against its batch/fold equivalent on the same replayed input."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_fraud_detection_rocks_db_app_spark.fixtures import transactions_with_id
+from flink_fraud_detection_rocks_db_app_spark.operators.stateful import (
+    count_or_time_segments,
+)
+from flink_fraud_detection_rocks_db_app_spark.operators.windows import MS, sliding
+from flink_fraud_detection_rocks_db_app_spark.streaming import (
+    IN_ORDER,
+    count_or_time_stream,
+    read_replay_batch,
+    read_replay_stream,
+    run_to_memory,
+    running_mean_alerts_batch,
+    running_mean_alerts_stream,
+    windowed_agg_stream,
+    write_replay_chunks,
+)
+
+from .conftest import SF_SMALL
+
+
+def test_count_or_time_stream_matches_batch_segments(spark, scratch):
+    """T3 streaming: early segments fire mid-window on the count
+    threshold; finals at the watermark. Closed windows must equal the
+    batch segment semantics exactly (incl. seg index and emit kind)."""
+    size_ms, max_count = MS["d"], 3
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=6)
+    out = count_or_time_stream(read_replay_stream(spark, chunks), size_ms, max_count)
+    run_to_memory(out, "t_t3")
+    got = {
+        (r.w_start, r.account_id, r.seg): (round(r.sum_amount, 6), r.n_events, r.emit)
+        for r in spark.table("t_t3").collect()
+    }
+    assert any(v[2] == "early" for v in got.values())
+    batch = count_or_time_segments(
+        transactions_with_id(spark, SF_SMALL), size_ms, max_count
+    )
+    want_all = {
+        (r.w_start, r.account_id, r.seg): (round(r.sum_amount, 6), r.n_events, r.emit)
+        for r in batch.collect()
+    }
+    wm = (
+        transactions_with_id(spark, SF_SMALL)
+        .agg(F.max(F.unix_millis("event_time")))
+        .collect()[0][0]
+    )
+    # every streamed segment must match the batch semantics
+    for k, v in got.items():
+        assert want_all[k] == v, (k, v, want_all[k])
+    # every batch segment of a closed window must have been emitted
+    missing = {
+        k for k in want_all if k[0] + size_ms <= wm and k not in got
+    }
+    assert not missing, sorted(missing)[:5]
+    # unclosed windows may only have emitted EARLY segments
+    for k, v in got.items():
+        if k[0] + size_ms > wm:
+            assert v[2] == "early", k
+
+
+def test_running_mean_stream_equals_batch_fold(spark, scratch):
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=6)
+    alerts = running_mean_alerts_stream(read_replay_stream(spark, chunks), 90.0)
+    run_to_memory(alerts, "t_f3")
+    got = sorted(tuple(r) for r in spark.table("t_f3").collect())
+    want = sorted(
+        tuple(r)
+        for r in running_mean_alerts_batch(
+            transactions_with_id(spark, SF_SMALL), 90.0
+        ).collect()
+    )
+    assert len(got) > 0
+    assert [g[:2] for g in got] == [w[:2] for w in want]
+    assert all(abs(g[2] - w[2]) < 1e-9 for g, w in zip(got, want))
+
+
+def test_sliding_stream_equals_batch(spark, scratch):
+    size_ms, slide_ms = MS["d"], 6 * MS["h"]
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=6)
+    agg = windowed_agg_stream(
+        read_replay_stream(spark, chunks), size_ms, slide_ms, watermark=IN_ORDER
+    )
+    run_to_memory(agg, "t_slide_stream")
+    got = {
+        (r.w_start, r.account_id): r.sum_amount
+        for r in spark.table("t_slide_stream").collect()
+    }
+    batch_src = read_replay_batch(spark, chunks)
+    want = {
+        (r.w_start, r.account_id): r.sum_amount
+        for r in sliding(
+            batch_src, size_ms, slide_ms, [F.sum("amount").alias("sum_amount")]
+        ).collect()
+    }
+    wm = batch_src.agg(F.max(F.unix_millis("event_time"))).collect()[0][0]
+    closed = {k for k in want if k[0] + size_ms <= wm}
+    for k, v in got.items():
+        assert abs(v - want[k]) < 1e-9, k
+    missing = closed - set(got)
+    assert not missing, sorted(missing)[:5]
+
+
+def test_session_stream_equals_batch(spark, scratch):
+    gap_ms = 6 * MS["h"]
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=6)
+    stream = read_replay_stream(spark, chunks)
+    agg = (
+        stream.withWatermark("event_time", "0 seconds")
+        .groupBy(F.session_window("event_time", "6 hours").alias("w"), "account_id")
+        .agg(F.sum("amount").alias("sum_amount"), F.count("*").alias("n_events"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("w_start"),
+            F.unix_millis(F.col("w.end")).alias("w_end"),
+            "account_id",
+            "sum_amount",
+            "n_events",
+        )
+    )
+    run_to_memory(agg, "t_sess_stream")
+    got = {
+        (r.w_start, r.account_id): (r.sum_amount, r.n_events)
+        for r in spark.table("t_sess_stream").collect()
+    }
+    batch_src = read_replay_batch(spark, chunks)
+    batch = (
+        batch_src.groupBy(
+            F.session_window("event_time", "6 hours").alias("w"), "account_id"
+        )
+        .agg(F.sum("amount").alias("sum_amount"), F.count("*").alias("n_events"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("w_start"),
+            F.unix_millis(F.col("w.end")).alias("w_end"),
+            "account_id",
+            "sum_amount",
+            "n_events",
+        )
+    )
+    want = {
+        (r.w_start, r.account_id): (r.sum_amount, r.n_events, r.w_end)
+        for r in batch.collect()
+    }
+    wm = batch_src.agg(F.max(F.unix_millis("event_time"))).collect()[0][0]
+    for k, (s, n) in got.items():
+        assert k in want and abs(s - want[k][0]) < 1e-9 and n == want[k][1], k
+    missing = {k for k, v in want.items() if v[2] <= wm} - set(got)
+    assert not missing, sorted(missing)[:5]
