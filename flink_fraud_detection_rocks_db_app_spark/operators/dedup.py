@@ -271,3 +271,58 @@ FROM acc GROUP BY 1
 )
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_spark(spark, sf_dir)
+
+
+MAXDF = 50  # document-frequency cutoff for the pruned variant
+
+
+@register(
+    "dedup_ngram_jaccard_pruned",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM t),
+ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+df AS (SELECT s, COUNT(*) AS df FROM ex0 GROUP BY 1),
+ex AS (SELECT doc_id, s FROM ex0 JOIN df USING (s) WHERE df <= {MAXDF}),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       common::DOUBLE / (sa.n + sb.n - common) AS jaccard
+FROM pairs
+JOIN sz sa ON doc_a = sa.doc_id
+JOIN sz sb ON doc_b = sb.doc_id
+WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5
+""",
+    doc=f"Near-dup pairs by Jaccard over DF-PRUNED shingles (document "
+    f"frequency <= {MAXDF}): hot shingles are dropped from the inverted "
+    "index BEFORE the postings self-join, removing the quadratic blowup "
+    "on stop-shingles — the skew fix that makes n-gram dedup survive a "
+    "skewed 100 TB corpus. Pruning is deterministic, so the oracle is "
+    "exact (Jaccard is over the pruned sets on both engines).",
+    tags=("dedup", "join", "skew"),
+)
+def dedup_ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingled(spark, sf_dir)
+    ex0 = sh.select(F.col("doc_id").alias("doc_a"), F.explode("shingles").alias("s"))
+    df_counts = ex0.groupBy("s").agg(F.count("*").alias("df"))
+    ex = ex0.join(df_counts.where(F.col("df") <= MAXDF), "s").select("doc_a", "s")
+    sz = ex.groupBy("doc_a").agg(F.count("*").alias("n"))
+    ex2 = ex.select(F.col("doc_a").alias("doc_b"), F.col("s").alias("s2"))
+    pairs = (
+        ex.join(ex2, (ex.s == ex2.s2) & (ex.doc_a < ex2.doc_b))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sza = sz.select("doc_a", F.col("n").alias("na"))
+    szb = sz.select(F.col("doc_a").alias("doc_b"), F.col("n").alias("nb"))
+    j = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        pairs.join(sza, "doc_a")
+        .join(szb, "doc_b")
+        .where(j >= 0.5)
+        .select("doc_a", "doc_b", j.alias("jaccard"))
+    )

@@ -177,3 +177,30 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
         .drop("rn")
     )
+
+
+@register(
+    "label_centroid_components",
+    oracle="""
+SELECT label, pos, AVG(val) AS c, COUNT(*) AS n_vecs
+FROM (
+  SELECT label, unnest(embedding::DOUBLE[]) AS val,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+)
+GROUP BY 1, 2
+""",
+    doc="Per-label centroid, one row per (label, dimension): posexplode "
+    "the vectors and hash-aggregate — the distributed mean-embedding "
+    "shape (used for cluster assignment / IVF coarse quantizers)",
+    tags=("similarity", "aggregate"),
+)
+def label_centroid_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    return (
+        emb.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(F.avg("val").alias("c"), F.count("*").alias("n_vecs"))
+    )

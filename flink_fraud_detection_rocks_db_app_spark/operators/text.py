@@ -166,3 +166,29 @@ def doc_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "source")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
     )
+
+
+@register(
+    "corpus_token_freq_top50",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+)
+SELECT tok, COUNT(*) AS freq
+FROM toks GROUP BY 1
+ORDER BY freq DESC, tok ASC
+LIMIT 50
+""",
+    doc="Corpus vocabulary: top-50 tokens by frequency (explode + "
+    "hash-agg + TakeOrdered; the BPE/vocab-building primitive)",
+    tags=("text", "aggregate"),
+)
+def corpus_token_freq_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(50)
+    )

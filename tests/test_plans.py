@@ -94,3 +94,33 @@ def test_ann_broadcasts_queries(spark):
     df = all_queries()["ann_cosine_topk"].fn(spark, SF_SMALL)
     plan = explain_str(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+# Queries that legitimately use a broadcast nested-loop join: small
+# broadcast side with a non-equi predicate (documented exact baselines).
+BNLJ_OK = {"ann_cosine_topk", "embed_neardup_pairs", "ann_lsh_buckets"}
+# Queries whose semantics REQUIRE Python (documented; Arrow-batched).
+PYTHON_OK = {
+    "running_sum_alerts_gt_500",
+    "running_sum_alerts_gt_10000",
+    "running_mean_alerts_gt_90",
+    "multimodal_features",
+    "multimodal_feature_agg",
+}
+
+
+def test_plan_hygiene_sweep(spark):
+    """Every registered query: no CartesianProduct ever; broadcast
+    nested-loop joins and Python evaluation only where documented."""
+    bad = []
+    for name, spec in sorted(all_queries().items()):
+        plan = explain_str(spec.fn(spark, SF_SMALL), "simple")
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            bad.append((name, "BroadcastNestedLoopJoin"))
+        if "BatchEvalPython" in plan:  # row-at-a-time Python UDF
+            bad.append((name, "BatchEvalPython"))
+        if ("InPandas" in plan or "ArrowEvalPython" in plan) and name not in PYTHON_OK:
+            bad.append((name, "unexpected Python stage"))
+    assert not bad, bad
