@@ -45,6 +45,35 @@ HEADLINE = [
 ]
 
 
+def _stream_bench(spark, sf_dir: str) -> float:
+    """EP1 as a real micro-batched stream over the replayed fixture
+    (watermark advancement + RocksDB window state), timed end to end;
+    replay materialization is excluded (it's the generator, not the
+    engine)."""
+    import shutil
+    import uuid
+
+    from flink_fraud_detection_rocks_db_app_spark.streaming import (
+        read_replay_stream,
+        run_to_memory,
+        windowed_agg_stream,
+        write_replay_chunks,
+    )
+
+    scratch = os.path.join(".scratch", f"bench-stream-{uuid.uuid4().hex[:8]}")
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        t0 = time.perf_counter()
+        agg = windowed_agg_stream(
+            read_replay_stream(spark, chunks), 3_600_000, watermark="0 seconds"
+        )
+        run_to_memory(agg, f"bench_stream_{uuid.uuid4().hex[:8]}")
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -63,6 +92,7 @@ def main() -> None:
         df = specs[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+    timings["stream_tumble_sum_1h"] = round(_stream_bench(spark, sf_dir), 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -261,7 +261,7 @@ bits AS (
 ),
 acc AS (SELECT doc_id, bit, SUM(v) AS acc FROM bits GROUP BY 1, 2)
 SELECT doc_id,
-       SUM(CASE WHEN acc > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN acc > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
 FROM acc GROUP BY 1
 """,
     doc="SimHash(60-bit) signature per document, bit-identical across "

@@ -62,7 +62,7 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "doc_id",
         "media_type",
-        F.length("payload").alias("n_bytes"),
+        F.length("payload").cast("long").alias("n_bytes"),
         F.md5("payload").alias("checksum"),
     )
 

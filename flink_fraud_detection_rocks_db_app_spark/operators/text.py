@@ -48,10 +48,10 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     return load(spark, sf_dir, "documents").selectExpr(
         "doc_id",
-        "size(split(lower(text), ' ')) AS n_tokens",
-        "size(array_distinct(split(lower(text), ' '))) AS n_distinct",
+        "CAST(size(split(lower(text), ' ')) AS BIGINT) AS n_tokens",
+        "CAST(size(array_distinct(split(lower(text), ' '))) AS BIGINT) AS n_distinct",
         "n_chars",
-        f"size(filter(split(lower(text), ' '), x -> x IN ({stop_list}))) AS n_stopwords",
+        f"CAST(size(filter(split(lower(text), ' '), x -> x IN ({stop_list}))) AS BIGINT) AS n_stopwords",
     )
 
 
@@ -155,8 +155,8 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_lang_distribution",
-    oracle="SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars "
-    "FROM documents GROUP BY 1, 2",
+    oracle="SELECT lang, source, COUNT(*) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY 1, 2",
     doc="Corpus composition rollup (lang x source)",
     tags=("text", "aggregate"),
 )

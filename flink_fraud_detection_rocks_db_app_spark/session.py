@@ -31,6 +31,25 @@ def default_cpus() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def rocksdb_tuning() -> dict[str, str]:
+    """State-store tuning mirroring the reference's hand-tuned RocksDB
+    options (reference: zcode/CustomTumblingWindow.java:86-136 — 64 MB
+    write buffer, 4 background jobs, no fsync; compression from
+    flink-conf.yaml state.backend.rocksdb.compress.*). Spark exposes the
+    same knobs per state store; pass to get_spark(extra_conf=...) for
+    state-heavy streaming jobs.
+    """
+    p = "spark.sql.streaming.stateStore.rocksdb."
+    return {
+        p + "writeBufferSizeMB": "64",
+        p + "maxWriteBufferNumber": "4",
+        p + "boundedMemoryUsage": "true",
+        p + "maxMemoryUsageMB": "1024",
+        p + "compression": "lz4",
+        p + "compactOnCommit": "false",
+    }
+
+
 def get_spark(
     app_name: str = "flink-fraud-rocksdb-spark",
     cpus: int | None = None,

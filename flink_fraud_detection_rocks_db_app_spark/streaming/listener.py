@@ -37,6 +37,19 @@ class JobMetrics:
         return self.num_events / (self.duration_ms / 1000.0) if self.duration_ms else 0.0
 
 
+def with_event_count(df, name: str = "source_metrics"):
+    """K4 parity: the reference counts events inside its watermark
+    extractor via an accumulator-style gauge
+    (reference: GraphSolution-Prometheus-SlidingWindows/src/main/java/spendreport/FraudDetectionJob.java:90-98,193-203).
+    Spark's `observe()` attaches the counter to the plan itself; the
+    numbers surface in QueryProgress.observedMetrics per batch (and in
+    batch query execution listeners).
+    """
+    from pyspark.sql import functions as F
+
+    return df.observe(name, F.count(F.lit(1)).alias("n_events"))
+
+
 class MetricsListener(StreamingQueryListener):
     """Accumulates per-batch progress into reference-style metrics."""
 
