@@ -61,6 +61,15 @@ def transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (plus the
+    `transactions` projection) so the full engine surface is reachable
+    from plain `spark.sql(...)` — the SQL face of the query catalog."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
+    transactions(spark, sf_dir).createOrReplaceTempView("transactions")
+
+
 def transactions_with_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`transactions` plus event_id, the deterministic order tiebreak
     used by the order-sensitive stateful folds (FIXTURES.md §3)."""

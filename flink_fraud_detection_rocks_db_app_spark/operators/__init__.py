@@ -2,6 +2,7 @@
 
 from . import (  # noqa: F401
     skew,
+    sqlapi,
     asof,
     dedup,
     detectors,

@@ -1,0 +1,90 @@
+"""SQL-text query surface: the same engine through `spark.sql(...)`.
+
+The reference has no SQL face (its "query language" is the hard-coded
+operator DAG); this engine gets one for free from Spark SQL. These
+queries run as SQL TEXT against registered views — proving a user can
+drive every capability without touching the DataFrame API — and reuse
+the DuckDB oracles unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..fixtures import register_views
+from ..registry import register
+
+
+@register(
+    "sql_tumble_sum_3s",
+    oracle="SELECT (epoch_ms(ts) // 3000) * 3000 AS w_start, user_id AS account_id, "
+    "SUM(value) AS sum_amount FROM events GROUP BY 1, 2",
+    doc="EP1's windowed sum written as SQL text (window() TVF-style "
+    "expression in SQL) — same Catalyst plan as the DataFrame form",
+    tags=("sql", "window", "tumbling"),
+)
+def sql_tumble_sum_3s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT unix_millis(window.start) AS w_start, account_id,
+               SUM(amount) AS sum_amount
+        FROM transactions
+        GROUP BY window(event_time, '3 seconds'), account_id
+        """
+    )
+
+
+@register(
+    "sql_revenue_rollup",
+    oracle="""
+SELECT n_name, o_orderstatus, SUM(o_totalprice) AS revenue, COUNT(*) AS n
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, o_orderstatus)
+""",
+    doc="Join + ROLLUP as SQL text over the registered views",
+    tags=("sql", "join", "rollup"),
+)
+def sql_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, o_orderstatus, SUM(o_totalprice) AS revenue, COUNT(*) AS n
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (n_name, o_orderstatus)
+        """
+    )
+
+
+@register(
+    "sql_session_windows",
+    oracle="""
+WITH e AS (SELECT user_id, value, epoch_us(ts) AS tus FROM events),
+o AS (
+  SELECT *, CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+                   OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) >= 21600000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+SELECT MIN(tus) // 1000 AS w_start, user_id AS account_id,
+       SUM(value) AS sum_amount, COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+    doc="session_window() invoked from SQL text (6h gap)",
+    tags=("sql", "session"),
+)
+def sql_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT unix_millis(session_window.start) AS w_start, account_id,
+               SUM(amount) AS sum_amount, COUNT(*) AS n_events
+        FROM transactions
+        GROUP BY session_window(event_time, '6 hours'), account_id
+        """
+    )

@@ -200,3 +200,69 @@ def test_metrics_listener(spark, scratch):
     assert m.batches >= 4
     assert m.throughput_events_per_sec > 0
     assert m.latency_ms_per_event > 0
+
+
+def test_update_mode_running_totals(spark, scratch):
+    """F5's alternative mapping (SURVEY §2.7): per-key cumulative sum as
+    a streaming aggregate in UPDATE mode — the memory sink's latest row
+    per key must equal the batch total after the replay drains."""
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=4)
+    stream = read_replay_stream(spark, chunks)
+    totals = stream.groupBy("account_id").agg(
+        F.sum("amount").alias("total"), F.count("*").alias("n")
+    )
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    # update mode appends a row per changed key per batch; latest wins
+    import pandas as pd
+
+    pdf = spark.table("t_update").toPandas()
+    latest = pdf.groupby("account_id").last()
+    want = {
+        r.account_id: (r.total, r.n)
+        for r in transactions(spark, SF_SMALL)
+        .groupBy("account_id")
+        .agg(F.sum("amount").alias("total"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert len(latest) == len(want)
+    for k, row in latest.iterrows():
+        assert abs(row["total"] - want[k][0]) < 1e-9 and row["n"] == want[k][1], k
+
+
+def test_complete_mode_global_aggregate(spark, scratch):
+    """Complete mode: the sink holds the full result table every batch;
+    after draining it equals the batch aggregate exactly."""
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=4)
+    stream = read_replay_stream(spark, chunks)
+    agg = stream.groupBy("account_id").agg(F.sum("amount").alias("total"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = {r.account_id: r.total for r in spark.table("t_complete").collect()}
+    want = {
+        r.account_id: r.total
+        for r in transactions(spark, SF_SMALL)
+        .groupBy("account_id")
+        .agg(F.sum("amount").alias("total"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) < 1e-9 for k in want)
