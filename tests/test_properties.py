@@ -1,0 +1,108 @@
+"""Property-based checks (hypothesis) of the semantic formulas the
+engine and its oracles share — pure Python, no Spark session:
+
+- sliding-window assignment enumeration == brute-force membership
+- session gap/island segmentation == naive merge simulation
+- count-or-time segment chunking == an event-by-event simulation of
+  the reference trigger's FIRE_AND_PURGE state machine
+  (reference: master/src/main/java/InorderTumblingWindow/CustomTrigger.java:34-78)
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    t=st.integers(min_value=0, max_value=10**12),
+    size_k=st.integers(min_value=1, max_value=50),
+    slide=st.integers(min_value=1, max_value=10**6),
+)
+def test_sliding_window_enumeration(t, size_k, slide):
+    """The closed-form used by sql_slide (and Spark's Expand): starts
+    w = floor(t/slide)*slide - i*slide with w > t - size, i in
+    [0, ceil(size/slide)) — must equal brute-force membership."""
+    size = size_k * slide // max(1, size_k // 7 + 1) + slide  # varied, >= slide
+    nwin = -(-size // slide)
+    formula = {
+        (t // slide) * slide - i * slide
+        for i in range(nwin)
+        if (t // slide) * slide - i * slide > t - size
+    }
+    lo = (t - size) // slide * slide  # may be negative: pre-epoch starts exist
+    brute = {
+        w
+        for w in range(lo - slide, t + slide + 1, slide)
+        if w % slide == 0 and w <= t < w + size
+    }
+    assert formula == brute
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ts=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=60),
+    gap=st.integers(min_value=1, max_value=10**5),
+)
+def test_session_islands_equal_merge_simulation(ts, gap):
+    """Gap-based island ids (the oracle's lag/cumsum form) must equal
+    the merge-sessions-while-overlapping simulation (Spark semantics:
+    merge iff next_start < current_end, end = last + gap)."""
+    xs = sorted(ts)
+    # oracle form: break when diff >= gap
+    islands, cur = [], [xs[0]]
+    for prev, x in zip(xs, xs[1:]):
+        if x - prev >= gap:
+            islands.append(cur)
+            cur = [x]
+        else:
+            cur.append(x)
+    islands.append(cur)
+    # simulation: windows [t, t+gap) merged while overlapping
+    sim, start, end = [], xs[0], xs[0] + gap
+    members = [xs[0]]
+    for x in xs[1:]:
+        if x < end:
+            members.append(x)
+            end = x + gap
+        else:
+            sim.append((start, members))
+            start, end, members = x, x + gap, [x]
+    sim.append((start, members))
+    assert [(i[0], i) for i in islands] == [(s[1][0], s[1]) for s in sim]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    amounts=st.lists(
+        st.floats(min_value=0.01, max_value=100, allow_nan=False), min_size=1, max_size=80
+    ),
+    max_count=st.integers(min_value=1, max_value=7),
+)
+def test_count_trigger_segments_equal_state_machine(amounts, max_count):
+    """The (row_number-1)/max_count chunking used by
+    count_or_time_segments must equal an event-by-event simulation of
+    the reference trigger: count state per window, FIRE_AND_PURGE when
+    count reaches max_count, final FIRE at the window-end timer."""
+    # chunking form
+    chunks = [
+        amounts[i : i + max_count] for i in range(0, len(amounts), max_count)
+    ]
+    want = [
+        (sum(c), len(c), "early" if len(c) == max_count else "final") for c in chunks
+    ]
+    # state machine: onElement count++/sum+=; fire early at max_count,
+    # purge; at end-of-window timer fire whatever remains
+    fired, s, c = [], 0.0, 0
+    for a in amounts:
+        s += a
+        c += 1
+        if c >= max_count:
+            fired.append((s, c, "early"))
+            s, c = 0.0, 0
+    if c > 0:
+        fired.append((s, c, "final"))
+    assert len(fired) == len(want)
+    for (fs, fc, fe), (ws, wc, we) in zip(fired, want):
+        assert fc == wc and fe == we and abs(fs - ws) < 1e-9
