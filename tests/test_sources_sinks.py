@@ -145,3 +145,61 @@ def test_multi_pipeline_single_session(spark, scratch):
         q2.awaitTermination()
     assert spark.table("m2_agg").count() > 0
     assert spark.table("m2_alerts").count() > 0
+
+
+def test_stateful_detector_checkpoint_restart(spark, scratch):
+    """Custom applyInPandasWithState state (F5 running sums) must
+    round-trip through the checkpoint across a crash: stop mid-stream,
+    deliver the rest, restart — the union of emitted alerts equals the
+    batch fold, no dupes."""
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import transactions_with_id
+    from flink_fraud_detection_rocks_db_app_spark.streaming import (
+        running_sum_alerts_batch,
+        running_sum_alerts_stream,
+    )
+
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=6)
+    files = sorted(glob.glob(os.path.join(chunks, "*.parquet")))
+    live = os.path.join(scratch, "live")
+    out = os.path.join(scratch, "out")
+    ckpt = os.path.join(scratch, "ckpt")
+    for d in (live, out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(live)
+
+    def run_once():
+        alerts = running_sum_alerts_stream(read_replay_stream(spark, live), 500.0)
+        q = (
+            alerts.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    for f in files[:3]:
+        shutil.copy2(f, live)
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first > 0, "first half should already alert"
+    for f in files[3:]:
+        shutil.copy2(f, live)
+    run_once()
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(
+        tuple(r)
+        for r in running_sum_alerts_batch(
+            transactions_with_id(spark, SF_SMALL), 500.0
+        ).collect()
+    )
+    assert [g[:2] for g in got] == [w[:2] for w in want], (
+        len(got),
+        len(want),
+        got[:3],
+        want[:3],
+    )
+    assert all(abs(g[2] - w[2]) < 1e-9 for g, w in zip(got, want))
