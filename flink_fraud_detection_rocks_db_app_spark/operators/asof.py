@@ -135,3 +135,57 @@ def range_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "p_partkey", "value", "p_retailprice")
     )
+
+
+@register(
+    "interval_join_click_purchase",
+    oracle="""
+SELECT c.user_id AS account_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_ms(p.ts) - epoch_ms(c.ts) AS lag_ms, p.value AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 7 DAY
+""",
+    doc="Interval (time-bounded) join: purchases within 7 days after a "
+    "click by the same account. Equi-join on the key + range predicate; "
+    "Catalyst plans it as a SortMerge/ShuffledHash join with the range "
+    "as a post-join filter — the key is the shuffle partitioner, so the "
+    "range never induces a cross join. The streaming form (stream-stream "
+    "join with watermark-bounded state) is in streaming tests.",
+    tags=("join", "interval"),
+)
+def interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("account_id"),
+        F.col("event_time").alias("c_time"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_time").alias("p_time"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("account_id") == F.col("p_user"))
+            & (F.col("p_time") > F.col("c_time"))
+            & (F.col("p_time") <= F.col("c_time") + F.expr("INTERVAL 7 DAYS")),
+        )
+        .select(
+            "account_id",
+            "click_id",
+            "purchase_id",
+            (F.unix_millis("p_time") - F.unix_millis("c_time")).alias("lag_ms"),
+            "purchase_value",
+        )
+    )

@@ -204,3 +204,68 @@ def label_centroid_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", F.col("pos").cast("long").alias("pos"))
         .agg(F.avg("val").alias("c"), F.count("*").alias("n_vecs"))
     )
+
+
+IVF_CELLS = 8
+IVF_NPROBE = 2
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate (coarse quantization); mechanics tested in
+    # tests/test_extensions.py::test_ivf_mechanics
+    doc=f"IVF ANN: coarse quantizer = {IVF_CELLS} deterministic seed "
+    "vectors (lowest vec_ids — a fixed 'training sample'); every vector "
+    "is assigned to its nearest cell, queries probe their "
+    f"{IVF_NPROBE} nearest cells and exact-rerank only those lists. "
+    f"The 100 TB path: cell id is the partition key; candidate volume "
+    f"drops to ~nprobe/cells of the corpus; the inverted lists are the "
+    "natural bucketing layout on disk.",
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vectors(spark, sf_dir)
+    # coarse quantizer: the IVF_CELLS lowest vec_ids (deterministic)
+    cents = e.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+    )
+    # assign every vector to its nearest centroid (argmin by cosine dist)
+    sim_to_cent = (dot("v", "cv") / (F.col("norm") * F.col("cnorm"))).alias("csim")
+    assigned = (
+        e.join(F.broadcast(cents), how="cross")
+        .select("vec_id", "v", "norm", "cell", sim_to_cent)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "norm", "cell")
+    )
+    # queries probe their IVF_NPROBE nearest cells
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    probes = (
+        q.join(F.broadcast(cents), how="cross")
+        .select("query_id", "qv", "qnorm", "cell",
+                (dot("qv", "cv") / (F.col("qnorm") * F.col("cnorm"))).alias("csim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell"))
+            ),
+        )
+        .where(F.col("rn") <= IVF_NPROBE)
+        .select("query_id", "qv", "qnorm", "cell")
+    )
+    cand = assigned.join(probes, "cell").where(F.col("vec_id") != F.col("query_id"))
+    cosine = (dot("qv", "v") / (F.col("qnorm") * F.col("norm"))).alias("cosine")
+    scored = cand.select("query_id", F.col("vec_id").alias("neighbor_id"), cosine)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )

@@ -155,3 +155,20 @@ def test_exact_dedup_finds_duplicates_at_sf01():
         "SELECT count(*), count(distinct text) FROM '/root/testdata/sf0.1/documents.parquet'"
     ).fetchone()
     assert n - d == 8
+
+
+def test_ivf_mechanics(spark):
+    """IVF ANN: <= top-k per query, descending cosines consistent with
+    the exact computation, and candidates restricted to probed cells
+    (every reported neighbor shares a probed cell by construction)."""
+    exact = {(r.query_id, r.neighbor_id): r.cosine for r in _rows(spark, "ann_cosine_topk")}
+    rows = _rows(spark, "ann_ivf_topk")
+    assert rows, "IVF returned nothing"
+    per_q: dict[int, list[float]] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.cosine)
+        if (r.query_id, r.neighbor_id) in exact:
+            assert abs(r.cosine - exact[(r.query_id, r.neighbor_id)]) < 1e-9
+    for q, cs in per_q.items():
+        assert len(cs) <= 5
+        assert cs == sorted(cs, reverse=True)

@@ -151,3 +151,77 @@ def test_session_stream_equals_batch(spark, scratch):
         assert k in want and abs(s - want[k][0]) < 1e-9 and n == want[k][1], k
     missing = {k for k, v in want.items() if v[2] <= wm} - set(got)
     assert not missing, sorted(missing)[:5]
+
+
+def test_stream_stream_interval_join(spark, scratch):
+    """Stream-stream interval join with watermark-bounded state: clicks
+    joined to purchases of the same account within 7 days. Inner
+    stream-stream join results must be a subset of the batch interval
+    join and must cover all pairs whose BOTH sides are watermark-safe."""
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=6)
+
+    def typed_stream():
+        # the replay drops event_type; rebuild it by joining event_id
+        # back to the fixture (deterministic, tiny broadcast)
+        from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+
+        types = load(spark, SF_SMALL, "events").select("event_id", "event_type")
+        return read_replay_stream(spark, chunks).join(F.broadcast(types), "event_id")
+
+    c = (
+        typed_stream()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("account_id"),
+            F.col("event_time").alias("c_time"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_time", "0 seconds")
+    )
+    p = (
+        typed_stream()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("account_id").alias("p_user"),
+            F.col("event_time").alias("p_time"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_time", "0 seconds")
+    )
+    joined = c.join(
+        p,
+        (F.col("account_id") == F.col("p_user"))
+        & (F.col("p_time") > F.col("c_time"))
+        & (F.col("p_time") <= F.col("c_time") + F.expr("INTERVAL 7 DAYS")),
+    ).select("account_id", "click_id", "purchase_id")
+    run_to_memory(joined, "t_ssj")
+    got = {
+        (r.account_id, r.click_id, r.purchase_id)
+        for r in spark.table("t_ssj").collect()
+    }
+    from flink_fraud_detection_rocks_db_app_spark.registry import all_queries
+
+    want = {
+        (r.account_id, r.click_id, r.purchase_id)
+        for r in all_queries()["interval_join_click_purchase"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert got, "stream-stream join emitted nothing"
+    assert got <= want, f"false pairs: {sorted(got - want)[:3]}"
+    # joins for which both events are well inside the stream must appear;
+    # allow the tail (pairs near end-of-stream can be withheld by state)
+    batch = read_replay_batch(spark, chunks)
+    max_ms = batch.agg(F.max(F.unix_millis("event_time"))).collect()[0][0]
+    id_time = {
+        r.event_id: r.t_ms
+        for r in batch.select("event_id", F.unix_millis("event_time").alias("t_ms")).collect()
+    }
+    safe = {
+        k
+        for k in want
+        if id_time[k[1]] + 7 * 86_400_000 < max_ms - 86_400_000
+        and id_time[k[2]] < max_ms - 86_400_000
+    }
+    missing = safe - got
+    assert not missing, f"watermark-safe pairs missing: {sorted(missing)[:3]}"
