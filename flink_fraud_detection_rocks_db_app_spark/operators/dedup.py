@@ -108,16 +108,26 @@ WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingled(spark, sf_dir)
     sz = sh.select("doc_id", F.size("shingles").alias("n"))
-    # join on the 64-bit shingle hash, not the string: ~6x less shuffle
-    # volume and cheap comparisons (collision odds across a corpus's
-    # shingle vocabulary are ~|V|^2/2^65 — immaterial)
+    # Postings on the 64-bit shingle hash (cheap keys; collision odds
+    # ~|V|^2/2^65 — immaterial). Instead of a postings SELF-JOIN (which
+    # makes Spark recompute the whole scan->shingle lineage for both
+    # sides), group each shingle's posting list once and expand the
+    # candidate pairs inside the array: single lineage, one shuffle to
+    # the groups, pair volume identical (sum_s df_s*(df_s-1)/2).
     ex = sh.select(
-        F.col("doc_id").alias("doc_a"),
-        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s"),
+        "doc_id", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s")
     )
-    ex2 = ex.select(F.col("doc_a").alias("doc_b"), F.col("s").alias("s2"))
+    groups = ex.groupBy("s").agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    pairs_exploded = groups.where(F.size("ds") > 1).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    )
     pairs = (
-        ex.join(ex2, (ex.s == ex2.s2) & (ex.doc_a < ex2.doc_b))
+        pairs_exploded.select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
