@@ -225,3 +225,67 @@ def test_stream_stream_interval_join(spark, scratch):
     }
     missing = safe - got
     assert not missing, f"watermark-safe pairs missing: {sorted(missing)[:3]}"
+
+
+def test_streaming_dedup_drops_replayed_rows(spark, scratch):
+    """Watermarked dropDuplicates must remove re-delivered rows: replay
+    the chunks with every row delivered twice (same event_id), dedup
+    stream output == the original row set."""
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from flink_fraud_detection_rocks_db_app_spark.streaming.stateful import dedup_stream
+
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=4)
+    dup_dir = os.path.join(scratch, "dup")
+    shutil.rmtree(dup_dir, ignore_errors=True)
+    os.makedirs(dup_dir)
+    for f in sorted(glob.glob(os.path.join(chunks, "*.parquet"))):
+        pdf = pd.read_parquet(f)
+        doubled = pd.concat([pdf, pdf], ignore_index=True)
+        out = os.path.join(dup_dir, os.path.basename(f))
+        doubled.to_parquet(out, index=False)
+        st = os.stat(f)
+        os.utime(out, (st.st_atime, st.st_mtime))
+    deduped = dedup_stream(read_replay_stream(spark, dup_dir))
+    run_to_memory(deduped, "t_dedup_stream")
+    got = sorted(r.event_id for r in spark.table("t_dedup_stream").collect())
+    want = sorted(r.event_id for r in read_replay_batch(spark, chunks).collect())
+    assert got == want, (len(got), len(want))
+
+
+def test_transform_with_state_equals_apply_in_pandas(spark, scratch):
+    """The Spark 4 StatefulProcessor port of F5 must produce exactly
+    the same alerts as the applyInPandasWithState form and the batch
+    fold (three implementations, one semantics). Skips (with the gate
+    asserted) when google.protobuf is absent — this container."""
+    import pytest
+
+    from flink_fraud_detection_rocks_db_app_spark.streaming import (
+        running_sum_alerts_batch,
+    )
+    from flink_fraud_detection_rocks_db_app_spark.streaming.stateful import (
+        running_sum_alerts_tws,
+        tws_available,
+    )
+
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=4)
+    if not tws_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            running_sum_alerts_tws(read_replay_stream(spark, chunks), 500.0)
+        pytest.skip("google.protobuf not available in this environment")
+    alerts = running_sum_alerts_tws(read_replay_stream(spark, chunks), 500.0)
+    run_to_memory(alerts, "t_tws")
+    got = sorted(tuple(r) for r in spark.table("t_tws").collect())
+    want = sorted(
+        tuple(r)
+        for r in running_sum_alerts_batch(
+            transactions_with_id(spark, SF_SMALL), 500.0
+        ).collect()
+    )
+    assert len(got) > 0
+    assert [g[:2] for g in got] == [w[:2] for w in want]
+    assert all(abs(g[2] - w[2]) < 1e-9 for g, w in zip(got, want))
