@@ -169,3 +169,21 @@ def intersect_customers_suppliers_nations(spark: SparkSession, sf_dir: str) -> D
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.intersect(s)
+
+
+@register(
+    "unpivot_customer_metrics",
+    oracle="""
+SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS v FROM customer
+UNION ALL
+SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS v FROM customer
+""",
+    doc="Unpivot (melt): wide customer columns to (key, metric, value) "
+    "long form via stack() — the inverse of pivot_user_event_type",
+    tags=("batch", "unpivot"),
+)
+def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, v)",
+    )
