@@ -94,16 +94,16 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-@register(
-    "multimodal_features",
-    oracle=None,  # the stub feature has no SQL analogue; shape- and
-    # determinism-tested in tests/test_multimodal.py
-    doc="Feature extraction over binary payloads via mapInPandas (Arrow "
-    "batches in, per-partition iterator, no driver involvement). The "
-    "decode step is the documented stub in decode_image().",
-    tags=("multimodal", "udf"),
-)
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal array form: (doc_id, n_bytes, feature array<double>).
+
+    Feature extraction over binary payloads via mapInPandas (Arrow
+    batches in, per-partition iterator, no driver involvement). The
+    decode step is the documented stub in decode_image(). Not
+    registered directly — the driver's canonicalizer can't hash array
+    columns (round-1 ERR), so the registered `multimodal_features`
+    posexplodes this to scalar rows.
+    """
     m = media_table(spark, sf_dir)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -121,16 +121,61 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_features",
+    # The stub decode (16-bin byte histogram over the utf-8 payload,
+    # L1-normalized) IS SQL-expressible because the fixture text is
+    # pure ASCII (byte value == codepoint, verified in
+    # tests/test_extensions.py) — so this gets a full value-hash
+    # oracle, not a rows-only check.
+    oracle="""
+WITH grid AS (
+  SELECT doc_id, length(text) AS total, g.pos
+  FROM documents, (SELECT unnest(range(0, 16)) AS pos) g
+),
+counts AS (
+  SELECT doc_id, ord(substring(text, CAST(t.i AS INT), 1)) % 16 AS pos,
+         count(*) AS c
+  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+  GROUP BY 1, 2
+)
+SELECT g.doc_id, g.pos, COALESCE(c.c, 0) / g.total AS val
+FROM grid g LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.pos = c.pos
+""",
+    doc="Feature extraction over binary payloads via mapInPandas, "
+    "posexploded to driver-comparable (doc_id, pos, val) scalar rows. "
+    "The Arrow-batched decode stub is decode_image(); see "
+    "multimodal_feature_vectors() for the array form.",
+    tags=("multimodal", "udf"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vec = multimodal_feature_vectors(spark, sf_dir)
+    return vec.select(
+        "doc_id", F.posexplode("feature").alias("pos", "val")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "val")
+
+
+@register(
     "multimodal_feature_agg",
-    oracle=None,  # downstream of the stub features (rows-only check);
-    # the aggregation itself is plain groupBy/avg
+    # Same ASCII-byte-histogram equivalence as multimodal_features, so
+    # the downstream aggregation is fully oracle-checked too.
+    oracle="""
+WITH f AS (
+  SELECT doc_id, length(text) AS n_bytes,
+         (SELECT count(*) FROM unnest(range(1, length(text) + 1)) AS t(i)
+           WHERE ord(substring(text, CAST(t.i AS INT), 1)) % 16 = 0)
+         / length(text) AS f0
+  FROM documents)
+SELECT d.lang, count(*) AS n_docs, avg(f.n_bytes) AS avg_bytes,
+       avg(f.f0) AS avg_f0
+FROM f JOIN documents d USING (doc_id) GROUP BY d.lang
+""",
     doc="Downstream use of extracted features: join features back to "
-    "document metadata and aggregate per (lang, media_type) — the features "
+    "document metadata and aggregate per lang — the features "
     "shuffle, the payloads never do",
     tags=("multimodal", "aggregate"),
 )
 def multimodal_feature_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = multimodal_features(spark, sf_dir)
+    feats = multimodal_feature_vectors(spark, sf_dir)
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     return (
         feats.join(docs, "doc_id")

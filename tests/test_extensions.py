@@ -130,16 +130,36 @@ def test_multimodal_stub_contract(spark):
     assert abs(sum(f) - 1.0) < 1e-9  # L1-normalized
     assert decode_image(b"hello world") == f  # deterministic
 
-    rows = _rows(spark, "multimodal_features")
-    assert len(rows) == 500
-    r0 = rows[0]
+    from flink_fraud_detection_rocks_db_app_spark.operators.multimodal import (
+        multimodal_feature_vectors,
+    )
+
+    vec = multimodal_feature_vectors(spark, SF_SMALL).collect()
+    assert len(vec) == 500
+    r0 = vec[0]
     assert len(r0.feature) == FEATURE_DIM
     assert r0.n_bytes > 0
     # determinism across runs
-    rows2 = _rows(spark, "multimodal_features")
-    assert sorted((r.doc_id, tuple(r.feature)) for r in rows) == sorted(
-        (r.doc_id, tuple(r.feature)) for r in rows2
+    vec2 = multimodal_feature_vectors(spark, SF_SMALL).collect()
+    assert sorted((r.doc_id, tuple(r.feature)) for r in vec) == sorted(
+        (r.doc_id, tuple(r.feature)) for r in vec2
     )
+
+    # The registered form is the posexploded scalar shape the driver
+    # can canonicalize: 500 docs x 16 bins.
+    rows = _rows(spark, "multimodal_features")
+    assert len(rows) == 500 * FEATURE_DIM
+    assert {r.pos for r in rows} == set(range(FEATURE_DIM))
+
+    # The DuckDB oracle equates bytes with codepoints — valid only
+    # while the fixture text is pure ASCII. Guard that assumption.
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+
+    docs = load(spark, SF_SMALL, "documents")
+    n_nonascii = docs.filter(
+        F.length("text") != F.octet_length("text")
+    ).count()
+    assert n_nonascii == 0
 
 
 def test_exact_dedup_finds_duplicates_at_sf01():
