@@ -164,12 +164,15 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # xxhash64 not reproducible in DuckDB; recall-tested in
-    # tests/test_dedup.py against the exact-jaccard oracle query
+    oracle=None,  # xxhash64 not reproducible in DuckDB — but this is
+    # NOT a rows-only-only entry: tests/test_extensions.py asserts the
+    # result EQUALS the exact-Jaccard>=0.5 pair set (the oracle-checked
+    # dedup_ngram_jaccard query) at test sf — recall 1.0, precision 1.0
     doc=f"MinHash({MINHASH_K})+LSH({LSH_BANDS} bands) near-dup candidates "
     "verified with exact Jaccard >= 0.5. Scale path for dedup_ngram_jaccard: "
     "signatures are fixed-size, candidates come from band-bucket equi-joins, "
-    "and only candidate pairs pay the exact-verification cost.",
+    "and only candidate pairs pay the exact-verification cost. Contract "
+    "(asserted in tests): pair set == exact-Jaccard pair set at test sf.",
     tags=("dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,7 +279,7 @@ FROM acc GROUP BY 1
 """,
     doc="SimHash(60-bit) signature per document, bit-identical across "
     "engines via md5-derived token hashes; near-dup = low Hamming distance "
-    "(pairing tested in tests/test_dedup.py)",
+    "(pairing tested in tests/test_extensions.py)",
     tags=("dedup", "simhash"),
 )
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -100,7 +100,8 @@ def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "approx_distinct_users",
     oracle=None,  # HLL sketches differ across engines by design; the
-    # accuracy bound vs exact distinct is asserted in tests/test_olap.py
+    # accuracy bound vs exact COUNT(DISTINCT) (within 5x rsd) is
+    # asserted in tests/test_extensions.py::test_approx_distinct_bound
     doc="approx_count_distinct (HyperLogLog++, rsd=0.01) per event_type — "
     "the sketch path for 100 TB cardinalities where exact distinct "
     "would shuffle every key",

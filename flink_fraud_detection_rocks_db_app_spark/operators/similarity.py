@@ -25,6 +25,7 @@ from ..registry import register
 
 TOP_K = 5
 N_QUERIES = 10  # query set = vec_id < 10
+NEARDUP_BLOCKS = 16  # block grid for the exact all-pairs near-dup scan
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
@@ -88,17 +89,48 @@ WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.4
 """,
     doc="Embedding-cosine near-duplicate pairs (cosine >= 0.4; fixture "
     "embeddings are near-orthogonal, max ~0.51, so this is the true tail). "
-    "Exact all-pairs baseline; ann_lsh_buckets is the scale path.",
+    "Exact, expressed as BLOCK-PARTITIONED equi-joins: vectors hash into "
+    f"{NEARDUP_BLOCKS} blocks, a tiny (ba<=bb) block-pair grid drives two "
+    "equi joins, and each task compares one block pair. No "
+    "BroadcastNestedLoopJoin / CartesianProduct in the plan (asserted in "
+    "tests/test_plans.py): the n^2 work is sharded into B(B+1)/2 "
+    "bounded-size shuffle tasks instead of one nested loop. Compute is "
+    "still inherently quadratic — ann_lsh_buckets is the sub-quadratic "
+    "approximate path; this query is the exact-verify building block it "
+    "reranks with.",
     tags=("similarity", "dedup"),
 )
 def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _vectors(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    B = NEARDUP_BLOCKS
+    e = _vectors(spark, sf_dir).withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int")
+    )
+    # tiny driver-side grid of unordered block pairs — B(B+1)/2 rows
+    grid = spark.createDataFrame(
+        [(ba, bb) for ba in range(B) for bb in range(ba, B)], "ba int, bb int"
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("norm").alias("na"), F.col("blk").alias("ba"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("norm").alias("nb"), F.col("blk").alias("bb"),
+    )
+    # each unordered pair {x,y} is produced exactly once: the lower
+    # block takes the "a" role; within a block, id_a < id_b breaks ties
+    pairs = (
+        a.join(F.broadcast(grid), "ba")
+        .join(b, "bb")
+        .where((F.col("ba") < F.col("bb")) | (F.col("id_a") < F.col("id_b")))
+    )
     cosine = dot("va", "vb") / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        pairs.select(
+            F.least("id_a", "id_b").alias("vec_a"),
+            F.greatest("id_a", "id_b").alias("vec_b"),
+            cosine.alias("cosine"),
+        )
         .where(F.col("cosine") >= 0.4)
     )
 

@@ -27,6 +27,17 @@ def count_or_time_segments(
     FIRE_AND_PURGE when the per-(key,window) count reaches max_count,
     else fire at the window-end timer. Each emission is one segment.
     Pure JVM plan: window rank -> integer division -> hash aggregate.
+
+    DELIBERATE deviation from the reference (ADVICE r1): the reference
+    trigger never clears its per-window count state on fire (clear()
+    only runs at window GC, CustomTrigger.java:74-78), so after the
+    first early fire its count stays >= maxCount and it fires on every
+    subsequent element — 1-event segments. That is a bug in the
+    reference, not a semantic: FIRE_AND_PURGE purges the window pane,
+    and the matching intent is "a fresh segment after every fire". We
+    implement the intended reset-on-fire semantics (segments of exactly
+    max_count events, remainder final), which the DuckDB oracle and the
+    state-machine property test mirror.
     """
     cols = ["w_start"] + (["account_id"] if key else [])
     w = Window.partitionBy(*cols).orderBy("event_time", "event_id")

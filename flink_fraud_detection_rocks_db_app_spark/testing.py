@@ -24,13 +24,27 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
+    """Columns sorted by name; rows sorted with non-float (key) columns
+    FIRST and floats rounded to 6 dp in the sort key only — so fp
+    summation-order noise between engines can't flip the positional row
+    order of near-tied aggregates (ADVICE r1). Returned tuples stay in
+    column-name order; only the sort key is reordered/rounded."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = [tuple(r[i] for i in order) for r in rows]
+    ncols = len(order)
+    is_float = [
+        any(isinstance(r[c], float) for r in out[:1000]) for c in range(ncols)
+    ]
+    keycols = [c for c in range(ncols) if not is_float[c]] + [
+        c for c in range(ncols) if is_float[c]
+    ]
 
     def key(v):
+        if isinstance(v, float):
+            return (False, "float", f"{v:.6f}")
         return (v is None, str(type(v)), str(v))
 
-    out = [tuple(r[i] for i in order) for r in rows]
-    return sorted(out, key=lambda r: tuple(key(v) for v in r))
+    return sorted(out, key=lambda r: tuple(key(r[c]) for c in keycols))
 
 
 def values_match(a, b) -> bool:

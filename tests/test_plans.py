@@ -98,7 +98,7 @@ def test_ann_broadcasts_queries(spark):
 
 # Queries that legitimately use a broadcast nested-loop join: small
 # broadcast side with a non-equi predicate (documented exact baselines).
-BNLJ_OK = {"ann_cosine_topk", "embed_neardup_pairs", "ann_lsh_buckets", "ann_ivf_topk"}
+BNLJ_OK = {"ann_cosine_topk", "ann_lsh_buckets", "ann_ivf_topk"}
 # Queries whose semantics REQUIRE Python (documented; Arrow-batched).
 PYTHON_OK = {
     "running_sum_alerts_gt_500",

@@ -10,7 +10,7 @@ engine and its oracles share — pure Python, no Spark session:
 
 from __future__ import annotations
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 
@@ -20,6 +20,9 @@ from hypothesis import strategies as st
     size_k=st.integers(min_value=1, max_value=50),
     slide=st.integers(min_value=1, max_value=10**6),
 )
+# once-failing input found by hypothesis in round 1 (pinned here rather
+# than via the .hypothesis example database, which is not committed)
+@example(t=0, size_k=1, slide=1)
 def test_sliding_window_enumeration(t, size_k, slide):
     """The closed-form used by sql_slide (and Spark's Expand): starts
     w = floor(t/slide)*slide - i*slide with w > t - size, i in
@@ -82,9 +85,13 @@ def test_session_islands_equal_merge_simulation(ts, gap):
 )
 def test_count_trigger_segments_equal_state_machine(amounts, max_count):
     """The (row_number-1)/max_count chunking used by
-    count_or_time_segments must equal an event-by-event simulation of
-    the reference trigger: count state per window, FIRE_AND_PURGE when
-    count reaches max_count, final FIRE at the window-end timer."""
+    count_or_time_segments must equal an event-by-event state machine:
+    count state per window, FIRE_AND_PURGE when count reaches
+    max_count (count RESETS on fire), final FIRE at the window-end
+    timer. Note this is the *intended* reset-on-fire semantics — the
+    reference's CustomTrigger never clears its count on fire (a bug;
+    after the first fire it fires per element); see the deliberate-
+    deviation note on count_or_time_segments."""
     # chunking form
     chunks = [
         amounts[i : i + max_count] for i in range(0, len(amounts), max_count)

@@ -202,6 +202,66 @@ def test_metrics_listener(spark, scratch):
     assert m.latency_ms_per_event > 0
 
 
+def test_prometheus_endpoint_scrape(spark, scratch):
+    """K3 parity: the reference serves latency/throughput/duration/
+    numEvents gauges over HTTP (FraudDetectionJob.java:52-69,173-191).
+    Scrape our /metrics endpoint during a replay run and check the
+    exposition format + reference definitions; also exercise the
+    textfile-collector export."""
+    import os
+    import urllib.request
+
+    from flink_fraud_detection_rocks_db_app_spark.streaming.prometheus import (
+        MetricsEndpoint,
+        write_textfile,
+    )
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        with MetricsEndpoint(listener.metrics) as ep:
+            # scrape before any data: endpoint is live, gauges zero
+            pre = urllib.request.urlopen(ep.url, timeout=5).read().decode()
+            assert "# TYPE numEvents gauge" in pre
+            assert "numEvents 0.0" in pre
+
+            chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=4)
+            stream = read_replay_stream(spark, chunks)
+            agg = windowed_agg_stream(stream, SIZE_MS, watermark=IN_ORDER)
+            run_to_memory(agg, "t_prom")
+
+            resp = urllib.request.urlopen(ep.url, timeout=5)
+            assert resp.headers["Content-Type"].startswith("text/plain; version=0.0.4")
+            body = resp.read().decode()
+    finally:
+        spark.streams.removeListener(listener)
+
+    gauges = {}
+    for line in body.splitlines():
+        if line and not line.startswith("#"):
+            name, val = line.split(" ", 1)
+            gauges[name] = float(val)
+    assert set(gauges) == {"latency", "throughput", "duration", "numEvents"}
+    assert gauges["numEvents"] == 1000.0
+    assert gauges["duration"] > 0
+    # reference definitions: latency = duration_ms/numEvents,
+    # throughput = numEvents/duration_s
+    assert abs(gauges["latency"] - gauges["duration"] / 1000.0) < 1e-6
+    assert abs(gauges["throughput"] - 1000.0 / (gauges["duration"] / 1000.0)) < 1e-6
+
+    # listener events are delivered async, so metrics may tick between
+    # the HTTP scrape and this export — compare structure, not bytes
+    prom_file = os.path.join(scratch, "spark_job.prom")
+    write_textfile(listener.metrics, prom_file)
+    file_gauges = {}
+    for line in open(prom_file):
+        if line.strip() and not line.startswith("#"):
+            name, val = line.split(" ", 1)
+            file_gauges[name] = float(val)
+    assert set(file_gauges) == set(gauges)
+    assert file_gauges["numEvents"] == 1000.0
+
+
 def test_update_mode_running_totals(spark, scratch):
     """F5's alternative mapping (SURVEY §2.7): per-key cumulative sum as
     a streaming aggregate in UPDATE mode — the memory sink's latest row
