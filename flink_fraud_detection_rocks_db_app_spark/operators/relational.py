@@ -280,3 +280,288 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+SELECT n_name, SUM(l_extendedprice * (1 - l_discount)) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+    doc="TPC-H Q5 shape: six-way join with the region->nation->supplier "
+    "dim chain broadcast, facts (lineitem x orders x customer) shuffled "
+    "on their keys; the same-nation (c_nationkey = s_nationkey) "
+    "predicate rides the supplier broadcast join",
+    tags=("batch", "join", "aggregate"),
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    # dim chain collapses to a small supplier->nation broadcast side
+    supp_dim = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp_dim),
+            (li.l_suppkey == supp_dim.s_suppkey)
+            & (cust.c_nationkey == supp_dim.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle="""
+SELECT supp_region, cust_region, l_year, SUM(volume) AS revenue,
+       COUNT(*) AS n_items
+FROM (
+  SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+  WHERE ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+      OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY supp_region, cust_region, l_year
+""",
+    doc="TPC-H Q7 shape: bidirectional trade volume by ship year, at "
+    "region granularity (nation pairs are sf-sparse in this fixture) — "
+    "the nation->region dim chain is broadcast twice under different "
+    "roles (supplier side / customer side), the OR pair predicate "
+    "prunes AFTER both broadcasts so the fact scan shuffles once",
+    tags=("batch", "join", "aggregate"),
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    ndim = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "r_name")
+    n1 = ndim.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("r_name").alias("supp_region")
+    )
+    n2 = ndim.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("r_name").alias("cust_region")
+    )
+    pair = (
+        (F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE")
+    ) | ((F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_region",
+            "cust_region",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle="""
+WITH agg AS (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         SUM(l_extendedprice * (1 - l_discount)) AS revenue
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    AND l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name
+)
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+FROM agg
+ORDER BY round(revenue, 6) DESC, c_custkey ASC
+LIMIT 20
+""",
+    doc="TPC-H Q10 shape: returned-item revenue per customer, top-20 "
+    "by revenue (rank key rounded to 6 dp + custkey tiebreak so fp "
+    "summation noise can't flip the LIMIT gate); nation broadcast, "
+    "facts shuffled",
+    tags=("batch", "join", "sort"),
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.round("revenue", 6).desc(), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q14_promo_effect",
+    oracle="""
+SELECT 100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0.0 END)
+       / SUM(l_extendedprice * (1 - l_discount)) AS promo_revenue_pct,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-12-01 00:00:00'
+""",
+    doc="TPC-H Q14 shape: conditional-aggregate ratio over a "
+    "fact x broadcast-dim join with a tight scan-range predicate",
+    tags=("batch", "join", "aggregate"),
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-12-01").cast("timestamp_ntz"))
+    )
+    part = load(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (F.lit(100.0) * F.sum(promo) / F.sum(disc)).alias("promo_revenue_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_volume_customer",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       SUM(l_quantity) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250
+)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+""",
+    doc="TPC-H Q18 shape: large-volume orders via an aggregated "
+    "semi-join (HAVING sum > 250, integer-valued so the gate is "
+    "fp-safe) — the aggregate-then-semi-join pattern, shuffles keyed "
+    "on l_orderkey both times so AQE can reuse the exchange",
+    tags=("batch", "join", "aggregate"),
+)
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big.withColumnRenamed("l_orderkey", "bk"),
+                    F.col("o_orderkey") == F.col("bk"), "left_semi")
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+@register(
+    "tpch_q19_bracketed_revenue",
+    oracle="""
+SELECT SUM(l_extendedprice * (1 - l_discount)) AS revenue, COUNT(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1  AND l_quantity <= 20)
+   OR (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 40)
+""",
+    doc="TPC-H Q19 shape: disjunctive bracket predicates spanning both "
+    "join sides — the join itself stays a plain broadcast equi-join on "
+    "partkey and the OR brackets evaluate post-join, while the "
+    "single-side conjuncts (quantity ranges) still push to the fact scan",
+    tags=("batch", "join", "aggregate"),
+)
+def tpch_q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 40)
+    )
+    part = load(spark, sf_dir, "part")
+    bracket = (
+        ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15)
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_brand") == "Brand#19") & F.col("p_size").between(1, 35)
+           & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(bracket)
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -124,3 +124,54 @@ def test_plan_hygiene_sweep(spark):
         if ("InPandas" in plan or "ArrowEvalPython" in plan) and name not in PYTHON_OK:
             bad.append((name, "unexpected Python stage"))
     assert not bad, bad
+
+
+def test_bucketed_join_has_no_exchange(spark, scratch):
+    """Co-located warehouse path: orders+lineitem bucketed on the order
+    key must join AND aggregate with zero Exchange nodes, and produce
+    exactly the unbucketed result."""
+    import uuid
+
+    from flink_fraud_detection_rocks_db_app_spark.warehouse import (
+        bucketed_order_revenue,
+        cowarehouse_orders_lineitem,
+    )
+
+    suffix = f"_{uuid.uuid4().hex[:6]}"
+    o_tbl, li_tbl = cowarehouse_orders_lineitem(spark, SF_SMALL, 8, suffix)
+    try:
+        # at test sf orders is broadcastable, which would mask the
+        # bucketed plan; at 100 TB neither side is — model that
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = bucketed_order_revenue(spark, o_tbl, li_tbl)
+        plan = explain_str(df)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+
+        from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+        from pyspark.sql import functions as F
+
+        o = load(spark, SF_SMALL, "orders")
+        li = load(spark, SF_SMALL, "lineitem")
+        want = sorted(
+            (
+                li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("o_orderkey", "o_orderdate")
+                .agg(
+                    F.sum(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).alias("revenue"),
+                    F.count("*").alias("n_items"),
+                )
+            ).collect(),
+            key=lambda r: r.o_orderkey,
+        )
+        got = sorted(df.collect(), key=lambda r: r.o_orderkey)
+        assert len(got) == len(want) > 0
+        for a, b in zip(got, want):
+            assert a.o_orderkey == b.o_orderkey and a.n_items == b.n_items
+            assert abs(a.revenue - b.revenue) < 1e-6
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {li_tbl}")
