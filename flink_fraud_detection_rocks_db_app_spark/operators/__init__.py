@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     detectors,
     multimodal,
     olap,
+    pipeline,
     relational,
     similarity,
     stateful,

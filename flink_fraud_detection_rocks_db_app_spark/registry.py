@@ -78,11 +78,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "alert_tumble_sum_3s_gt_10000",
     "union_max_by",
     "max_by_amount",
-    # §2 contract operators T3 / F5 / F3 (batch-equivalent forms)
+    # §2 contract operators T3 / F5 / F3 (batch-equivalent forms; the
+    # global T3 variant sits past the window — same operator as user_1d_3)
     "count_or_time_user_1d_3",
-    "count_or_time_global_1h_10",
     "running_sum_alerts_gt_10000",
     "running_mean_alerts_gt_90",
+    # flagship extension composition (quality -> dedup -> report)
+    "corpus_prep_pipeline",
     # multimodal pillar
     "multimodal_metadata",
     "multimodal_features",

@@ -91,3 +91,34 @@ def bucketed_order_revenue(
             F.count("*").alias("n_items"),
         )
     )
+
+
+def write_date_partitioned_events(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> str:
+    """Write the events fixture partitioned by event DATE (`ds=`
+    directories) — the standard time-partitioned lake layout.
+
+    At 100 TB this is the first line of defense: any query with a date
+    predicate prunes whole partitions at PLANNING time (zero I/O for
+    excluded days), and ingestion appends to the newest partition
+    without touching history. Date is derived from the epoch-micros
+    instant (UTC days) so pruning semantics are timezone-free, matching
+    the engine's epoch-integer window convention.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("account_id"),
+        F.col("ts").alias("t_ns"),
+        F.col("value").alias("amount"),
+        "event_id",
+        F.to_date(F.timestamp_micros(F.expr("ts div 1000"))).alias("ds"),
+    )
+    ev.write.mode("overwrite").partitionBy("ds").parquet(out_dir)
+    return out_dir
+
+
+def read_events_for_day(spark: SparkSession, path: str, day: str) -> DataFrame:
+    """Daily slice of the partitioned layout. The `ds = day` predicate
+    is a partition filter — it never reaches row-level evaluation
+    (asserted against PartitionFilters in tests/test_plans.py)."""
+    return spark.read.parquet(path).where(F.col("ds") == day)

@@ -222,6 +222,24 @@ def test_exact_dedup_finds_duplicates_at_sf01():
     assert n - d == 8
 
 
+def test_prep_pipeline_dedup_stage_fires_at_sf01():
+    """corpus_prep_pipeline's dedup stage must actually remove rows at
+    sf0.1 (the only sf with exact dups). Checked through the DuckDB
+    oracle (cheap); Spark parity is covered by the oracle gate."""
+    import duckdb
+
+    from flink_fraud_detection_rocks_db_app_spark.registry import all_queries
+    from flink_fraud_detection_rocks_db_app_spark.testing import duck_con
+
+    con = duck_con("/root/testdata/sf0.1")
+    rows = con.execute(all_queries()["corpus_prep_pipeline"].oracle).fetchall()
+    cols = [d[0] for d in con.description]
+    dups = sum(r[cols.index("n_dups_removed")] for r in rows)
+    n_docs = sum(r[cols.index("n_docs")] for r in rows)
+    assert dups > 0, "dedup stage removed nothing at sf0.1"
+    assert n_docs < 5000, "quality filter kept everything"
+
+
 def test_ivf_mechanics(spark):
     """IVF ANN: <= top-k per query, descending cosines consistent with
     the exact computation, and candidates restricted to probed cells

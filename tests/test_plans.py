@@ -175,3 +175,48 @@ def test_bucketed_join_has_no_exchange(spark, scratch):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {li_tbl}")
+
+
+def test_date_partition_pruning(spark, scratch):
+    """Time-partitioned lake layout: a ds predicate must show up as a
+    PartitionFilter (planning-time pruning), read only that day's
+    files, and return exactly that day's rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_fraud_detection_rocks_db_app_spark.warehouse import (
+        read_events_for_day,
+        write_date_partitioned_events,
+    )
+
+    path = write_date_partitioned_events(
+        spark, SF_SMALL, os.path.join(scratch, "events_by_day")
+    )
+    days = sorted(
+        d.ds.isoformat() for d in spark.read.parquet(path).select("ds").distinct().collect()
+    )
+    assert len(days) > 1, "fixture spans a single day; pruning untestable"
+    day = days[len(days) // 2]
+
+    df = read_events_for_day(spark, path, day)
+    plan = explain_str(df)
+    part_filters = plan.split("PartitionFilters", 1)
+    assert len(part_filters) == 2 and "ds" in part_filters[1][:200], plan
+    # ds must be ONLY a partition filter — if it leaked into DataFilters
+    # the pruning would be row-level, not planning-time (an absent
+    # DataFilters line means no row filters at all, which is also fine)
+    data_filters = plan.split("DataFilters", 1)
+    assert len(data_filters) == 1 or "ds" not in data_filters[1].split("]", 1)[0], plan
+
+    # cross-check against the unpartitioned fixture: same day, same rows
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+
+    want = (
+        load(spark, SF_SMALL, "events")
+        .where(
+            F.to_date(F.timestamp_micros(F.expr("ts div 1000"))) == F.lit(day)
+        )
+        .count()
+    )
+    assert df.count() == want > 0
