@@ -188,3 +188,25 @@ def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, v)",
     )
+
+
+@register(
+    "approx_value_quantiles_by_type",
+    oracle=None,  # KLL/GK-style sketches differ across engines by
+    # design; accuracy vs the exact quantiles is bounded in
+    # tests/test_extensions.py::test_approx_quantiles_bound
+    doc="approx_percentile (accuracy 10000, i.e. rank error <= 1/10000) "
+    "per event_type — the single-pass mergeable-sketch path for 100 TB "
+    "percentiles, where exact quantiles would need a full sort per group; "
+    "paired with the exact `value_quantiles_by_type` as its truth anchor",
+    tags=("batch", "approx"),
+)
+def approx_value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("p50"),
+            F.percentile_approx("value", 0.95, 10000).alias("p95"),
+        )
+    )

@@ -52,3 +52,28 @@ def alert_stream(agg_stream: DataFrame, threshold: float, value_col: str = "sum_
     """F2: stateless threshold on the windowed aggregate -> alerts
     (reference: master/src/main/java/InorderTumblingWindow/FraudDetector2.java:14-31)."""
     return agg_stream.where(F.col(value_col) > threshold)
+
+
+def session_agg_stream(
+    stream: DataFrame,
+    gap_ms: int,
+    watermark: str = IN_ORDER,
+    key: str | None = "account_id",
+) -> DataFrame:
+    """Streaming session windows: watermark -> session_window(gap) ->
+    aggregate. Sessions MERGE as events arrive (Spark keeps per-key
+    open sessions in the state store and the watermark closes them) —
+    the merging-window capability the reference's custom trigger
+    machinery was built toward, as one declarative operator. Output
+    columns match the batch `session_sum_*` builders so stream==batch
+    equality is a direct compare.
+    """
+    win = F.session_window("event_time", f"{gap_ms} milliseconds")
+    keys = [win.alias("w")] + ([F.col(key)] if key else [])
+    out = stream.withWatermark("event_time", watermark).groupBy(*keys).agg(
+        F.sum("amount").alias("sum_amount"), F.count("*").alias("n_events")
+    )
+    cols = [F.unix_millis(F.col("w.start")).alias("w_start")]
+    if key:
+        cols.append(F.col(key))
+    return out.select(*cols, "sum_amount", "n_events")

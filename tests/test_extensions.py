@@ -255,3 +255,35 @@ def test_ivf_mechanics(spark):
     for q, cs in per_q.items():
         assert len(cs) <= 5
         assert cs == sorted(cs, reverse=True)
+
+
+def test_approx_quantiles_bound(spark):
+    """approx_value_quantiles_by_type has no cross-engine oracle (the
+    sketch is engine-specific) — bound it the way the sketch is
+    specified: by RANK error. The approx p50/p95 must fall between the
+    exact p48/p52 and p93/p97 respectively (the sketch returns an
+    actual data point, so value-relative bounds are wrong for small
+    groups where adjacent order statistics are far apart)."""
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+
+    brackets = (
+        load(spark, SF_SMALL, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.48)").alias("lo50"),
+            F.expr("percentile(value, 0.52)").alias("hi50"),
+            F.expr("percentile(value, 0.93)").alias("lo95"),
+            F.expr("percentile(value, 0.97)").alias("hi95"),
+        )
+        .collect()
+    )
+    exact = {r.event_type: r for r in brackets}
+    approx = {
+        r.event_type: (r.p50, r.p95)
+        for r in _rows(spark, "approx_value_quantiles_by_type")
+    }
+    assert set(exact) == set(approx)
+    for k, e in exact.items():
+        a50, a95 = approx[k]
+        assert e.lo50 <= a50 <= e.hi50, (k, a50, e.lo50, e.hi50)
+        assert e.lo95 <= a95 <= e.hi95, (k, a95, e.lo95, e.hi95)

@@ -326,3 +326,53 @@ def test_complete_mode_global_aggregate(spark, scratch):
     }
     assert set(got) == set(want)
     assert all(abs(got[k] - want[k]) < 1e-9 for k in want)
+
+
+def test_stream_session_windows_equal_batch(spark, scratch):
+    """Streaming session windows (6h gap, merging state) must emit
+    exactly the batch session result for sessions the final watermark
+    closed — and nothing that contradicts batch."""
+    from flink_fraud_detection_rocks_db_app_spark.streaming.jobs import (
+        session_agg_stream,
+    )
+
+    GAP_MS = 6 * 3_600_000
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=6)
+    stream = read_replay_stream(spark, chunks)
+    agg = session_agg_stream(stream, GAP_MS, watermark=IN_ORDER)
+    run_to_memory(agg, "t_sessions")
+    got = {
+        (r.w_start, r.account_id): (r.sum_amount, r.n_events)
+        for r in spark.table("t_sessions").collect()
+    }
+    assert got, "no sessions emitted"
+
+    # batch reference WITH session end times (end = last event + gap)
+    batch = (
+        transactions(spark, SF_SMALL)
+        .groupBy(
+            F.session_window("event_time", "6 hours").alias("w"), "account_id"
+        )
+        .agg(F.sum("amount").alias("sum_amount"), F.count("*").alias("n_events"))
+        .select(
+            F.unix_millis("w.start").alias("w_start"),
+            F.unix_millis("w.end").alias("w_end"),
+            "account_id",
+            "sum_amount",
+            "n_events",
+        )
+        .collect()
+    )
+    full = {(r.w_start, r.account_id): (r.sum_amount, r.n_events) for r in batch}
+
+    # every emitted session must match batch exactly
+    for k, (s, n) in got.items():
+        assert k in full, k
+        assert n == full[k][1] and abs(s - full[k][0]) < 1e-9, k
+    # every session closed strictly before the final watermark must be out
+    wm = _max_t_ms(spark)
+    closed = {
+        (r.w_start, r.account_id) for r in batch if r.w_end < wm
+    }
+    missing = closed - set(got)
+    assert not missing, f"closed sessions never emitted: {sorted(missing)[:5]}"
