@@ -203,3 +203,61 @@ def test_stateful_detector_checkpoint_restart(spark, scratch):
         want[:3],
     )
     assert all(abs(g[2] - w[2]) < 1e-9 for g, w in zip(got, want))
+
+
+def test_foreach_batch_idempotent_sink(spark, scratch):
+    """foreachBatch exactly-once contract: (a) double delivery of the
+    same batchId leaves exactly one copy (idempotent overwrite);
+    (b) a stop/restart streaming run through the sink produces the
+    batch-equivalent result with no duplicates."""
+    from flink_fraud_detection_rocks_db_app_spark.streaming.sinks import (
+        foreach_batch_idempotent_parquet,
+        read_idempotent_sink,
+    )
+
+    # (a) direct double delivery
+    out_a = os.path.join(scratch, "sink_a")
+    fn = foreach_batch_idempotent_parquet(out_a)
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    fn(df, 7)
+    fn(df, 7)  # re-delivery after a simulated crash
+    landed = read_idempotent_sink(spark, out_a)
+    assert landed.count() == 100
+    assert landed.select("batch_id").distinct().collect()[0][0] == 7
+
+    # (b) streaming restart through the sink
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=6)
+    files = sorted(glob.glob(os.path.join(chunks, "*.parquet")))
+    live = os.path.join(scratch, "live_fb")
+    out = os.path.join(scratch, "sink_b")
+    ckpt = os.path.join(scratch, "ckpt_fb")
+    os.makedirs(live)
+
+    def run_once():
+        stream = read_replay_stream(spark, live)
+        alerts = stream.where(F.col("amount") > 900)
+        q = (
+            alerts.writeStream.outputMode("append")
+            .foreachBatch(foreach_batch_idempotent_parquet(out))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    for f in files[:3]:
+        shutil.copy2(f, live)
+    run_once()
+    for f in files[3:]:
+        shutil.copy2(f, live)
+    run_once()
+
+    got = sorted(
+        r.event_id for r in read_idempotent_sink(spark, out).collect()
+    )
+    want = sorted(
+        r.event_id
+        for r in read_replay_batch(spark, chunks).where(F.col("amount") > 900).collect()
+    )
+    assert got == want, (len(got), len(want))

@@ -289,3 +289,89 @@ def test_transform_with_state_equals_apply_in_pandas(spark, scratch):
     assert len(got) > 0
     assert [g[:2] for g in got] == [w[:2] for w in want]
     assert all(abs(g[2] - w[2]) < 1e-9 for g, w in zip(got, want))
+
+
+def test_stream_stream_interval_join_left_outer(spark, scratch):
+    """LEFT OUTER stream-stream interval join: matched pairs must agree
+    with the batch interval join; clicks with no purchase inside the
+    7-day bound must emit a null-padded row once the watermark clears
+    their interval (Spark holds the left row in state exactly that
+    long — the watermark-bounded outer-join contract)."""
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=6)
+
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+
+    types = load(spark, SF_SMALL, "events").select("event_id", "event_type")
+
+    def typed_stream():
+        return read_replay_stream(spark, chunks).join(F.broadcast(types), "event_id")
+
+    c = (
+        typed_stream()
+        .where(F.col("event_type") == "click")
+        .select(
+            "account_id",
+            F.col("event_time").alias("c_time"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_time", "0 seconds")
+    )
+    p = (
+        typed_stream()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("account_id").alias("p_user"),
+            F.col("event_time").alias("p_time"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_time", "0 seconds")
+    )
+    joined = c.join(
+        p,
+        (F.col("account_id") == F.col("p_user"))
+        & (F.col("p_time") > F.col("c_time"))
+        & (F.col("p_time") <= F.col("c_time") + F.expr("INTERVAL 7 DAYS")),
+        "leftOuter",
+    ).select("account_id", "click_id", "purchase_id")
+    run_to_memory(joined, "t_ssj_outer")
+    rows = spark.table("t_ssj_outer").collect()
+    got_matched = {
+        (r.account_id, r.click_id, r.purchase_id)
+        for r in rows
+        if r.purchase_id is not None
+    }
+    got_unmatched = {r.click_id for r in rows if r.purchase_id is None}
+
+    from flink_fraud_detection_rocks_db_app_spark.registry import all_queries
+
+    want = {
+        (r.account_id, r.click_id, r.purchase_id)
+        for r in all_queries()["interval_join_click_purchase"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert got_matched <= want, sorted(got_matched - want)[:3]
+    matched_clicks = {k[1] for k in want}
+    # no click may be reported both matched and null-padded wrongly:
+    # null rows must be exactly clicks with zero in-bound purchases
+    assert not (got_unmatched & matched_clicks), sorted(
+        got_unmatched & matched_clicks
+    )[:3]
+    # watermark-safe unmatched clicks must have emitted a null row
+    batch = read_replay_batch(spark, chunks)
+    max_ms = batch.agg(F.max(F.unix_millis("event_time"))).collect()[0][0]
+    click_times = {
+        r.event_id: r.t_ms
+        for r in batch.join(F.broadcast(types), "event_id")
+        .where(F.col("event_type") == "click")
+        .select("event_id", F.unix_millis("event_time").alias("t_ms"))
+        .collect()
+    }
+    safe_unmatched = {
+        cid
+        for cid, t in click_times.items()
+        if cid not in matched_clicks and t + 7 * 86_400_000 < max_ms - 86_400_000
+    }
+    missing = safe_unmatched - got_unmatched
+    assert not missing, sorted(missing)[:3]
+    assert got_unmatched, "no null-padded rows emitted at all"
