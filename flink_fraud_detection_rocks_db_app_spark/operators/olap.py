@@ -210,3 +210,66 @@ def approx_value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFram
             F.percentile_approx("value", 0.95, 10000).alias("p95"),
         )
     )
+
+
+@register(
+    "grouping_sets_events",
+    oracle="""
+SELECT event_type,
+       CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day_no,
+       GROUPING(event_type, day_no) AS gid,
+       COUNT(*) AS n, SUM(value) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (day_no), (event_type, day_no))
+""",
+    doc="Explicit GROUPING SETS (the primitive CUBE/ROLLUP expand to) "
+    "with grouping_id disambiguating NULL-as-subtotal from NULL data — "
+    "three grouping sets in ONE pass over the scan (Spark Expand node), "
+    "not three scans unioned",
+    tags=("batch", "grouping_sets"),
+)
+def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(ts div 86400000000000 AS BIGINT)").alias("day_no"),
+        "value",
+    )
+    ev.createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, day_no,
+               CAST(grouping_id(event_type, day_no) AS BIGINT) AS gid,
+               COUNT(*) AS n, SUM(value) AS sum_value
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type), (day_no), (event_type, day_no))
+        """
+    )
+
+
+@register(
+    "order_value_distribution",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       round(percent_rank() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice, o_orderkey), 6)
+         AS pct_rank,
+       ntile(10) OVER (PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice, o_orderkey) AS decile
+FROM orders
+""",
+    doc="Analytic window functions: percent_rank + ntile deciles per "
+    "order status (orderkey tiebreak makes ranks deterministic; "
+    "percent_rank rounded 6dp). One shuffle keyed by the partition "
+    "column, sort within partitions",
+    tags=("batch", "window_function"),
+)
+def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )

@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 
 import pytest
@@ -28,6 +29,10 @@ def duck():
 
 @pytest.fixture()
 def scratch(request):
+    # Fresh per run: stale checkpoints/sink dirs from a previous pytest
+    # invocation would otherwise leak into restart-semantics tests.
     d = os.path.join(SCRATCH, request.node.name)
-    os.makedirs(d, exist_ok=True)
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    os.makedirs(d)
     return d
