@@ -4,9 +4,14 @@
 T3 is fully SQL-expressible on batch data: FIRE_AND_PURGE at every
 maxCount-th element chops each (key, window) into deterministic
 segments of maxCount events ((row_number-1) / maxCount), so it gets a
-real DuckDB oracle. F3/F5 resets depend on running *values*, which SQL
-window functions cannot express — those are rows-only checks here plus
-Python-golden tests in tests/test_stateful.py.
+real DuckDB oracle. F3/F5 resets depend on running *values*, beyond
+SQL window functions — but a RECURSIVE CTE stepping each account one
+event at a time (join on rn = rn + 1) expresses the exact fold, and
+because both sides do the same IEEE double adds in the same per-key
+order, the oracle matches bit-for-bit (see sql_running_alerts).
+Recursion depth = max events per key (~100 in the fixture), so the
+oracle stays cheap. Python-golden tests in tests/test_stateful.py
+cover the same semantics independently.
 """
 
 from __future__ import annotations
@@ -102,9 +107,53 @@ def count_or_time_user_1d_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_running_alerts(threshold: float, mean: bool) -> str:
+    """Recursive-CTE oracle for the F3/F5 reset-on-alert folds.
+
+    Steps every account one event at a time (equi-join on rn = rn + 1;
+    iterations = max events per key, ~100 on the fixture). The running
+    sum restarts at 0 after a fired row, exactly like the Python fold;
+    identical add/divide order per key makes agg_value bit-identical
+    between DuckDB and the Spark-side pandas fold — the driver's
+    value-hash gate passes exactly, no tolerance needed."""
+    if mean:
+        seed_state = "amount AS s, 1 AS c, amount > {thr} AS fired"
+        step_state = (
+            "(CASE WHEN f.fired THEN 0.0 ELSE f.s END) + n.amount AS s, "
+            "(CASE WHEN f.fired THEN 0 ELSE f.c END) + 1 AS c, "
+            "((CASE WHEN f.fired THEN 0.0 ELSE f.s END) + n.amount) "
+            "/ ((CASE WHEN f.fired THEN 0 ELSE f.c END) + 1) > {thr} AS fired"
+        )
+        emit = "s / c"
+    else:
+        seed_state = "amount AS s, amount > {thr} AS fired"
+        step_state = (
+            "(CASE WHEN f.fired THEN 0.0 ELSE f.s END) + n.amount AS s, "
+            "((CASE WHEN f.fired THEN 0.0 ELSE f.s END) + n.amount) > {thr} AS fired"
+        )
+        emit = "s"
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT user_id AS account_id,
+         epoch_ms(ts) AS t_ms,
+         CAST(value AS DOUBLE) AS amount,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+fold AS (
+  SELECT account_id, rn, t_ms, {seed_state}
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT n.account_id, n.rn, n.t_ms, {step_state}
+  FROM fold f JOIN e n ON n.account_id = f.account_id AND n.rn = f.rn + 1
+)
+SELECT account_id, t_ms, {emit} AS agg_value FROM fold WHERE fired
+""".format(thr=threshold)
+
+
 @register(
     "running_sum_alerts_gt_500",
-    oracle=None,  # reset depends on running values: not SQL-expressible
+    oracle=sql_running_alerts(500.0, mean=False),
     doc="F5: per-key running sum, alert + state reset when sum > 500 "
     "(reference: workspace/frauddetection/src/main/java/spendreport/FraudDetector.java:29-46); "
     "threshold fixture-calibrated; golden-tested in tests/test_stateful.py "
@@ -117,7 +166,7 @@ def running_sum_alerts_gt_500(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "running_sum_alerts_gt_10000",
-    oracle=None,
+    oracle=sql_running_alerts(10_000.0, mean=False),
     doc="F5 at the reference's exact threshold (10000) — empty on the "
     "fixture, like the reference on its own source",
     tags=("detector", "stateful", "parity"),
@@ -128,7 +177,7 @@ def running_sum_alerts_gt_10000(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "running_mean_alerts_gt_90",
-    oracle=None,
+    oracle=sql_running_alerts(90.0, mean=True),
     doc="F3: per-key running mean, alert + reset when mean > 90 "
     "(reference: TumblingWindowWithTest/src/main/java/spendreport/FraudDetectorSliding.java:33-71)",
     tags=("detector", "stateful"),
