@@ -14,5 +14,6 @@ from . import (  # noqa: F401
     stateful,
     text,
     timeseries,
+    tpch,
     windows,
 )
