@@ -3,6 +3,12 @@ stateful detectors, metrics listener."""
 
 from .jobs import IN_ORDER, OUT_OF_ORDER_5S, alert_stream, windowed_agg_stream  # noqa: F401
 from .listener import JobMetrics, MetricsListener  # noqa: F401
+from .rollup import (  # noqa: F401
+    continuous_rollup_sink,
+    daily_rollup_stream,
+    read_rollup,
+    run_continuous_rollup,
+)
 from .replay import (  # noqa: F401
     read_replay_batch,
     read_replay_stream,

@@ -261,3 +261,54 @@ def test_foreach_batch_idempotent_sink(spark, scratch):
         for r in read_replay_batch(spark, chunks).where(F.col("amount") > 900).collect()
     )
     assert got == want, (len(got), len(want))
+
+
+def test_continuous_rollup_maintains_daily_table(spark, scratch):
+    """Continuous aggregate: the streamed day-partitioned rollup table
+    equals the batch daily rollup after full replay, is queryable (and
+    correct-so-far) mid-stream, and the sink merge is idempotent under
+    batch re-delivery."""
+    from flink_fraud_detection_rocks_db_app_spark.streaming import (
+        continuous_rollup_sink,
+        daily_rollup_stream,
+        read_rollup,
+        run_continuous_rollup,
+    )
+    from flink_fraud_detection_rocks_db_app_spark.streaming.rollup import DAY_MS
+
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=6)
+    files = sorted(glob.glob(os.path.join(chunks, "*.parquet")))
+    live = os.path.join(scratch, "live_cr")
+    table = os.path.join(scratch, "rollup")
+    ckpt = os.path.join(scratch, "ckpt_cr")
+    os.makedirs(live)
+
+    def batch_rollup(src_dir):
+        return (
+            read_replay_batch(spark, src_dir)
+            .groupBy(
+                (F.unix_millis("event_time") / DAY_MS).cast("long").alias("day"),
+                "account_id",
+            )
+            .agg(F.sum("amount").alias("sum_amount"), F.count("*").alias("n_events"))
+        )
+
+    # first half of the replay, then query the table mid-stream
+    for f in files[:3]:
+        shutil.copy2(f, live)
+    run_continuous_rollup(spark, read_replay_stream(spark, live), table, ckpt)
+    mid = {tuple(r) for r in read_rollup(spark, table).collect()}
+    assert mid == {tuple(r) for r in batch_rollup(live).collect()}
+
+    # rest of the replay resumes from the checkpoint
+    for f in files[3:]:
+        shutil.copy2(f, live)
+    run_continuous_rollup(spark, read_replay_stream(spark, live), table, ckpt)
+    final = {tuple(r) for r in read_rollup(spark, table).collect()}
+    assert final == {tuple(r) for r in batch_rollup(live).collect()}
+    assert len(final) > len(mid)
+
+    # re-delivery: merging the complete current values again (what a
+    # restarted query re-sends for its last batch) must be a no-op
+    continuous_rollup_sink(spark, table)(batch_rollup(live), batch_id=999)
+    assert {tuple(r) for r in read_rollup(spark, table).collect()} == final
