@@ -2,3 +2,7 @@
 
 from .rate import rate_transactions  # noqa: F401
 from .kafka import kafka_transactions  # noqa: F401
+from .pydatasource import (  # noqa: F401
+    FraudTransactionsDataSource,
+    register_fraud_source,
+)

@@ -312,3 +312,60 @@ def test_continuous_rollup_maintains_daily_table(spark, scratch):
     # restarted query re-sends for its last batch) must be a no-op
     continuous_rollup_sink(spark, table)(batch_rollup(live), batch_id=999)
     assert {tuple(r) for r in read_rollup(spark, table).collect()} == final
+
+
+def test_python_datasource_batch_and_stream(spark, scratch):
+    """Custom Python DataSource (Spark 4 DataSource V2 API): batch read
+    is partition-parallel and deterministic; the stream form emits the
+    identical sequence micro-batch by micro-batch from integer offsets."""
+    from flink_fraud_detection_rocks_db_app_spark.sources import register_fraud_source
+
+    register_fraud_source(spark)
+
+    batch = (
+        spark.read.format("fraud_transactions")
+        .option("n_rows", 400)
+        .option("partitions", 8)
+        .option("seed", 7)
+        .load()
+    )
+    assert batch.rdd.getNumPartitions() == 8
+    rows = sorted(batch.collect(), key=lambda r: r.event_id)
+    assert len(rows) == 400
+    assert [r.event_id for r in rows] == list(range(400))
+    assert all(0 <= r.account_id < 10 for r in rows)
+    assert all(0.0 <= r.amount < 1000.0 for r in rows)
+    # 10 ev/s cadence: consecutive event ids are 100 ms apart
+    assert (rows[1].event_time - rows[0].event_time).total_seconds() == 0.1
+    # deterministic: a second read is identical
+    assert sorted(batch.collect(), key=lambda r: r.event_id) == rows
+
+    stream = (
+        spark.readStream.format("fraud_transactions")
+        .option("rows_per_batch", 100)
+        .option("seed", 7)
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pyds")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("pyds").count() >= 400:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = sorted(
+        spark.table("pyds").where(F.col("event_id") < 400).collect(),
+        key=lambda r: r.event_id,
+    )
+    # stream offsets n..m replayed exactly the batch rows n..m
+    assert [tuple(r) for r in got] == [tuple(r) for r in rows]
