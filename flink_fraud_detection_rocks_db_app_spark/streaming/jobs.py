@@ -77,3 +77,38 @@ def session_agg_stream(
     if key:
         cols.append(F.col(key))
     return out.select(*cols, "sum_amount", "n_events")
+
+
+def chained_windows_stream(
+    stream: DataFrame,
+    inner_ms: int = 3_600_000,
+    outer_ms: int = 86_400_000,
+    watermark: str = IN_ORDER,
+) -> DataFrame:
+    """Two stateful window aggregations CHAINED in one streaming query
+    (Spark 3.4+ multiple-stateful-operator support): per-account
+    tumbling `inner_ms` sums roll up into per-account `outer_ms`
+    maxima. `window_time()` re-exposes the inner window's event-time
+    so the outer window and its watermark propagate — no intermediate
+    sink, one checkpoint, both state stores in the same micro-batch
+    pipeline. The reference needs two jobs wired through Kafka for
+    this shape; here it is a single declarative plan.
+    """
+    inner = (
+        stream.withWatermark("event_time", watermark)
+        .groupBy(
+            F.window("event_time", f"{inner_ms} milliseconds").alias("w"),
+            "account_id",
+        )
+        .agg(F.sum("amount").alias("hour_sum"))
+    )
+    outer = inner.groupBy(
+        F.window(F.window_time("w"), f"{outer_ms} milliseconds").alias("d"),
+        "account_id",
+    ).agg(F.max("hour_sum").alias("max_hour_sum"), F.count("*").alias("n_hours"))
+    return outer.select(
+        F.unix_millis(F.col("d.start")).alias("d_start"),
+        "account_id",
+        "max_hour_sum",
+        "n_hours",
+    )

@@ -376,3 +376,47 @@ def test_stream_session_windows_equal_batch(spark, scratch):
     }
     missing = closed - set(got)
     assert not missing, f"closed sessions never emitted: {sorted(missing)[:5]}"
+
+
+def test_chained_window_aggs_stream_equals_batch(spark, scratch):
+    """Two chained stateful window aggregations in ONE streaming query
+    (hourly per-account sums -> daily max of those sums). Append-mode
+    emission: every emitted day matches the batch two-level rollup
+    over closed hours, and every day safely closed by the final
+    watermark (day end + inner hour <= wm) was emitted."""
+    from flink_fraud_detection_rocks_db_app_spark.streaming.jobs import (
+        chained_windows_stream,
+    )
+
+    H, D = 3_600_000, 86_400_000
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=6)
+    sdf = chained_windows_stream(read_replay_stream(spark, chunks))
+    run_to_memory(sdf, "chained_out")
+    got = {
+        (r.d_start, r.account_id): (r.max_hour_sum, r.n_hours)
+        for r in spark.table("chained_out").collect()
+    }
+    assert got, "no closed daily windows emitted"
+
+    ev = read_replay_batch(spark, chunks)
+    wm = ev.agg(F.max(F.unix_millis("event_time"))).collect()[0][0]
+    hourly = ev.groupBy(
+        (F.unix_millis("event_time") - F.unix_millis("event_time") % H).alias("h_start"),
+        "account_id",
+    ).agg(F.sum("amount").alias("hour_sum"))
+    closed_hourly = hourly.where(F.col("h_start") + H <= wm)
+    daily = closed_hourly.groupBy(
+        (F.col("h_start") - F.col("h_start") % D).alias("d_start"),
+        "account_id",
+    ).agg(F.max("hour_sum").alias("max_hour_sum"), F.count("*").alias("n_hours"))
+    want = {
+        (r.d_start, r.account_id): (r.max_hour_sum, r.n_hours)
+        for r in daily.collect()
+    }
+    # emitted rows match the batch rollup-over-closed-hours exactly
+    for k, (mx, n) in got.items():
+        assert k in want and want[k][1] == n and abs(want[k][0] - mx) < 1e-9, k
+    # all safely-closed days were emitted
+    closed_days = {k for k in want if k[0] + D + H <= wm}
+    missing = closed_days - set(got)
+    assert not missing, f"closed days never emitted: {sorted(missing)[:5]}"
