@@ -6,3 +6,8 @@ from .pydatasource import (  # noqa: F401
     FraudTransactionsDataSource,
     register_fraud_source,
 )
+from .files import (  # noqa: F401
+    csv_transactions,
+    jsonl_documents,
+    quarantine,
+)

@@ -369,3 +369,45 @@ def test_python_datasource_batch_and_stream(spark, scratch):
     )
     # stream offsets n..m replayed exactly the batch rows n..m
     assert [tuple(r) for r in got] == [tuple(r) for r in rows]
+
+
+def test_jsonl_and_csv_ingestion_roundtrip(spark, scratch):
+    """JSONL documents and CSV transactions read back identical to the
+    parquet fixtures via schema-explicit readers, and malformed lines
+    quarantine into _corrupt instead of failing the read."""
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import (
+        load,
+        transactions_with_id,
+    )
+    from flink_fraud_detection_rocks_db_app_spark.sources import (
+        csv_transactions,
+        jsonl_documents,
+        quarantine,
+    )
+
+    docs = load(spark, SF_SMALL, "documents")
+    jdir = os.path.join(scratch, "docs_jsonl")
+    docs.write.json(jdir)
+    got, bad = quarantine(jsonl_documents(spark, jdir))
+    assert len(bad.collect()) == 0
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in docs.collect()}
+
+    tx = transactions_with_id(spark, SF_SMALL)
+    cdir = os.path.join(scratch, "tx_csv")
+    tx.select(
+        "account_id",
+        F.date_format("event_time", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("event_time"),
+        "amount",
+        "event_id",
+    ).write.option("header", "true").csv(cdir)
+    got_tx, bad_tx = quarantine(csv_transactions(spark, cdir))
+    assert len(bad_tx.collect()) == 0
+    assert {tuple(r) for r in got_tx.collect()} == {tuple(r) for r in tx.collect()}
+
+    # corrupt line quarantines, clean rows survive
+    with open(os.path.join(jdir, "bad.json"), "w") as f:
+        f.write('{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n')
+        f.write("{not json at all\n")
+    got2, bad2 = quarantine(jsonl_documents(spark, jdir))
+    assert len(bad2.collect()) == 1
+    assert len(got2.collect()) == docs.count() + 1
