@@ -46,6 +46,12 @@ HEADLINE = [
     "moving_avg_5_events",
     "resample_daily_gapfill",
     "cube_order_counts",
+    # round 2 additions (extend-only; earlier entries keep their names
+    # so BENCH_r{N} totals stay comparable): subquery-decorrelation
+    # shapes and the multi-grouping-set Expand
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q21_suppliers_kept_waiting",
+    "grouping_sets_events",
 ]
 
 

@@ -273,3 +273,61 @@ def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.ntile(10).over(w).cast("long").alias("decile"),
     )
+
+
+@register(
+    "lineitem_price_stats_by_flag",
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(stddev_samp(l_extendedprice), 6) AS price_stddev,
+       round(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_covar,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Statistical aggregates (Pearson corr, sample stddev/covar) per "
+    "returnflag — single hash-aggregate pass, all moments accumulated "
+    "map-side (outputs rounded 6 dp: cross-engine summation order "
+    "differs in the last bits)",
+    tags=("batch", "aggregate", "stats"),
+)
+def lineitem_price_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.stddev_samp("l_extendedprice"), 6).alias("price_stddev"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_covar"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "event_value_histogram",
+    oracle="""
+SELECT event_type,
+       CAST(FLOOR(value / 100.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       SUM(value) AS sum_value
+FROM events
+GROUP BY event_type, bucket
+""",
+    doc="Fixed-width value histogram per event type (bucket = "
+    "floor(value/100), identical IEEE division+floor in both engines "
+    "so the bucket gate is fp-safe) — the groupBy feeding a dashboard "
+    "heatmap; one shuffle keyed on (type, bucket)",
+    tags=("batch", "aggregate", "histogram"),
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 100.0).cast("long").alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    )

@@ -97,8 +97,15 @@ def test_ann_broadcasts_queries(spark):
 
 
 # Queries that legitimately use a broadcast nested-loop join: small
-# broadcast side with a non-equi predicate (documented exact baselines).
-BNLJ_OK = {"ann_cosine_topk", "ann_lsh_buckets", "ann_ivf_topk"}
+# broadcast side with a non-equi predicate (documented exact baselines),
+# or a single-row scalar-subquery broadcast (q22's AVG threshold — a
+# 1-row build side is free at any scale).
+BNLJ_OK = {
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+    "ann_ivf_topk",
+    "tpch_q22_dormant_high_balance",
+}
 # Queries whose semantics REQUIRE Python (documented; Arrow-batched).
 PYTHON_OK = {
     "running_sum_alerts_gt_500",
