@@ -360,3 +360,113 @@ def dedup_ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(j >= 0.5)
         .select("doc_a", "doc_b", j.alias("jaccard"))
     )
+
+
+_PRUNED_PAIRS_DUCK = f"""
+t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM t),
+ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+dfc AS (SELECT s, COUNT(*) AS df FROM ex0 GROUP BY 1),
+ex AS (SELECT doc_id, s FROM ex0 JOIN dfc USING (s) WHERE df <= {MAXDF}),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1),
+prs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dup_pairs AS (
+  SELECT doc_a, doc_b
+  FROM prs
+  JOIN sz sa ON doc_a = sa.doc_id
+  JOIN sz sb ON doc_b = sb.doc_id
+  WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5
+)
+"""
+
+
+def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
+                         max_iters: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    every node repeatedly takes min(own label, neighbours' labels)
+    until a fixpoint. Iterations = O(component diameter) — near-dup
+    clusters are shallow (a handful of hops even in pathological
+    chains), so this converges in 2-4 rounds; each round is ONE
+    shuffle keyed on the node id plus a broadcast-or-shuffle join of
+    the (node, label) frame. `localCheckpoint` truncates the loop's
+    lineage so the plan doesn't grow exponentially — the standard
+    Spark idiom for iterative algorithms (same shape as GraphX's
+    DataFrame CC). Returns (node, label) with label = min node id of
+    the component."""
+    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")).union(
+        pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=True)
+    total = labels.agg(F.sum("label")).collect()[0][0]
+    if total is None:  # no edges at all
+        return labels
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_total = labels.agg(F.sum("label")).collect()[0][0]
+        if new_total == total:  # min-label sum is monotone decreasing
+            return labels
+        total = new_total
+    raise RuntimeError(f"connected_components did not converge in {max_iters} iters")
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_PRUNED_PAIRS_DUCK},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM dup_pairs
+),
+reach AS (
+  SELECT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY 1)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS keep
+FROM lab
+""",
+    doc="Dedup CLUSTERING: connected components over the DF-pruned "
+    "near-dup pairs (keep = canonical min-id member; everything else "
+    "is the drop list — the step that turns pairwise similarity into "
+    "an actionable dedup of the corpus). Spark side is iterative "
+    "min-label propagation (O(diameter) rounds, one keyed shuffle "
+    "each); the oracle expresses the same fixpoint as a recursive-CTE "
+    "transitive closure, tractable because pruned dup components are "
+    "tiny",
+    tags=("dedup", "iterative", "graph"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_ngram_jaccard_pruned(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).withColumn("cluster_size", F.count("*").over(w)).withColumn(
+        "keep", F.col("doc_id") == F.col("cluster_id")
+    )

@@ -287,3 +287,27 @@ def test_approx_quantiles_bound(spark):
         a50, a95 = approx[k]
         assert e.lo50 <= a50 <= e.hi50, (k, a50, e.lo50, e.hi50)
         assert e.lo95 <= a95 <= e.hi95, (k, a95, e.lo95, e.hi95)
+
+
+def test_connected_components_min_label(spark):
+    """CC on a synthetic graph: a 5-chain (worst-case diameter), a
+    triangle, and a 2-clique resolve to min-id labels; a node id
+    ordering adversarial to propagation direction still converges."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(9, 8), (8, 7), (7, 6), (6, 5),   # chain, min at the far end
+         (20, 21), (21, 22), (20, 22),     # triangle
+         (30, 31)],                        # pair
+        "doc_a long, doc_b long",
+    )
+    got = {(r.node, r.label) for r in connected_components(pairs).collect()}
+    want = {(n, 5) for n in (5, 6, 7, 8, 9)} | {(n, 20) for n in (20, 21, 22)} | {
+        (30, 30), (31, 31 - 1),
+    }
+    assert got == want
+
+    empty = pairs.where("doc_a < 0")
+    assert connected_components(empty).count() == 0
