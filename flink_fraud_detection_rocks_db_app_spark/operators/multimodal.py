@@ -186,3 +186,69 @@ def multimodal_feature_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.element_at("feature", 1)).alias("avg_f0"),
         )
     )
+
+
+FRAME_LEN = 64  # bytes per "frame"
+FRAME_EVERY = 4  # keep every 4th frame
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(payload: bytes, frame_len: int = FRAME_LEN, every: int = FRAME_EVERY):
+    """STUB frame sampler: treats the payload as a contiguous frame
+    stream (frame = `frame_len`-byte slice) and keeps every `every`-th
+    frame — the plumbing shape of video keyframe sampling (a real
+    deployment swaps the byte slicing for an ffmpeg seek+decode; the
+    stride logic, batch shape, and downstream schema do not move)."""
+    import hashlib
+
+    n_frames = (len(payload) + frame_len - 1) // frame_len
+    for fno in range(0, n_frames, every):
+        chunk = payload[fno * frame_len : (fno + 1) * frame_len]
+        yield fno, n_frames, hashlib.md5(chunk).hexdigest()
+
+
+@register(
+    "multimodal_frame_sample",
+    # byte slice == char slice on the pure-ASCII fixture payloads, so
+    # the sampled frames (and their md5s) are exactly expressible in
+    # SQL — full value-hash oracle for the sampling plumbing.
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id, text,
+         CAST((length(text) + {FRAME_LEN - 1}) // {FRAME_LEN} AS BIGINT) AS n_frames,
+         unnest(range(0, CAST((length(text) + {FRAME_LEN - 1}) // {FRAME_LEN} AS BIGINT), {FRAME_EVERY})) AS frame_no
+  FROM documents
+)
+SELECT doc_id, frame_no, n_frames,
+       md5(substr(text, frame_no * {FRAME_LEN} + 1, {FRAME_LEN})) AS frame_md5
+FROM f
+""",
+    doc=f"Frame sampling over binary payloads: every {FRAME_EVERY}th "
+    f"{FRAME_LEN}-byte frame per document via mapInPandas (Arrow "
+    "batches, scan-local — payloads never shuffle; only the small "
+    "(doc_id, frame_no, md5) rows leave the scan stage). The decode "
+    "is the documented byte-slice stand-in for keyframe extraction",
+    tags=("multimodal", "frame_sample"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for fno, n_frames, h in sample_frames(bytes(payload)):
+                    rows.append((doc_id, fno, n_frames, h))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_no", "n_frames", "frame_md5"]
+            )
+
+    return m.mapInPandas(extract, FRAME_SCHEMA)

@@ -113,6 +113,7 @@ PYTHON_OK = {
     "running_mean_alerts_gt_90",
     "multimodal_features",
     "multimodal_feature_agg",
+    "multimodal_frame_sample",
 }
 
 
