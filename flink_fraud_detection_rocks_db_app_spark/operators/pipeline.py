@@ -91,3 +91,96 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.avg("quality").alias("avg_quality"),
     )
+
+
+@register(
+    "dq_audit",
+    oracle="""
+SELECT 'events_null_type' AS check_name,
+       CAST(COUNT(*) FILTER (event_type IS NULL) AS BIGINT) AS n_violations
+FROM events
+UNION ALL
+SELECT 'events_value_out_of_range',
+       CAST(COUNT(*) FILTER (value < 0 OR value > 1000) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'events_dup_event_id',
+       CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'orders_orphan_customer', CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'lineitem_orphan_order', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'lineitem_ship_before_order', CAST(COUNT(*) AS BIGINT)
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate < o_orderdate
+UNION ALL
+SELECT 'documents_empty_text', CAST(COUNT(*) FILTER (length(text) = 0) AS BIGINT)
+FROM documents
+""",
+    doc="Data-quality audit: one (check_name, n_violations) row per "
+    "expectation — null keys, domain ranges, duplicate primary keys, "
+    "referential integrity (anti-joins on the join keys the warehouse "
+    "buckets by), and cross-table temporal sanity. Each check is a "
+    "scan-local conditional count or a keyed anti-join; the union is "
+    "of 7 single-row aggregates, so the audit costs one pass over "
+    "each fact table regardless of corpus size",
+    tags=("batch", "pipeline", "quality"),
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    docs = load(spark, sf_dir, "documents")
+
+    def one(name, df):
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.count("*").alias("n_violations"),
+        )
+
+    null_type = ev.agg(
+        F.count(F.when(F.col("event_type").isNull(), 1)).alias("n")
+    ).select(F.lit("events_null_type").alias("check_name"), F.col("n").alias("n_violations"))
+    out_of_range = ev.agg(
+        F.count(F.when((F.col("value") < 0) | (F.col("value") > 1000), 1)).alias("n")
+    ).select(
+        F.lit("events_value_out_of_range").alias("check_name"),
+        F.col("n").alias("n_violations"),
+    )
+    dup_ids = ev.agg(
+        (F.count("*") - F.count_distinct("event_id")).alias("n")
+    ).select(
+        F.lit("events_dup_event_id").alias("check_name"), F.col("n").alias("n_violations")
+    )
+    orphan_orders = one(
+        "orders_orphan_customer",
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti"),
+    )
+    orphan_items = one(
+        "lineitem_orphan_order",
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti"),
+    )
+    ship_before = one(
+        "lineitem_ship_before_order",
+        li.join(orders, li.l_orderkey == orders.o_orderkey).where(
+            F.col("l_shipdate") < F.col("o_orderdate")
+        ),
+    )
+    empty_docs = docs.agg(
+        F.count(F.when(F.length("text") == 0, 1)).alias("n")
+    ).select(
+        F.lit("documents_empty_text").alias("check_name"), F.col("n").alias("n_violations")
+    )
+    return (
+        null_type.unionByName(out_of_range)
+        .unionByName(dup_ids)
+        .unionByName(orphan_orders)
+        .unionByName(orphan_items)
+        .unionByName(ship_before)
+        .unionByName(empty_docs)
+    )
