@@ -46,9 +46,18 @@ WINDOW_SUM_SCHEMA = T.StructType(
 )
 
 
+def _with_epoch(df: DataFrame) -> DataFrame:
+    """JVM-side epoch column for the pandas folds. Arrow hands Spark
+    timestamps to pandas as session-LOCAL naive datetimes, so int64
+    arithmetic on them is an epoch only when the session timezone is
+    UTC — in any other timezone it is off by the UTC offset (caught by
+    the non-UTC parity probe). `unix_micros` is timezone-free."""
+    return df.withColumn("t_us", F.unix_micros("event_time"))
+
+
 def _sorted_arrays(pdf: pd.DataFrame):
-    pdf = pdf.sort_values(["event_time", "event_id"], kind="mergesort")
-    t_ms = (pdf["event_time"].astype("int64") // 1_000_000).to_numpy()
+    pdf = pdf.sort_values(["t_us", "event_id"], kind="mergesort")
+    t_ms = (pdf["t_us"] // 1000).to_numpy()
     return t_ms, pdf["amount"].to_numpy()
 
 
@@ -66,9 +75,9 @@ N_FOLD_BUCKETS = 64
 
 def _bucketed_fold(df: DataFrame, fold_rows) -> DataFrame:
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["account_id", "event_time", "event_id"], kind="mergesort")
+        pdf = pdf.sort_values(["account_id", "t_us", "event_id"], kind="mergesort")
         keys = pdf["account_id"].to_numpy()
-        t_ms = (pdf["event_time"].astype("int64") // 1_000_000).to_numpy()
+        t_ms = (pdf["t_us"] // 1000).to_numpy()
         amounts = pdf["amount"].to_numpy()
         return pd.DataFrame(
             fold_rows(keys, t_ms, amounts),
@@ -76,7 +85,9 @@ def _bucketed_fold(df: DataFrame, fold_rows) -> DataFrame:
         )
 
     bucket = F.pmod(F.xxhash64("account_id"), F.lit(N_FOLD_BUCKETS))
-    return df.groupBy(bucket.alias("_bucket")).applyInPandas(fold, ALERT_SCHEMA)
+    return _with_epoch(df).groupBy(bucket.alias("_bucket")).applyInPandas(
+        fold, ALERT_SCHEMA
+    )
 
 
 def running_sum_alerts_batch(df: DataFrame, threshold: float) -> DataFrame:
@@ -136,7 +147,7 @@ def running_sum_alerts_stream(stream: DataFrame, threshold: float) -> DataFrame:
         if rows:  # yielding empty untyped frames trips pandas concat warnings
             yield pd.DataFrame(rows, columns=["account_id", "t_ms", "agg_value"])
 
-    return stream.groupBy("account_id").applyInPandasWithState(
+    return _with_epoch(stream).groupBy("account_id").applyInPandasWithState(
         fn,
         ALERT_SCHEMA,
         T.StructType([T.StructField("running_sum", T.DoubleType())]),
@@ -166,7 +177,7 @@ def running_mean_alerts_stream(stream: DataFrame, threshold: float) -> DataFrame
         if rows:
             yield pd.DataFrame(rows, columns=["account_id", "t_ms", "agg_value"])
 
-    return stream.groupBy("account_id").applyInPandasWithState(
+    return _with_epoch(stream).groupBy("account_id").applyInPandasWithState(
         fn,
         ALERT_SCHEMA,
         T.StructType(
@@ -244,7 +255,7 @@ def count_or_time_stream(stream: DataFrame, size_ms: int, max_count: int) -> Dat
             )
 
     return (
-        stream.withWatermark("event_time", "0 seconds")
+        _with_epoch(stream).withWatermark("event_time", "0 seconds")
         .groupBy("account_id")
         .applyInPandasWithState(
             fn,
@@ -296,7 +307,7 @@ def record_buffer_tumbling_stream(stream: DataFrame, size_ms: int) -> DataFrame:
             yield pd.DataFrame(rows, columns=["w_start", "account_id", "sum_amount"])
 
     return (
-        stream.withWatermark("event_time", "0 seconds")
+        _with_epoch(stream).withWatermark("event_time", "0 seconds")
         .groupBy("account_id")
         .applyInPandasWithState(
             fn,
@@ -392,7 +403,7 @@ def running_sum_alerts_tws(stream: DataFrame, threshold: float) -> DataFrame:
         def close(self) -> None:
             pass
 
-    return stream.groupBy("account_id").transformWithStateInPandas(
+    return _with_epoch(stream).groupBy("account_id").transformWithStateInPandas(
         RunningSumProcessor(),
         outputStructType=ALERT_SCHEMA,
         outputMode="append",
