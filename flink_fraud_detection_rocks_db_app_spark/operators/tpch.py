@@ -18,9 +18,17 @@ these ride bucketing with zero exchanges there. The decorrelated
 subqueries become aggregate-then-join on those same keys, never
 nested-loop per-row lookups.
 
-TPC-H coverage across relational.py + this module: Q1 Q3 Q4 Q5 Q6 Q7
-Q8 Q10 Q12 Q13 Q14 Q15 Q17 Q18 Q19 Q21 Q22 — 17 of 22; the other five
-(Q2 Q9 Q11 Q16 Q20) need the partsupp table the fixture doesn't ship.
+TPC-H coverage across relational.py + this module: all 22 query
+shapes. Q2 Q9 Q11 Q16 Q20 need the partsupp table the fixture doesn't
+ship, so they run against a DERIVED part-supplier relation aggregated
+from lineitem (`_partsupp` below): ps_availqty = total quantity the
+supplier ever shipped of the part, ps_supplycost = their minimum
+observed unit price. The derivation is one extra keyed aggregate
+(shuffle on (l_partkey, l_suppkey)) shared by all five; every
+distinctive plan shape of the originals — correlated regional MIN
+(Q2), profit rollup (Q9), group-share HAVING gate (Q11), NOT-IN
+anti-join + distinct count (Q16), nested semi-joins with a correlated
+half-sum threshold (Q20) — is preserved.
 """
 
 from __future__ import annotations
@@ -400,4 +408,295 @@ def tpch_q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count("*").alias("numcust"),
             F.sum("c_acctbal").alias("totacctbal"),
         )
+    )
+
+
+# ---------------------------------------------------------- derived partsupp
+
+# The fixture ships no partsupp table; Q2/Q9/Q11/Q16/Q20 run against
+# this derived part-supplier relation instead. Unit price and summed
+# quantity are exact in double (quantities are integer-valued, the
+# division is a single fp op), and the cost is rounded to 6 dp at the
+# source because Q2/Q11 GATE rows on it.
+_PS_CTE = """
+ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         SUM(l_quantity) AS ps_availqty,
+         round(MIN(l_extendedprice / l_quantity), 6) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+)
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.sum("l_quantity").alias("ps_availqty"),
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias(
+            "ps_supplycost"
+        ),
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+WITH {_PS_CTE},
+eu_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+min_cost AS (
+  SELECT ps_partkey AS mc_partkey, MIN(ps_supplycost) AS mc_cost
+  FROM ps JOIN eu_supp ON ps_suppkey = s_suppkey
+  GROUP BY 1
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+FROM ps
+JOIN eu_supp ON ps_suppkey = s_suppkey
+JOIN part ON p_partkey = ps_partkey
+JOIN min_cost ON mc_partkey = ps_partkey AND ps_supplycost = mc_cost
+WHERE p_type = 'SMALL' AND p_size < 15
+""",
+    doc="TPC-H Q2 shape: for each SMALL part under size 15, the "
+    "EUROPE supplier(s) offering it at the region-minimum cost. The "
+    "correlated MIN subquery decorrelates to a per-part aggregate "
+    "joined back on (partkey, cost); costs are rounded 6 dp at the "
+    "source so the equality gate is fp-stable. Supplier/nation/region "
+    "and the min-cost table all broadcast; the only big shuffle is the "
+    "derived-partsupp aggregate itself",
+    tags=("batch", "join", "subquery"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_ps = ps.join(F.broadcast(eu_supp), ps.ps_suppkey == eu_supp.s_suppkey)
+    min_cost = eu_ps.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("mc_cost")
+    )
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") < 15)
+    )
+    return (
+        eu_ps.join(F.broadcast(part), eu_ps.ps_partkey == part.p_partkey)
+        .join(
+            min_cost,
+            (F.col("mc_partkey") == F.col("ps_partkey"))
+            & (F.col("ps_supplycost") == F.col("mc_cost")),
+            "left_semi",
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "ps_supplycost")
+    )
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    oracle=f"""
+WITH {_PS_CTE}
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       SUM(l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity)
+         AS sum_profit,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN ps       ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+""",
+    doc="TPC-H Q9 shape: profit on red parts by supplier nation and "
+    "order year, where cost comes from the derived partsupp relation "
+    "(profit = revenue - min-unit-price * quantity). part/supplier/"
+    "nation broadcast; lineitem joins ps on the composite "
+    "(partkey, suppkey) key and orders on l_orderkey — the two "
+    "unavoidable fact-side shuffles",
+    tags=("batch", "join", "aggregate"),
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    ps = _partsupp(spark, sf_dir)
+    part = load(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(profit).alias("sum_profit"), F.count("*").alias("n_items"))
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle=f"""
+WITH {_PS_CTE},
+nat_ps AS (
+  SELECT ps_partkey, ps_supplycost * ps_availqty AS value
+  FROM ps
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_9'
+)
+SELECT ps_partkey, SUM(value) AS total_value
+FROM nat_ps
+GROUP BY ps_partkey
+HAVING round(SUM(value), 6) > (SELECT round(SUM(value) * 0.0002, 6) FROM nat_ps)
+""",
+    doc="TPC-H Q11 shape: NATION_9 parts whose stock value exceeds "
+    "0.0002 of the nation total (fraction chosen so the gate filters, "
+    "without emptying, at both sf0.01 and sf0.1). The scalar fraction "
+    "subquery broadcasts "
+    "as a one-row gate; both HAVING sides are rounded 6 dp so fp "
+    "summation order can't flip membership. Same aggregate feeds both "
+    "the per-part rollup and the total (Catalyst reuses the scan)",
+    tags=("batch", "join", "subquery"),
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_9")
+    nat_supp = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    nat_ps = ps.join(
+        F.broadcast(nat_supp), ps.ps_suppkey == F.col("s_suppkey"), "left_semi"
+    ).withColumn("value", F.col("ps_supplycost") * F.col("ps_availqty"))
+    total = nat_ps.agg(F.round(F.sum("value") * 0.0002, 6).alias("threshold"))
+    return (
+        nat_ps.groupBy("ps_partkey")
+        .agg(F.sum("value").alias("total_value"))
+        .join(F.broadcast(total))
+        .where(F.round(F.col("total_value"), 6) > F.col("threshold"))
+        .select("ps_partkey", "total_value")
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_counts",
+    oracle=f"""
+WITH {_PS_CTE}
+SELECT p_brand, p_size, CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#4' AND p_type <> 'ECONOMY'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+""",
+    doc="TPC-H Q16 shape: how many distinct suppliers can deliver each "
+    "(brand, size) combination, excluding one brand, one type, and "
+    "suppliers with negative balances (the fixture's stand-in for the "
+    "complaint-comment NOT IN). The NOT IN becomes a broadcast "
+    "left-anti join (no nulls in s_suppkey, so anti-join semantics are "
+    "exact); COUNT(DISTINCT) hash-partitions by the small group key",
+    tags=("batch", "join", "aggregate"),
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "ECONOMY")
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    complained = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(
+            F.broadcast(complained), ps.ps_suppkey == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_excess_stock_suppliers",
+    oracle=f"""
+WITH {_PS_CTE},
+shipped97 AS (
+  SELECT l_partkey, l_suppkey, 0.5 * SUM(l_quantity) AS half_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2
+),
+excess AS (
+  SELECT DISTINCT ps_suppkey
+  FROM ps
+  JOIN shipped97 ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+  WHERE ps_availqty > half_qty
+    AND ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_9', 'NATION_11')
+  AND s_suppkey IN (SELECT ps_suppkey FROM excess)
+""",
+    doc="TPC-H Q20 shape: NATION_9/NATION_11 suppliers holding more "
+    "stock of some small-named part than half of what they shipped of "
+    "it in 1997. Both IN subqueries become left-semi joins (part-list "
+    "broadcast; the correlated half-sum threshold decorrelates to a "
+    "keyed aggregate joined on the same (partkey, suppkey) key as the "
+    "derived partsupp — co-partitioned, no extra shuffle)",
+    tags=("batch", "join", "subquery"),
+)
+def tpch_q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    small_parts = load(spark, sf_dir, "part").where(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    li97 = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    shipped97 = li97.groupBy("l_partkey", "l_suppkey").agg(
+        (F.lit(0.5) * F.sum("l_quantity")).alias("half_qty")
+    )
+    excess = (
+        ps.join(F.broadcast(small_parts), ps.ps_partkey == F.col("p_partkey"), "left_semi")
+        .join(
+            shipped97,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .where(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_9", "NATION_11")
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey, "left_semi")
+        .join(F.broadcast(excess), supp.s_suppkey == F.col("ps_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
     )

@@ -105,6 +105,8 @@ BNLJ_OK = {
     "ann_lsh_buckets",
     "ann_ivf_topk",
     "tpch_q22_dormant_high_balance",
+    # one-row scalar-aggregate gate broadcast into the HAVING filter
+    "tpch_q11_important_stock",
 }
 # Queries whose semantics REQUIRE Python (documented; Arrow-batched).
 PYTHON_OK = {
