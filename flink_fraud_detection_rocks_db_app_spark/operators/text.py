@@ -192,3 +192,150 @@ def corpus_token_freq_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("tok"))
         .limit(50)
     )
+
+
+# ------------------------------------------------- repetition / filtering
+
+# Shared CTE computing the Gopher-style repetition signals (Rae et al.
+# 2021, "Scaling Language Models", table A1 — public paper): fraction
+# of characters covered by the most frequent word 2-gram, and by all
+# word 3-grams that occur more than once. Every signal derives from
+# integer counts through a single division, so Spark and DuckDB produce
+# bit-identical doubles — the filter gates below are fp-stable without
+# rounding. DuckDB lists are 1-indexed (range(1, len)); the Spark
+# mirror below indexes from 0.
+_REP_SIGNALS_DUCK = """
+t AS (SELECT doc_id, n_chars, string_split(lower(text), ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, n_chars, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+         len(list_filter(w, x -> x IN ('{stops}'))) AS n_stopwords,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+              ELSE [] END AS g2,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              ELSE [] END AS g3
+  FROM t
+),
+m AS (
+  SELECT doc_id, n_chars, n_tokens, n_distinct, n_stopwords, g2, g3,
+         list_max(list_transform(list_distinct(g2),
+                                 x -> len(list_filter(g2, y -> y = x)))) AS max2
+  FROM g
+),
+sig AS (
+  SELECT doc_id,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+         CAST(n_stopwords AS BIGINT) AS n_stopwords,
+         list_min(list_filter(list_distinct(g2),
+                              x -> len(list_filter(g2, y -> y = x)) = max2)) AS top2_gram,
+         CAST(max2 * len(list_min(list_filter(list_distinct(g2),
+              x -> len(list_filter(g2, y -> y = x)) = max2))) AS DOUBLE)
+           / n_chars AS top2_frac,
+         CAST(COALESCE(list_sum(list_transform(
+                list_filter(list_distinct(g3),
+                            x -> len(list_filter(g3, y -> y = x)) >= 2),
+                x -> len(list_filter(g3, y -> y = x)) * len(x))), 0) AS DOUBLE)
+           / n_chars AS dup3_frac
+  FROM m
+)
+"""
+
+
+def _repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of _REP_SIGNALS_DUCK: scan-local higher-order array
+    expressions, no UDF, no shuffle. The per-doc mode search is
+    O(n_grams * n_distinct) inside one codegen stage — docs are
+    documents, not tables, so n is hundreds; at 100 TB this stays an
+    embarrassingly parallel map over the scan."""
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "n_chars", "split(lower(text), ' ') AS w"
+    )
+    g = docs.selectExpr(
+        "doc_id",
+        "n_chars",
+        "size(w) AS n_tokens",
+        "size(array_distinct(w)) AS n_distinct",
+        f"size(filter(w, x -> x IN ({stop_list}))) AS n_stopwords",
+        "IF(size(w) >= 2, transform(sequence(0, size(w) - 2), "
+        "i -> concat_ws(' ', w[i], w[i+1])), CAST(array() AS ARRAY<STRING>)) AS g2",
+        "IF(size(w) >= 3, transform(sequence(0, size(w) - 3), "
+        "i -> concat_ws(' ', w[i], w[i+1], w[i+2])), CAST(array() AS ARRAY<STRING>)) AS g3",
+    )
+    m = g.withColumn(
+        "max2",
+        F.expr("array_max(transform(array_distinct(g2), x -> size(filter(g2, y -> y = x))))"),
+    )
+    return m.selectExpr(
+        "doc_id",
+        "CAST(n_tokens AS BIGINT) AS n_tokens",
+        "CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio",
+        "CAST(n_stopwords AS BIGINT) AS n_stopwords",
+        "array_min(filter(array_distinct(g2), "
+        "x -> size(filter(g2, y -> y = x)) = max2)) AS top2_gram",
+        "CAST(max2 * length(array_min(filter(array_distinct(g2), "
+        "x -> size(filter(g2, y -> y = x)) = max2))) AS DOUBLE) / n_chars AS top2_frac",
+        "CAST(COALESCE(aggregate(filter(array_distinct(g3), "
+        "x -> size(filter(g3, y -> y = x)) >= 2), 0L, "
+        "(acc, x) -> acc + size(filter(g3, y -> y = x)) * length(x)), 0L) AS DOUBLE)"
+        " / n_chars AS dup3_frac",
+    )
+
+
+@register(
+    "doc_repetition_signals",
+    oracle="WITH "
+    + _REP_SIGNALS_DUCK.format(stops=_STOP_SQL)
+    + "\nSELECT doc_id, n_tokens, distinct_ratio, top2_gram, top2_frac, dup3_frac FROM sig",
+    doc="Gopher-style repetition signals per document: most-frequent-"
+    "2-gram character fraction (ties broken to the lexicographically "
+    "smallest gram), duplicated-3-gram character fraction, distinct-"
+    "token ratio. Pure scan-local array expressions",
+    tags=("text",),
+)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _repetition_signals(spark, sf_dir).select(
+        "doc_id", "n_tokens", "distinct_ratio", "top2_gram", "top2_frac", "dup3_frac"
+    )
+
+
+# Threshold constants for the keep/drop filter, calibrated on the
+# fixture distributions (top2_frac p90 ~= 0.118, dup3_frac p99 ~= 0.098,
+# distinct_ratio min ~= 0.28) so every rule both fires and passes at
+# sf0.01/sf0.1. Real Gopher thresholds differ (0.20 / 0.60-ish); the
+# operator contract is the cascade, not the constants.
+_FILTER_RULES_SQL = """
+CASE WHEN n_tokens < 15 THEN 'too_short'
+     WHEN n_tokens > 1000 THEN 'too_long'
+     WHEN n_stopwords < 1 THEN 'no_stopwords'
+     WHEN distinct_ratio < 0.30 THEN 'low_diversity'
+     WHEN top2_frac > 0.12 THEN 'top2gram_repetition'
+     WHEN dup3_frac > 0.05 THEN 'dup3gram_repetition'
+     ELSE 'ok' END
+"""
+
+
+@register(
+    "gopher_quality_filter",
+    oracle="WITH "
+    + _REP_SIGNALS_DUCK.format(stops=_STOP_SQL)
+    + f"\nSELECT doc_id, ({_FILTER_RULES_SQL}) = 'ok' AS keep, {_FILTER_RULES_SQL} AS reason FROM sig",
+    doc="Keep/drop verdict per document from the Gopher-style rule "
+    "cascade (length bounds, stopword presence, lexical diversity, "
+    "2-gram and 3-gram repetition), with the first failing rule as the "
+    "reason. The gates compare bit-identical engine-stable doubles, so "
+    "the verdict is deterministic. This is the corpus-filter stage a "
+    "pretraining pipeline runs between ingestion and dedup",
+    tags=("text",),
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _repetition_signals(spark, sf_dir)
+    reason = F.expr(_FILTER_RULES_SQL)
+    return sig.select(
+        "doc_id",
+        (reason == "ok").alias("keep"),
+        reason.alias("reason"),
+    )
