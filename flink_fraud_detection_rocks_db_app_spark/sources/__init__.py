@@ -7,7 +7,13 @@ from .pydatasource import (  # noqa: F401
     register_fraud_source,
 )
 from .files import (  # noqa: F401
+    avro_available,
+    binary_corpus,
     csv_transactions,
     jsonl_documents,
     quarantine,
+    read_avro,
+    read_orc,
+    text_corpus,
+    write_orc,
 )

@@ -80,3 +80,74 @@ def quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     clean = df.where(F.col("_corrupt").isNull()).drop("_corrupt")
     bad = df.where(F.col("_corrupt").isNotNull())
     return clean, bad
+
+
+# ------------------------------------------------------- more formats
+
+# Columnar alternative to parquet. ORC is built into Spark; the reader
+# gets the same predicate-pushdown / column-pruning treatment from the
+# data source framework, so every registered operator runs unchanged on
+# an ORC lake.
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """Avro is an EXTERNAL Spark module (spark-avro jar); this container
+    ships core Spark only. Capability-gated like the Kafka connector:
+    honest failure now, zero code change when the jar is on the
+    classpath."""
+    try:
+        spark.read.format("avro").load("/nonexistent-avro-probe")
+        return True  # pragma: no cover - jar present and path existed
+    except Exception as ex:  # noqa: BLE001
+        return "Failed to find data source: avro" not in str(ex)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    if not avro_available(spark):
+        raise RuntimeError(
+            "the spark-avro module is not on the classpath; launch with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+        )
+    return spark.read.format("avro").load(path)  # pragma: no cover
+
+
+def text_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Raw text files -> documents-shaped frame, one document per line.
+    doc_id is the xxhash64 of the line content — a deterministic
+    content-derived ID (what corpus pipelines use), not a partition-
+    dependent monotonically_increasing_id that would renumber on every
+    repartition. Duplicate lines therefore share an ID, which is
+    exactly what the downstream exact-dedup stage wants."""
+    return spark.read.text(path).select(
+        F.xxhash64("value").alias("doc_id"),
+        F.col("value").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit("text").alias("source"),
+        F.length("value").cast("long").alias("n_chars"),
+    )
+
+
+def binary_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Opaque media files -> multimodal-shaped frame via Spark's
+    binaryFile source: payload stays a binary column (never decoded on
+    the driver), media_type comes from the extension, media_id from the
+    path hash. Feeds operators/multimodal.py unchanged. binaryFile
+    prunes the `content` column if the query doesn't reference it, so
+    metadata-only queries never read the bytes."""
+    bf = spark.read.format("binaryFile").load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    return bf.select(
+        F.xxhash64("path").alias("media_id"),
+        ext.alias("media_type"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.col("content").alias("payload"),
+        F.col("path").alias("uri"),
+    )

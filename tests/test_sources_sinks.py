@@ -411,3 +411,73 @@ def test_jsonl_and_csv_ingestion_roundtrip(spark, scratch):
     got2, bad2 = quarantine(jsonl_documents(spark, jdir))
     assert len(bad2.collect()) == 1
     assert len(got2.collect()) == docs.count() + 1
+
+
+def test_orc_round_trip_runs_registered_query(spark, scratch):
+    """ORC lake parity: events written to ORC and read back produce the
+    same tumbling aggregate as the parquet fixture path."""
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import transactions
+    from flink_fraud_detection_rocks_db_app_spark.operators.windows import tumbling
+    from flink_fraud_detection_rocks_db_app_spark.sources.files import read_orc, write_orc
+    from pyspark.sql import functions as F
+
+    tx = transactions(spark, SF_SMALL)
+    path = os.path.join(scratch, "tx_orc")
+    write_orc(tx, path)
+    orc_tx = read_orc(spark, path)
+    agg = [F.sum("amount").alias("sum_amount")]
+    a = tumbling(tx, 3000, agg).orderBy("w_start", "account_id").collect()
+    b = tumbling(orc_tx, 3000, agg).orderBy("w_start", "account_id").collect()
+    assert a == b and len(a) > 0
+
+
+def test_avro_gated(spark):
+    from flink_fraud_detection_rocks_db_app_spark.sources.files import (
+        avro_available,
+        read_avro,
+    )
+
+    if avro_available(spark):  # pragma: no cover - jar present in env
+        return
+    import pytest
+
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        read_avro(spark, "/tmp/nope")
+
+
+def test_text_corpus_feeds_dedup(spark, scratch):
+    """One doc per line, content-hash IDs: duplicate lines share an ID,
+    so exact dedup collapses them."""
+    from flink_fraud_detection_rocks_db_app_spark.sources.files import text_corpus
+
+    p = os.path.join(scratch, "corpus.txt")
+    with open(p, "w") as f:
+        f.write("alpha beta gamma\nsecond line here\nalpha beta gamma\n")
+    docs = text_corpus(spark, p)
+    rows = docs.collect()
+    assert len(rows) == 3
+    assert {r.n_chars for r in rows} == {16}
+    ids = [r.doc_id for r in rows if r.text == "alpha beta gamma"]
+    assert len(ids) == 2 and ids[0] == ids[1]
+    assert docs.select("doc_id").distinct().count() == 2
+
+
+def test_binary_corpus_metadata_prunes_payload(spark, scratch):
+    from flink_fraud_detection_rocks_db_app_spark.sources.files import binary_corpus
+
+    d = os.path.join(scratch, "media")
+    os.makedirs(d, exist_ok=True)
+    payload = bytes(range(64))
+    for name in ("a.png", "b.wav"):
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(payload)
+    corpus = binary_corpus(spark, d)
+    rows = corpus.orderBy("media_type").collect()
+    assert [r.media_type for r in rows] == ["png", "wav"]
+    assert all(r.n_bytes == 64 and bytes(r.payload) == payload for r in rows)
+    # metadata-only projection must not read content: binaryFile
+    # supports column pruning, so the scan schema drops `content`.
+    meta_plan = corpus.select("media_id", "n_bytes").queryExecution if False else (
+        corpus.select("media_id", "n_bytes")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "content" not in meta_plan
