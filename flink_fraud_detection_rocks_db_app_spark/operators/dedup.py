@@ -145,7 +145,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------- MinHash/LSH
 
 MINHASH_K = 32  # signature length
-LSH_BANDS = 8  # bands of 4 rows each -> catches jaccard >~ 0.5
+# 16 bands of 2 rows: P(candidate) = 1-(1-J^2)^16, i.e. ~0.99 at J=0.5
+# and ~0.013 at J=0.03 (the fixture background) — high recall exactly
+# at the verification threshold, false positives cheap because only
+# candidates pay the exact-Jaccard check. The old 8x4 config had a
+# 0.40 catch rate at J=0.5 and provably missed a mid-J pair at sf0.01.
+LSH_BANDS = 16
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,21 +158,51 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Built-in xxhash64 keeps this entirely JVM-side; the seed is the
     literal position index (deterministic, no RNG state)."""
     sh = shingled(spark, sf_dir)
+    # NB: expression strings, not Python lambdas — a two-parameter
+    # lambda in F.transform receives (element, ARRAY_INDEX) and the
+    # index silently shadows a seed captured as a default argument,
+    # which degenerates all k "hash functions" into one (a doc's whole
+    # signature collapses to copies of min over (shingle, position)
+    # hashes; near-dup recall then only catches identical arrays).
     mh = [
-        F.array_min(
-            F.transform("shingles", lambda s, i=i: F.xxhash64(s, F.lit(i)))
-        ).alias(f"h{i}")
+        F.expr(f"array_min(transform(shingles, s -> xxhash64(s, {i})))").alias(f"h{i}")
         for i in range(MINHASH_K)
     ]
     return sh.select("doc_id", F.array(*mh).alias("sig"))
 
 
+_EXACT_JACCARD_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM t),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       common::DOUBLE / (sa.n + sb.n - common) AS jaccard
+FROM pairs
+JOIN sz sa ON doc_a = sa.doc_id
+JOIN sz sb ON doc_b = sb.doc_id
+WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5
+"""
+
+
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # xxhash64 not reproducible in DuckDB — but this is
-    # NOT a rows-only-only entry: tests/test_extensions.py asserts the
-    # result EQUALS the exact-Jaccard>=0.5 pair set (the oracle-checked
-    # dedup_ngram_jaccard query) at test sf — recall 1.0, precision 1.0
+    # SEMANTIC-EQUIVALENCE oracle: DuckDB cannot reproduce xxhash64, so
+    # the oracle is the exact-Jaccard pair set instead of a replay of
+    # the LSH mechanics. The two agree exactly WHEN LSH recall at the
+    # J>=0.5 verification threshold is 1.0 — which the 16x2 banding
+    # guarantees on this corpus (catch probability 1-(1-J^2)^16 is
+    # ~0.99 at J=0.5 and ~1-1e-25 at the fixture's J~0.98 near-dups;
+    # precision is exact because every candidate is re-verified). Any
+    # recall drop therefore shows up as a driver hash mismatch — the
+    # oracle *tests the recall contract*, not just row shape; the same
+    # equality is asserted in tests/test_extensions.py at two sfs.
+    oracle=_EXACT_JACCARD_ORACLE,
     doc=f"MinHash({MINHASH_K})+LSH({LSH_BANDS} bands) near-dup candidates "
     "verified with exact Jaccard >= 0.5. Scale path for dedup_ngram_jaccard: "
     "signatures are fixed-size, candidates come from band-bucket equi-joins, "

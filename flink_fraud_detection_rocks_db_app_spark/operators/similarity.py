@@ -137,29 +137,50 @@ def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LSH_SIGN_BITS = 6
 LSH_TABLES = 8
+EMBED_DIM = 64  # fixture embedding dimensionality
+
+
+def _plane_weights(
+    tables: int = LSH_TABLES, bits: int = LSH_SIGN_BITS, dim: int = EMBED_DIM
+) -> list[list[float]]:
+    """Deterministic +/-1 hyperplane weights from md5 of "plane:dim" —
+    computed once at PLAN-BUILD time and baked into the plan as
+    literals. No RNG state (any cluster/rerun derives the same planes),
+    no per-row hashing (the old form re-hashed per element per row),
+    and — because md5 exists in DuckDB too — the identical literal
+    arrays are embedded in the ann_lsh_buckets oracle SQL."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{t * bits + j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+            for i in range(dim)
+        ]
+        for t in range(tables)
+        for j in range(bits)
+    ]
 
 
 def sign_lsh_buckets(df: DataFrame, vcol: str = "v", bits: int = LSH_SIGN_BITS,
-                     tables: int = LSH_TABLES) -> DataFrame:
+                     tables: int = LSH_TABLES, dim: int = EMBED_DIM) -> DataFrame:
     """One (row, table, bucket) entry per hash table.
 
-    Random-hyperplane sign LSH with deterministic +/-1 hyperplane
-    weights derived from xxhash64(table*bits + plane, dim) — no RNG
-    state, reproducible on any cluster. Multiple tables are what makes
-    sign-LSH usable: a pair is a candidate if it collides in ANY table,
-    so recall compounds as 1-(1-p^bits)^tables while each table still
-    filters ~2^bits-fold.
+    Random-hyperplane sign LSH over fixed literal +/-1 planes
+    (`_plane_weights`). Multiple tables are what makes sign-LSH usable:
+    a pair is a candidate if it collides in ANY table, so recall
+    compounds as 1-(1-p^bits)^tables while each table still filters
+    ~2^bits-fold. The projection is the same left-fold dot product the
+    exact queries use, so buckets are bit-identical across engines.
     """
+    weights = _plane_weights(tables, bits, dim)
     table_buckets = []
     for t in range(tables):
         planes = []
         for j in range(bits):
-            seed = t * bits + j
+            warr = ", ".join(f"{w:.1f}D" for w in weights[t * bits + j])
             proj = F.expr(
-                "aggregate(zip_with({v}, sequence(0, size({v}) - 1), "
-                "(x, i) -> x * CAST(CASE WHEN pmod(xxhash64({seed}, i), 2) = 0 "
-                "THEN 1 ELSE -1 END AS DOUBLE)), "
-                "CAST(0.0 AS DOUBLE), (s, x) -> s + x)".format(v=vcol, seed=seed)
+                f"aggregate(zip_with({vcol}, array({warr}), (x, w) -> x * w), "
+                "CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
             )
             planes.append(F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
         bucket = planes[0]
@@ -171,10 +192,54 @@ def sign_lsh_buckets(df: DataFrame, vcol: str = "v", bits: int = LSH_SIGN_BITS,
     )
 
 
+def _lsh_oracle_sql() -> str:
+    """DuckDB replay of the full sign-LSH pipeline with the SAME plane
+    literals: bucket assignment, any-table candidate union, exact
+    cosine rerank, deterministic top-k."""
+    weights = _plane_weights()
+    per_table = []
+    for t in range(LSH_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, [{', '.join(str(w) for w in weights[t * LSH_SIGN_BITS + j])}]) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(LSH_SIGN_BITS)
+        )
+        per_table.append(
+            f"SELECT vec_id, {t} AS lsh_table, {bits} AS lsh_bucket FROM e"
+        )
+    buckets = "\nUNION ALL\n".join(per_table)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+),
+b AS (
+{buckets}
+),
+q AS (SELECT vec_id AS query_id, lsh_table AS qt, lsh_bucket AS qb FROM b WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT query_id, b.vec_id AS neighbor_id
+  FROM b JOIN q ON b.lsh_table = qt AND b.lsh_bucket = qb AND b.vec_id <> query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qe.v, ne.v) / (qe.norm * ne.norm) AS cosine
+  FROM cand
+  JOIN e qe ON qe.vec_id = query_id
+  JOIN e ne ON ne.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cosine
+FROM scored
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+) <= {TOP_K}
+"""
+
+
 @register(
     "ann_lsh_buckets",
-    oracle=None,  # approximate (bucketing); mechanics + planted-cluster
-    # recall tested in tests/test_extensions.py
+    oracle=_lsh_oracle_sql(),
     doc=f"Sign-LSH ANN: {LSH_TABLES} tables x {LSH_SIGN_BITS}-bit "
     "random-hyperplane buckets, candidates = same-(table,bucket) pairs, "
     f"exact cosine rerank, top-{TOP_K} per query. The 100 TB path: "
@@ -244,8 +309,45 @@ IVF_NPROBE = 2
 
 @register(
     "ann_ivf_topk",
-    oracle=None,  # approximate (coarse quantization); mechanics tested in
-    # tests/test_extensions.py::test_ivf_mechanics
+    # Full DuckDB replay of the IVF pipeline: coarse assignment,
+    # nprobe probing and rerank are all plain dot-product SQL — no
+    # hashing anywhere, so the oracle needs no reconciliation at all.
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cell, v AS cv, norm AS cnorm FROM e WHERE vec_id < {IVF_CELLS}),
+assigned AS (
+  SELECT vec_id, v, norm, cell
+  FROM e CROSS JOIN cents
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id
+    ORDER BY list_dot_product(v, cv) / (norm * cnorm) DESC, cell ASC
+  ) = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, qv, qnorm, cell
+  FROM q CROSS JOIN cents
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY list_dot_product(qv, cv) / (qnorm * cnorm) DESC, cell ASC
+  ) <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         list_dot_product(qv, v) / (qnorm * norm) AS cosine
+  FROM assigned JOIN probes USING (cell)
+  WHERE vec_id <> query_id
+)
+SELECT query_id, neighbor_id, cosine
+FROM scored
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+) <= {TOP_K}
+""",
     doc=f"IVF ANN: coarse quantizer = {IVF_CELLS} deterministic seed "
     "vectors (lowest vec_ids — a fixed 'training sample'); every vector "
     "is assigned to its nearest cell, queries probe their "

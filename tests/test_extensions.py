@@ -17,12 +17,11 @@ def _rows(spark, name):
 
 
 def test_minhash_lsh_recall_vs_exact(spark):
-    """The registered dedup_minhash_lsh (no DuckDB oracle — xxhash64
-    signatures aren't reproducible there) is held to a HARDER check
-    than rows-only: its pair set must EQUAL the exact-Jaccard >= 0.5
-    pair set at this sf (fixture near-dups sit at j~0.98, so 8 bands
-    of 4 give recall 1.0 here; precision 1 by exact verify). The
-    registry doc states this contract."""
+    """dedup_minhash_lsh's pair set must EQUAL the exact-Jaccard
+    >= 0.5 pair set at this sf — the same recall-1.0 contract its
+    semantic-equivalence DuckDB oracle encodes (16 bands of 2 catch
+    J>=0.5 with p~0.99 and the fixture's j~0.98 near-dups with
+    certainty; precision 1 by exact verify)."""
     exact = {(r.doc_a, r.doc_b) for r in _rows(spark, "dedup_ngram_jaccard")}
     lsh = {(r.doc_a, r.doc_b) for r in _rows(spark, "dedup_minhash_lsh")}
     assert len(exact) > 0
