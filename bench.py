@@ -52,6 +52,9 @@ HEADLINE = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q21_suppliers_kept_waiting",
     "grouping_sets_events",
+    # derived-partsupp composite-key join + the corpus filter cascade
+    "tpch_q9_product_type_profit",
+    "gopher_quality_filter",
 ]
 
 

@@ -202,54 +202,71 @@ def corpus_token_freq_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
 # word 3-grams that occur more than once. Every signal derives from
 # integer counts through a single division, so Spark and DuckDB produce
 # bit-identical doubles — the filter gates below are fp-stable without
-# rounding. DuckDB lists are 1-indexed (range(1, len)); the Spark
-# mirror below indexes from 0.
+# rounding.
+#
+# Algorithm: SORT the gram array and decompose it into runs — a run
+# start is any 1-based position i with s[i] != s[i-1]; the run length
+# is the distance to the next start. O(n log n) per doc, single pass,
+# vs the naive mode search's O(n_grams * n_distinct) with one full
+# filter() sweep per distinct gram (measured ~3x slower at sf0.1).
+# Because the array is sorted, the FIRST maximal run is automatically
+# the lexicographically smallest most-frequent gram — the tie-break
+# falls out of the ordering. Both engines index 1-based here (Spark
+# via try_element_at, whose out-of-range NULL also supplies the
+# "no next run" sentinel through coalesce).
 _REP_SIGNALS_DUCK = """
 t AS (SELECT doc_id, n_chars, string_split(lower(text), ' ') AS w FROM documents),
 g AS (
   SELECT doc_id, n_chars, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
          len(list_filter(w, x -> x IN ('{stops}'))) AS n_stopwords,
          CASE WHEN len(w) >= 2
-              THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
-              ELSE [] END AS g2,
+              THEN list_sort(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+              ELSE [] END AS s2,
          CASE WHEN len(w) >= 3
-              THEN list_transform(range(1, len(w) - 1),
-                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-              ELSE [] END AS g3
+              THEN list_sort(list_transform(range(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              ELSE [] END AS s3
   FROM t
 ),
-m AS (
-  SELECT doc_id, n_chars, n_tokens, n_distinct, n_stopwords, g2, g3,
-         list_max(list_transform(list_distinct(g2),
-                                 x -> len(list_filter(g2, y -> y = x)))) AS max2
+r AS (
+  SELECT *, len(s2) AS n2, len(s3) AS n3,
+         list_filter(range(1, len(s2) + 1), i -> i = 1 OR s2[i] != s2[i-1]) AS st2,
+         list_filter(range(1, len(s3) + 1), i -> i = 1 OR s3[i] != s3[i-1]) AS st3
   FROM g
+),
+r2 AS (
+  SELECT *,
+         list_transform(range(1, len(st2) + 1),
+                        j -> coalesce(st2[j+1], n2 + 1) - st2[j]) AS len2,
+         list_transform(range(1, len(st3) + 1),
+                        j -> coalesce(st3[j+1], n3 + 1) - st3[j]) AS len3
+  FROM r
 ),
 sig AS (
   SELECT doc_id,
          CAST(n_tokens AS BIGINT) AS n_tokens,
          CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
          CAST(n_stopwords AS BIGINT) AS n_stopwords,
-         list_min(list_filter(list_distinct(g2),
-                              x -> len(list_filter(g2, y -> y = x)) = max2)) AS top2_gram,
-         CAST(max2 * len(list_min(list_filter(list_distinct(g2),
-              x -> len(list_filter(g2, y -> y = x)) = max2))) AS DOUBLE)
+         s2[st2[list_position(len2, list_max(len2))]] AS top2_gram,
+         CAST(list_max(len2)
+              * len(s2[st2[list_position(len2, list_max(len2))]]) AS DOUBLE)
            / n_chars AS top2_frac,
-         CAST(COALESCE(list_sum(list_transform(
-                list_filter(list_distinct(g3),
-                            x -> len(list_filter(g3, y -> y = x)) >= 2),
-                x -> len(list_filter(g3, y -> y = x)) * len(x))), 0) AS DOUBLE)
+         CAST(COALESCE(list_sum(list_transform(range(1, len(st3) + 1),
+                j -> CASE WHEN len3[j] >= 2
+                          THEN len3[j] * len(s3[st3[j]]) ELSE 0 END)), 0) AS DOUBLE)
            / n_chars AS dup3_frac
-  FROM m
+  FROM r2
 )
 """
 
 
 def _repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark mirror of _REP_SIGNALS_DUCK: scan-local higher-order array
-    expressions, no UDF, no shuffle. The per-doc mode search is
-    O(n_grams * n_distinct) inside one codegen stage — docs are
-    documents, not tables, so n is hundreds; at 100 TB this stays an
-    embarrassingly parallel map over the scan."""
+    expressions, no UDF, no shuffle — an embarrassingly parallel map
+    over the scan at any scale. See the CTE comment for the sorted-
+    runs algorithm; the IF guards keep Spark's sequence() from counting
+    DOWN on empty arrays (sequence(1, 0) = [1, 0] — the word_ngrams
+    lesson from ADVICE r1)."""
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     docs = load(spark, sf_dir, "documents").selectExpr(
         "doc_id", "n_chars", "split(lower(text), ' ') AS w"
@@ -260,27 +277,40 @@ def _repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "size(w) AS n_tokens",
         "size(array_distinct(w)) AS n_distinct",
         f"size(filter(w, x -> x IN ({stop_list}))) AS n_stopwords",
-        "IF(size(w) >= 2, transform(sequence(0, size(w) - 2), "
-        "i -> concat_ws(' ', w[i], w[i+1])), CAST(array() AS ARRAY<STRING>)) AS g2",
-        "IF(size(w) >= 3, transform(sequence(0, size(w) - 3), "
-        "i -> concat_ws(' ', w[i], w[i+1], w[i+2])), CAST(array() AS ARRAY<STRING>)) AS g3",
+        "IF(size(w) >= 2, array_sort(transform(sequence(0, size(w) - 2), "
+        "i -> concat_ws(' ', w[i], w[i+1]))), CAST(array() AS ARRAY<STRING>)) AS s2",
+        "IF(size(w) >= 3, array_sort(transform(sequence(0, size(w) - 3), "
+        "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))), CAST(array() AS ARRAY<STRING>)) AS s3",
     )
-    m = g.withColumn(
-        "max2",
-        F.expr("array_max(transform(array_distinct(g2), x -> size(filter(g2, y -> y = x))))"),
+    r = g.selectExpr(
+        "*",
+        "size(s2) AS n2",
+        "size(s3) AS n3",
+        "IF(size(s2) = 0, CAST(array() AS ARRAY<INT>), filter(sequence(1, size(s2)), "
+        "i -> i = 1 OR try_element_at(s2, i) != try_element_at(s2, i - 1))) AS st2",
+        "IF(size(s3) = 0, CAST(array() AS ARRAY<INT>), filter(sequence(1, size(s3)), "
+        "i -> i = 1 OR try_element_at(s3, i) != try_element_at(s3, i - 1))) AS st3",
     )
-    return m.selectExpr(
+    r2 = r.selectExpr(
+        "*",
+        "IF(size(st2) = 0, CAST(array() AS ARRAY<INT>), transform(sequence(1, size(st2)), "
+        "j -> coalesce(try_element_at(st2, j + 1), n2 + 1) - try_element_at(st2, j))) AS len2",
+        "IF(size(st3) = 0, CAST(array() AS ARRAY<INT>), transform(sequence(1, size(st3)), "
+        "j -> coalesce(try_element_at(st3, j + 1), n3 + 1) - try_element_at(st3, j))) AS len3",
+    )
+    return r2.selectExpr(
         "doc_id",
         "CAST(n_tokens AS BIGINT) AS n_tokens",
         "CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio",
         "CAST(n_stopwords AS BIGINT) AS n_stopwords",
-        "array_min(filter(array_distinct(g2), "
-        "x -> size(filter(g2, y -> y = x)) = max2)) AS top2_gram",
-        "CAST(max2 * length(array_min(filter(array_distinct(g2), "
-        "x -> size(filter(g2, y -> y = x)) = max2))) AS DOUBLE) / n_chars AS top2_frac",
-        "CAST(COALESCE(aggregate(filter(array_distinct(g3), "
-        "x -> size(filter(g3, y -> y = x)) >= 2), 0L, "
-        "(acc, x) -> acc + size(filter(g3, y -> y = x)) * length(x)), 0L) AS DOUBLE)"
+        "try_element_at(s2, try_element_at(st2, CAST(array_position(len2, array_max(len2)) AS INT))) AS top2_gram",
+        "CAST(array_max(len2) * length(try_element_at(s2, "
+        "try_element_at(st2, CAST(array_position(len2, array_max(len2)) AS INT)))) AS DOUBLE)"
+        " / n_chars AS top2_frac",
+        "CAST(COALESCE(IF(size(st3) = 0, 0L, aggregate(sequence(1, size(st3)), 0L, "
+        "(acc, j) -> acc + IF(try_element_at(len3, j) >= 2, "
+        "CAST(try_element_at(len3, j) AS BIGINT) "
+        "* length(try_element_at(s3, try_element_at(st3, j))), 0L))), 0L) AS DOUBLE)"
         " / n_chars AS dup3_frac",
     )
 
