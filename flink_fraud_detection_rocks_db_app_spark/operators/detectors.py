@@ -220,3 +220,103 @@ def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("value").alias("mean_value"),
         )
     )
+
+
+# ------------------------------------------- CEP-style pattern detection
+
+
+@register(
+    "pattern_rising_3",
+    oracle="""
+WITH e AS (
+  SELECT user_id AS account_id, epoch_ms(ts) AS t_ms,
+         CAST(value AS DOUBLE) AS amount,
+         lag(CAST(value AS DOUBLE), 1) OVER w AS a2,
+         lag(CAST(value AS DOUBLE), 2) OVER w AS a1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT account_id, t_ms, a1, a2, amount AS a3
+FROM e
+WHERE amount > a2 AND a2 > a1
+""",
+    doc="CEP-style sequence pattern (the Flink-CEP capability expressed "
+    "relationally): per account, three consecutive strictly-rising "
+    "amounts in (event_time, event_id) order; emits at the third event "
+    "with the full matched triple. One window-lag pass — the "
+    "MATCH_RECOGNIZE A.amount < B.amount < C.amount shape as lag() "
+    "predicates, a single per-key sort, no self-joins. Comparisons are "
+    "raw fixture doubles (no arithmetic), so the match set is exact in "
+    "both engines",
+    tags=("detector", "pattern"),
+)
+def pattern_rising_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import transactions_with_id
+
+    w = Window.partitionBy("account_id").orderBy("event_time", "event_id")
+    e = (
+        transactions_with_id(spark, sf_dir)
+        .withColumn("a2", F.lag("amount", 1).over(w))
+        .withColumn("a1", F.lag("amount", 2).over(w))
+    )
+    return e.where((F.col("amount") > F.col("a2")) & (F.col("a2") > F.col("a1"))).select(
+        "account_id",
+        F.unix_millis("event_time").alias("t_ms"),
+        "a1",
+        "a2",
+        F.col("amount").alias("a3"),
+    )
+
+
+# ------------------------------------------- dynamic-rules broadcast join
+
+
+def type_threshold_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'rules table' of the broadcast-state pattern: one row per
+    event_type with its alert threshold (here the exact p95 of value,
+    rounded 6 dp because it GATES rows). In the reference's domain this
+    is the control stream Flink would hold in broadcast state; in Spark
+    the same pattern is a small derived frame broadcast into the event
+    scan (batch) or stream-static-joined (streaming)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.expr("percentile(value, 0.95)"), 6).alias("threshold"))
+    )
+
+
+@register(
+    "dynamic_rules_alerts",
+    oracle="""
+WITH rules AS (
+  SELECT event_type, round(quantile_cont(value, 0.95), 6) AS threshold
+  FROM events GROUP BY 1
+)
+SELECT user_id AS account_id, epoch_ms(e.ts) AS t_ms, e.event_type,
+       CAST(e.value AS DOUBLE) AS amount, r.threshold
+FROM events e JOIN rules r USING (event_type)
+WHERE e.value > r.threshold
+""",
+    doc="Dynamic-rules detector (Flink broadcast-state pattern, "
+    "reference-domain: per-type fraud thresholds maintained outside "
+    "the event stream): a derived per-event_type threshold table is "
+    "broadcast-joined into the event scan and flags every event above "
+    "its type's p95. The rules side is O(|types|) — always broadcast, "
+    "never a shuffle of the fact stream; the streaming form is the "
+    "same rules frame stream-static-joined (tests/test_streaming.py)",
+    tags=("detector", "join"),
+)
+def dynamic_rules_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rules = type_threshold_rules(spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.join(F.broadcast(rules), "event_type")
+        .where(F.col("value") > F.col("threshold"))
+        .select(
+            F.col("user_id").alias("account_id"),
+            F.unix_millis(F.timestamp_micros(F.expr("ts div 1000"))).alias("t_ms"),
+            "event_type",
+            F.col("value").cast("double").alias("amount"),
+            "threshold",
+        )
+    )

@@ -420,3 +420,39 @@ def test_chained_window_aggs_stream_equals_batch(spark, scratch):
     closed_days = {k for k in want if k[0] + D + H <= wm}
     missing = closed_days - set(got)
     assert not missing, f"closed days never emitted: {sorted(missing)[:5]}"
+
+
+def test_stream_static_rules_join(spark, scratch):
+    """The dynamic-rules broadcast pattern, streaming form: a derived
+    per-bucket threshold frame (static) joined into the replayed event
+    stream. Stream-static inner joins are stateless in Structured
+    Streaming — the static side broadcasts per micro-batch, which is
+    the Spark expression of Flink's broadcast state. Every streamed
+    alert must equal the batch alert set."""
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=4)
+    tx = transactions_with_id(spark, SF_SMALL)
+    bucket = F.pmod("account_id", F.lit(5)).alias("bucket")
+    rules = (
+        tx.select(bucket, "amount")
+        .groupBy("bucket")
+        .agg(F.round(F.expr("percentile(amount, 0.95)"), 6).alias("threshold"))
+    )
+    stream = read_replay_stream(spark, chunks).withColumn(
+        "bucket", F.pmod("account_id", F.lit(5))
+    )
+    alerts = (
+        stream.join(F.broadcast(rules), "bucket")
+        .where(F.col("amount") > F.col("threshold"))
+        .select("account_id", "event_id", "amount")
+    )
+    run_to_memory(alerts, "t_rules_join")
+    got = {(r.account_id, r.event_id) for r in spark.table("t_rules_join").collect()}
+    want = {
+        (r.account_id, r.event_id)
+        for r in tx.select(bucket, "account_id", "event_id", "amount")
+        .join(F.broadcast(rules), "bucket")
+        .where(F.col("amount") > F.col("threshold"))
+        .collect()
+    }
+    assert len(want) > 0
+    assert got == want
