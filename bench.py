@@ -98,10 +98,17 @@ def _stream_benches(spark, sf_dir: str) -> dict[str, float]:
         chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         for name, job in jobs.items():
+            # Failure isolation (round-2 lesson: one broken query must
+            # not black out every other measurement — BENCH_r02 was
+            # rc=1 with zero numbers recorded).
             t0 = time.perf_counter()
-            out = job(read_replay_stream(spark, chunks))
-            run_to_memory(out, f"bench_{name}_{uuid.uuid4().hex[:8]}")
-            timings[name] = round(time.perf_counter() - t0, 3)
+            try:
+                out = job(read_replay_stream(spark, chunks))
+                run_to_memory(out, f"bench_{name}_{uuid.uuid4().hex[:8]}")
+                timings[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001
+                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+                timings[name] = -1.0
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(scratch, ignore_errors=True)
@@ -121,14 +128,26 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
+    errors: dict[str, str] = {}
     for name in HEADLINE:
+        # Per-query failure isolation: record -1 + the error and keep
+        # going; never exit non-zero because one query breaks.
         t0 = time.perf_counter()
-        df = specs[name].fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-    batch_total = round(sum(timings.values()), 3)
-    timings.update(_stream_benches(spark, sf_dir))
-    total = round(sum(timings.values()), 3)
+        try:
+            df = specs[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+            errors[name] = str(exc).splitlines()[0][:200]
+    batch_total = round(sum(t for t in timings.values() if t >= 0), 3)
+    try:
+        timings.update(_stream_benches(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: stream harness FAILED: {exc}", file=sys.stderr)
+        errors["_stream_harness"] = str(exc).splitlines()[0][:200]
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
             {
@@ -144,6 +163,7 @@ def main() -> None:
                 # batch-side subtotal
                 "batch_total": batch_total,
                 "stream_total": round(total - batch_total, 3),
+                **({"errors": errors} if errors else {}),
             }
         )
     )

@@ -30,14 +30,54 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a fixture table; `events.ts` is normalized to the canonical
+    contract REGARDLESS of the fixture's physical type.
+
+    Contract: downstream code always sees ``ts`` as an epoch-NANOSECOND
+    BIGINT (the round-1 physical format). The driver has shipped the
+    column as parquet TIMESTAMP(NANOS) (read as long via the
+    nanosAsLong flag) and as timestamp[us] (read natively as
+    TIMESTAMP_NTZ); adapting *here* — the single choke point every
+    events read goes through — keeps the 12+ downstream ``ts div``
+    arithmetic sites oblivious to physical-type drift.
+
+    Each branch is TIMEZONE-FREE by construction (the driver runs a
+    vanilla session with the host's timezone, so nothing here may
+    depend on spark.sql.session.timeZone):
+    - TIMESTAMP_NTZ (current fixtures): ``timestampdiff(MICROSECOND,
+      NTZ-epoch, ts)`` is pure wall-clock arithmetic — parity-probed
+      bit-identical to DuckDB ``epoch_us(ts)`` under America/New_York.
+      (A ``cast("timestamp")`` here would shift every instant by the
+      session offset — the rejected first draft of this fix.)
+    - TIMESTAMP (LTZ, future-proofing): ``unix_micros`` reads the
+      instant directly, no zone involved.
+    - BIGINT (round-1 nanos physical type): passthrough.
+    """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects; read it as a raw nanosecond long instead. The
-        # timestamp reconstruction happens in `transactions()` below.
+        # Harmless for non-nano physical types; required if the driver
+        # ever regenerates events.ts as TIMESTAMP(NANOS) again.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        dtype = dict(df.dtypes).get("ts")
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"
+                ),
+            )
+        elif dtype == "timestamp":
+            df = df.withColumn("ts", F.unix_micros(F.col("ts")) * F.lit(1000))
+        elif dtype != "bigint":
+            raise TypeError(
+                f"events.ts arrived as unsupported dtype {dtype!r}; "
+                "extend fixtures.load() for this physical type"
+            )
+    return df
 
 
 def transactions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -65,9 +65,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # §2 windows: WA1/A2/WA7/WA2/WA8/WA9/WA3 + sessions
     "tumble_sum_3s",
     "tumble_mean_3s",
-    "tumble_sum_5m",
     "slide_mean_50s_10s",
-    "slide_sum_5m_1m",
     "global_slide_mean_5m_1m",
     "slide_sum_50s_10s_paned",
     "session_sum_user_6h",
@@ -79,16 +77,22 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the literal-threshold forms sit past the window, still covered
     # by tests/test_oracle_parity.py every round).
     "project_account_amount",
-    "project_account_amount_ts",
     "filter_amount_gt_100",
     "alert_user_daily_sum_gt_300",
     "union_max_by",
-    "max_by_amount",
     # §2 contract operators T3 / F5 / F3 (batch-equivalent forms; the
     # global T3 variant sits past the window — same operator as user_1d_3)
     "count_or_time_user_1d_3",
     "running_sum_alerts_gt_500",
     "running_mean_alerts_gt_90",
+    # round-2 detector additions (CEP rising pattern, broadcast dynamic
+    # rules) — rotated INTO the window round 3 so every new operator
+    # family has driver evidence (VERDICT r2 "Next round" #5); the
+    # parameter variants they displaced (tumble_sum_5m, slide_sum_5m_1m,
+    # project_account_amount_ts, max_by_amount, tpch_q6) stay registered
+    # and full-suite oracle-verified past the window
+    "pattern_rising_3",
+    "dynamic_rules_alerts",
     # flagship extension composition (quality -> dedup -> report)
     "corpus_prep_pipeline",
     # multimodal pillar
@@ -106,6 +110,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_quality_score",
     "doc_langid",
     "corpus_token_freq_top50",
+    # round-2 text additions: sorted-run repetition signals + the
+    # composed Gopher-style quality gate
+    "doc_repetition_signals",
+    "gopher_quality_filter",
     # time-series pillar
     "moving_avg_5_events",
     "event_deltas",
@@ -113,7 +121,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # relational / TPC-H pillar
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
+    # Q21 represents the round-2 subquery-decorrelation half (EXISTS +
+    # NOT EXISTS over a self-joined fact)
+    "tpch_q21_suppliers_kept_waiting",
     "top10_orders",
     "revenue_by_nation",
     "top3_orders_per_segment",

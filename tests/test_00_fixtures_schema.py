@@ -1,0 +1,130 @@
+"""Fixture-schema smoke test — runs FIRST (filename sorts before every
+other test module).
+
+Round-2 postmortem: the driver regenerated `events.parquet` with
+`ts: timestamp[us]` instead of nanos-as-long and 23/50 driver queries,
+the bench, and the suite all died on the same `ts div` analysis error.
+This module exists to name that class of drift immediately: it probes
+every fixture table's physical schema, asserts the `load()` contract
+(events.ts is ALWAYS an epoch-nanosecond bigint after loading, whatever
+the parquet physical type), checks the ts normalization is bit-exact
+against DuckDB's `epoch_us`, and runs the flagship `transactions()`
+projection end to end. If the driver ships a new physical type, the
+failure lands HERE with the schema in the message, not 23 queries deep.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_fraud_detection_rocks_db_app_spark.fixtures import (
+    TABLES,
+    load,
+    transactions,
+)
+
+from .conftest import SF_SMALL
+
+# Columns every query in the engine assumes exist (name -> loaded dtype).
+# events.ts is the *post-load* contract type — load() adapts whatever
+# physical type the fixture carries into this.
+CONTRACT = {
+    "events": {"event_id": "bigint", "ts": "bigint", "user_id": "bigint",
+               "event_type": "string", "value": "double"},
+    "documents": {"doc_id": "bigint", "text": "string"},
+    "embeddings": {"vec_id": "bigint", "embedding": "array<float>"},
+    "orders": {"o_orderkey": "bigint", "o_custkey": "bigint"},
+    "lineitem": {"l_orderkey": "bigint", "l_quantity": "double"},
+    "customer": {"c_custkey": "bigint", "c_nationkey": "int"},
+    "nation": {"n_nationkey": "int", "n_regionkey": "int"},
+    "region": {"r_regionkey": "int"},
+    "supplier": {"s_suppkey": "bigint", "s_nationkey": "int"},
+    "part": {"p_partkey": "bigint"},
+}
+
+
+def test_all_tables_load_and_match_contract(spark):
+    problems = []
+    for name in TABLES:
+        df = load(spark, SF_SMALL, name)
+        dtypes = dict(df.dtypes)
+        for col, want in CONTRACT.get(name, {}).items():
+            got = dtypes.get(col)
+            if got != want:
+                problems.append(f"{name}.{col}: want {want}, got {got} "
+                                f"(full schema: {dtypes})")
+    assert not problems, "fixture schema drift:\n" + "\n".join(problems)
+
+
+def test_session_timezone_is_utc(spark):
+    # The timestamp-typed branch of load() relies on cast("timestamp")
+    # over TIMESTAMP_NTZ being an identity reinterpretation — true only
+    # under a UTC session timezone (pinned in session.get_spark). If
+    # this drifts, every window boundary shifts by the local offset.
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_ts_normalization_matches_duckdb_epoch_us(spark, duck):
+    got = {
+        r.event_id: r.ts
+        for r in load(spark, SF_SMALL, "events")
+        .select("event_id", "ts")
+        .orderBy("event_id")
+        .limit(50)
+        .collect()
+    }
+    want = dict(
+        duck.execute(
+            "SELECT event_id, epoch_us(ts) * 1000 FROM events "
+            "ORDER BY event_id LIMIT 50"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_ts_normalization_is_timezone_free(spark, duck):
+    # The driver runs a VANILLA session (host timezone, not UTC), so
+    # load()'s epoch derivation must not involve the session zone at
+    # all. timestampdiff over TIMESTAMP_NTZ is wall-clock arithmetic;
+    # a cast("timestamp") here would shift every instant by the
+    # session offset and silently move every window boundary.
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Australia/Eucla")
+        got = {
+            r.event_id: r.ts
+            for r in load(spark, SF_SMALL, "events")
+            .select("event_id", "ts")
+            .orderBy("event_id")
+            .limit(20)
+            .collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    want = dict(
+        duck.execute(
+            "SELECT event_id, epoch_us(ts) * 1000 FROM events "
+            "ORDER BY event_id LIMIT 20"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_transactions_projection_runs(spark):
+    rows = transactions(spark, SF_SMALL).limit(5).collect()
+    assert len(rows) == 5
+    first = rows[0]
+    assert set(first.asDict()) == {"account_id", "event_time", "amount"}
+    assert first.event_time.year >= 2020
+
+
+def test_entry_smoke(spark):
+    # The driver's own smoke check, run locally first.
+    import importlib
+    mod = importlib.import_module("__spark_entry__")
+    df = mod.entry(spark)
+    assert df.limit(1).count() >= 0
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
