@@ -164,11 +164,20 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which degenerates all k "hash functions" into one (a doc's whole
     # signature collapses to copies of min over (shingle, position)
     # hashes; near-dup recall then only catches identical arrays).
+    # Hash each shingle STRING once (variable-length input, the
+    # expensive part), then derive the k lanes by re-hashing the fixed
+    # 8-byte long with the lane index as a second argument — ~k× less
+    # string hashing for the same pairwise-independence story. (The
+    # hash family changed r3; the semantic oracle — pair set == exact
+    # Jaccard — is family-agnostic, and the recall contract is
+    # re-asserted at two sfs in tests/test_extensions.py.)
     mh = [
-        F.expr(f"array_min(transform(shingles, s -> xxhash64(s, {i})))").alias(f"h{i}")
+        F.expr(f"array_min(transform(hs, h -> xxhash64(h, {i})))").alias(f"h{i}")
         for i in range(MINHASH_K)
     ]
-    return sh.select("doc_id", F.array(*mh).alias("sig"))
+    return sh.select(
+        "doc_id", F.expr("transform(shingles, s -> xxhash64(s))").alias("hs")
+    ).select("doc_id", F.array(*mh).alias("sig"))
 
 
 _EXACT_JACCARD_ORACLE = f"""
@@ -226,17 +235,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
-    b2 = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("band").alias("band2"), F.col("bucket").alias("bucket2")
+    # Same group-postings-once / expand-pairs-in-array shape as the
+    # ngram queries: a band-bucket SELF-JOIN would make Spark build the
+    # whole scan->shingle->signature lineage twice; grouping on
+    # (band, bucket) computes it once and the candidate pairs expand
+    # inside the collected array. Bucket lists are tiny by construction
+    # (a bucket collision IS the near-dup signal), so collect_list here
+    # is skew-safe where the raw-postings version needs the DF cutoff.
+    groups = bands.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
     cand = (
-        bands.join(
-            b2,
-            (bands.band == b2.band2)
-            & (bands.bucket == b2.bucket2)
-            & (bands.doc_id < b2.doc_b),
+        groups.where(F.size("ds") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
     # exact verification on candidates only
