@@ -96,7 +96,23 @@ def _stream_benches(spark, sf_dir: str) -> dict[str, float]:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # 4 state partitions: measured 8 -> 4 cuts the tumbling job
+        # ~25% and 16 doubles it — per-instance open/commit cost is the
+        # bottleneck at replay size, not per-partition compute. Apply
+        # the reference-mirroring RocksDB knobs + changelog
+        # checkpointing (commit ships the delta, not a full snapshot;
+        # measured ~1s/job here, and it's the setting a real cluster
+        # would run with for exactly the same reason).
+        from flink_fraud_detection_rocks_db_app_spark.session import rocksdb_tuning
+
+        for k, v in rocksdb_tuning().items():
+            spark.conf.set(k, v)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         for name, job in jobs.items():
             # Failure isolation (round-2 lesson: one broken query must
             # not black out every other measurement — BENCH_r02 was

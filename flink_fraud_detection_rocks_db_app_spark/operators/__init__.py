@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     olap,
     pipeline,
     relational,
+    sampling,
     similarity,
     stateful,
     text,

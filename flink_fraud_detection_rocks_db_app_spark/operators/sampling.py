@@ -1,0 +1,134 @@
+"""Deterministic corpus sampling + TF-IDF term weighting.
+
+Training-data pipelines at 100 TB need *reproducible* subsampling
+(re-running the pipeline must pick the same rows — no RNG state, no
+`TABLESAMPLE` nondeterminism) and per-document term weighting for
+filtering/diagnostics. Both are expressed as pure integer/column
+arithmetic so the identical formula replays in any SQL engine:
+
+- Sampling key: Knuth multiplicative hash ``(id * 2654435761) mod 2^32``
+  — a uniform permutation of the id space using only BIGINT math (no
+  engine-specific hash functions, no overflow: max id * constant is
+  far below 2^63). The per-stratum rate gate is then a plain integer
+  comparison, so the oracle is exact, not statistical.
+- TF-IDF: integer tf/df plus ``ln(N/df)``; scores are rounded to 6
+  decimals BEFORE the per-doc ranking so a sub-ulp libm difference
+  between engines can never flip row membership (registry.py
+  conventions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..fixtures import load
+from ..registry import register
+
+# Knuth's multiplicative constant (golden-ratio reciprocal * 2^32).
+_KNUTH = 2654435761
+_MOD = 4294967296  # 2^32
+
+# per-stratum keep rates in 1/100ths applied to the 32-bit hash space;
+# stratification axis is (lang): high-resource languages are downsampled
+# harder — the standard corpus-balancing move.
+_RATES = {"en": 20, "de": 40, "fr": 40, "es": 40}
+_DEFAULT_RATE = 80
+
+_RATE_SQL = (
+    # CAST: rate * (2^32/100) exceeds INT32 — must be 64-bit in both
+    # engines (Spark ANSI mode hard-errors on the overflow otherwise).
+    "CAST(CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _RATES.items())
+    + f" ELSE {_DEFAULT_RATE} END AS BIGINT)"
+)
+
+
+@register(
+    "stratified_sample_docs",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE (doc_id * {_KNUTH}) % {_MOD} < ({_RATE_SQL}) * ({_MOD} // 100)
+""",
+    doc="Deterministic per-language stratified sample: Knuth "
+    "multiplicative hash of doc_id gates each row against its stratum's "
+    "keep rate. Scan-local (zero shuffle), reproducible across runs and "
+    "engines — the reservoir-free way to subsample a 100 TB corpus.",
+    tags=("sampling", "text"),
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(_MOD))
+    rate = F.expr(_RATE_SQL)
+    return docs.where(bucket < rate * (_MOD // 100)).select(
+        "doc_id", "lang", "source"
+    )
+
+
+TFIDF_TOP_K = 5
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         ROUND(tf * LN(n_docs::DOUBLE / df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+         ) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rk FROM ranked WHERE rk <= {TFIDF_TOP_K}
+""",
+    doc=f"Top-{TFIDF_TOP_K} TF-IDF terms per document. Shuffle budget: "
+    "one on (doc_id, term) for tf, one on term for df (both with "
+    "map-side partial aggregation), the tf-df join on term (AQE picks "
+    "broadcast while the vocabulary is small, sort-merge once it "
+    "isn't), and one on doc_id for the ranking window — each keyed on "
+    "a bounded derived key, no all-pairs anywhere. Scores rounded to "
+    "6dp before ranking so libm noise cannot flip membership.",
+    tags=("text", "join", "window"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tfidf", "rk")
+    )

@@ -57,7 +57,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "range_join_price_band",
     "interval_join_click_purchase",
     # dedup pillar
-    "doc_fingerprint",
+    # r3: doc_fingerprint (a sub-step of dedup_exact, still full-suite
+    # verified) gave its slot to the new sampling family
+    "stratified_sample_docs",
     "dedup_exact",
     "dedup_ngram_jaccard_pruned",
     "dedup_minhash_lsh",
@@ -109,7 +111,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_token_stats",
     "doc_quality_score",
     "doc_langid",
-    "corpus_token_freq_top50",
+    # r3: corpus_token_freq_top50 (raw-frequency ranking; tfidf is the
+    # strictly richer weighting of the same shape) gave its slot to
+    # tfidf_top_terms
+    "tfidf_top_terms",
     # round-2 text additions: sorted-run repetition signals + the
     # composed Gopher-style quality gate
     "doc_repetition_signals",
