@@ -354,3 +354,48 @@ def session_sum_global_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.unix_millis(F.col("w.start")).alias("w_start"), "sum_amount", "n_events"
     )
+
+
+# --------------------------------------------- windowed distinct counting
+
+@register(
+    "tumble_distinct_users_1h",
+    oracle=sql_tumble(MS["h"], "COUNT(DISTINCT user_id) AS n_users", key=False),
+    doc="Exact distinct active accounts per 1h tumbling window. Catalyst "
+    "plans COUNT(DISTINCT) as the two-level expand/re-aggregate (partial "
+    "distinct per partition, exact merge) — correct but shuffle-heavy; "
+    "tumble_approx_distinct_users_1h is the 100 TB path verified against "
+    "this exact twin.",
+    tags=("window", "tumbling", "distinct"),
+)
+def tumble_distinct_users_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling(
+        transactions(spark, sf_dir),
+        MS["h"],
+        [F.countDistinct("account_id").alias("n_users")],
+        key=None,
+    )
+
+
+@register(
+    "tumble_approx_distinct_users_1h",
+    # No SQL oracle ON PURPOSE: HLL++ sketch values are
+    # implementation-defined and never bit-match another engine's.
+    # Verification contract instead lives in tests/test_extensions.py:
+    # |approx - exact| / exact <= 3*rsd against the exact twin above.
+    oracle=None,
+    doc="Approximate distinct accounts per 1h window via HLL++ "
+    "(rsd=0.02). The scale story vs the exact twin: sketches are "
+    "mergeable, so partial aggregation reduces each map partition to "
+    "one ~kilobyte sketch and the shuffle moves O(windows) sketches "
+    "instead of O(rows) expanded values — the only distinct-count "
+    "shape that survives 100 TB with hot windows.",
+    tags=("window", "tumbling", "distinct", "approx"),
+)
+def tumble_approx_distinct_users_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling(
+        transactions(spark, sf_dir),
+        MS["h"],
+        [F.approx_count_distinct("account_id", rsd=0.02).alias("n_users_approx")],
+        key=None,
+    )

@@ -310,3 +310,24 @@ def test_connected_components_min_label(spark):
 
     empty = pairs.where("doc_a < 0")
     assert connected_components(empty).count() == 0
+
+
+def test_approx_distinct_tracks_exact_twin(spark):
+    """tumble_approx_distinct_users_1h has no SQL oracle (HLL sketches
+    are engine-specific); its correctness contract is relative error
+    against the exact COUNT(DISTINCT) twin: |approx-exact|/exact within
+    3*rsd for every window, and identical window membership."""
+    from flink_fraud_detection_rocks_db_app_spark.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        r.w_start: r.n_users
+        for r in qs["tumble_distinct_users_1h"].fn(spark, SF_SMALL).collect()
+    }
+    approx = {
+        r.w_start: r.n_users_approx
+        for r in qs["tumble_approx_distinct_users_1h"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(exact) == set(approx)
+    for w, e in exact.items():
+        assert abs(approx[w] - e) <= max(1, 3 * 0.02 * e), (w, approx[w], e)

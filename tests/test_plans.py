@@ -68,6 +68,27 @@ def test_ngram_dedup_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_stratified_sample_is_scan_local(spark):
+    """Deterministic sampling must be a pure filter over the scan —
+    zero exchanges, zero joins (the property that makes it free at
+    100 TB: it composes into any downstream plan without a shuffle)."""
+    import re
+
+    df = all_queries()["stratified_sample_docs"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0, plan
+    assert "Join" not in plan, plan
+
+
+def test_tfidf_df_join_not_cartesian(spark):
+    """tf-df join must be an equi-join on term; the scalar N join must
+    be a broadcast (1-row side), never a nested loop over tokens."""
+    df = all_queries()["tfidf_top_terms"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
 def test_asof_is_single_shuffle_window(spark):
     """As-of join: union + one window over the key — exactly one
     exchange (hash by user_id), no join operator at all."""
@@ -107,6 +128,8 @@ BNLJ_OK = {
     "tpch_q22_dormant_high_balance",
     # one-row scalar-aggregate gate broadcast into the HAVING filter
     "tpch_q11_important_stock",
+    # one-row corpus-count (N) broadcast into the idf expression
+    "tfidf_top_terms",
 }
 # Queries whose semantics REQUIRE Python (documented; Arrow-batched).
 PYTHON_OK = {
