@@ -524,3 +524,53 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("cluster_size", F.count("*").over(w)).withColumn(
         "keep", F.col("doc_id") == F.col("cluster_id")
     )
+
+
+# ------------------------------------------------------------ decontamination
+
+# Deterministic stand-in for a benchmark/eval suite: every 97th doc.
+# In production this side is the loaded eval corpus; everything about
+# the plan (broadcast the small side's distinct shingles, semi-join the
+# big side) is identical.
+_EVAL_PRED = "doc_id % 97 = 0"
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM t),
+ev AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE {_EVAL_PRED}),
+tr AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE NOT ({_EVAL_PRED}))
+SELECT tr.doc_id, COUNT(*) AS n_hits
+FROM tr JOIN ev USING (s)
+GROUP BY 1
+""",
+    doc="Train-set decontamination: flag training docs sharing any word-"
+    "3-gram with the eval suite, with the count of distinct contaminated "
+    "shingles per doc. Plan shape for 100 TB: the eval side (benchmarks "
+    "are MBs, corpora are TBs) reduces to a distinct-shingle-hash set "
+    "and BROADCASTS; the training corpus is scanned once and never "
+    "shuffles before the per-doc count — contamination checking rides "
+    "along any corpus pass for free. Distinct-per-doc shingles come "
+    "from word_ngrams' array_distinct, so COUNT(*) after the join is "
+    "already the distinct hit count in both engines.",
+    tags=("dedup", "text", "join"),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingled(spark, sf_dir)
+    ev = (
+        sh.where(F.expr(_EVAL_PRED))
+        .select(F.explode("shingles").alias("sh_txt"))
+        .select(F.xxhash64("sh_txt").alias("s"))
+        .distinct()
+    )
+    tr = sh.where(~F.expr(_EVAL_PRED)).select(
+        "doc_id",
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s"),
+    )
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )

@@ -100,7 +100,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # multimodal pillar
     "multimodal_metadata",
     "multimodal_features",
-    "multimodal_feature_agg",
+    # r3: multimodal_feature_agg (features + a groupBy; the pillar keeps
+    # two driver slots) gave its slot to the decontamination capability
+    "decontaminate_ngram_overlap",
     # ANN / similarity pillar
     "ann_cosine_topk",
     "ann_lsh_buckets",
