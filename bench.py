@@ -55,6 +55,13 @@ HEADLINE = [
     # derived-partsupp composite-key join + the corpus filter cascade
     "tpch_q9_product_type_profit",
     "gopher_quality_filter",
+    # round 3 additions: TF-IDF ranking, broadcast decontamination,
+    # sketch-based windowed distinct (the 100 TB distinct-count path),
+    # scan-local stratified sampling
+    "tfidf_top_terms",
+    "decontaminate_ngram_overlap",
+    "tumble_approx_distinct_users_1h",
+    "stratified_sample_docs",
 ]
 
 
