@@ -65,7 +65,14 @@ HEADLINE = [
 ]
 
 
-def _stream_benches(spark, sf_dir: str) -> dict[str, float]:
+def _err_summary(exc: Exception) -> str:
+    """First line of the error, bounded; never raises (str(exc) can be
+    empty for bare Exception()/KeyError)."""
+    first = (str(exc).splitlines() or [repr(exc)])[0]
+    return (first or repr(exc))[:200]
+
+
+def _stream_benches(spark, sf_dir: str, errors: dict[str, str]) -> dict[str, float]:
     """Three micro-batched streams over one replayed fixture, timed end
     to end (replay materialization excluded — it's the generator, not
     the engine): EP1 tumbling agg, the sliding-window agg, and the F5
@@ -130,8 +137,9 @@ def _stream_benches(spark, sf_dir: str) -> dict[str, float]:
                 run_to_memory(out, f"bench_{name}_{uuid.uuid4().hex[:8]}")
                 timings[name] = round(time.perf_counter() - t0, 3)
             except Exception as exc:  # noqa: BLE001
-                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+                print(f"bench: {name} FAILED: {exc!r}", file=sys.stderr)
                 timings[name] = -1.0
+                errors[name] = _err_summary(exc)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(scratch, ignore_errors=True)
@@ -169,15 +177,15 @@ def main() -> None:
                 best = elapsed if best is None else min(best, elapsed)
             timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001
-            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            print(f"bench: {name} FAILED: {exc!r}", file=sys.stderr)
             timings[name] = -1.0
-            errors[name] = str(exc).splitlines()[0][:200]
+            errors[name] = _err_summary(exc)
     batch_total = round(sum(t for t in timings.values() if t >= 0), 3)
     try:
-        timings.update(_stream_benches(spark, sf_dir))
+        timings.update(_stream_benches(spark, sf_dir, errors))
     except Exception as exc:  # noqa: BLE001
-        print(f"bench: stream harness FAILED: {exc}", file=sys.stderr)
-        errors["_stream_harness"] = str(exc).splitlines()[0][:200]
+        print(f"bench: stream harness FAILED: {exc!r}", file=sys.stderr)
+        errors["_stream_harness"] = _err_summary(exc)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(

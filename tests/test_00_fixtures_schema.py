@@ -31,7 +31,9 @@ from .conftest import SF_SMALL
 CONTRACT = {
     "events": {"event_id": "bigint", "ts": "bigint", "user_id": "bigint",
                "event_type": "string", "value": "double"},
-    "documents": {"doc_id": "bigint", "text": "string"},
+    "documents": {"doc_id": "bigint", "text": "string",
+                  "lang": "string", "source": "string",
+                  "n_chars": "bigint"},
     "embeddings": {"vec_id": "bigint", "embedding": "array<float>"},
     "orders": {"o_orderkey": "bigint", "o_custkey": "bigint"},
     "lineitem": {"l_orderkey": "bigint", "l_quantity": "double"},
@@ -57,10 +59,12 @@ def test_all_tables_load_and_match_contract(spark):
 
 
 def test_session_timezone_is_utc(spark):
-    # The timestamp-typed branch of load() relies on cast("timestamp")
-    # over TIMESTAMP_NTZ being an identity reinterpretation — true only
-    # under a UTC session timezone (pinned in session.get_spark). If
-    # this drifts, every window boundary shifts by the local offset.
+    # load() itself is timezone-free by construction (timestampdiff /
+    # unix_micros — see its docstring), but the tuned session still
+    # pins UTC as defense-in-depth for LTZ-dependent expressions
+    # elsewhere (to_date in warehouse.py, timestamp formatting). This
+    # asserts the pin so a config drift surfaces here, not as a
+    # day-boundary shift in some downstream query.
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
 
 
@@ -123,7 +127,8 @@ def test_entry_smoke(spark):
     import importlib
     mod = importlib.import_module("__spark_entry__")
     df = mod.entry(spark)
-    assert df.limit(1).count() >= 0
+    # the driver requires a non-empty result — >= 1, not >= 0
+    assert df.limit(1).count() >= 1
 
 
 if __name__ == "__main__":

@@ -43,9 +43,11 @@ def _rows(spark, name):
         vals = []
         for v in r:
             # double summation order may legitimately differ between
-            # schedules; compare at 9 significant decimals (far tighter
-            # than the driver's own fp tolerance)
-            vals.append(round(v, 9) if isinstance(v, float) else v)
+            # schedules; compare at 12 SIGNIFICANT digits (%.12g —
+            # relative, so large-magnitude sums get the same tolerance
+            # as small ones; still far tighter than the driver's own
+            # fp tolerance)
+            vals.append(float(f"{v:.12g}") if isinstance(v, float) else v)
         out.append(tuple(vals))
     return sorted(out, key=repr)
 
