@@ -132,3 +132,61 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TFIDF_TOP_K)
         .select("doc_id", "term", "tfidf", "rk")
     )
+
+
+# ------------------------------------------------------------ sequence packing
+
+PACK_BUDGET_TOKENS = 512
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, len(string_split(lower(text), ' ')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY n_tokens DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM t
+)
+SELECT doc_id, lang, n_tokens,
+       CAST((cum - n_tokens) // {PACK_BUDGET_TOKENS} AS BIGINT) AS bin_id
+FROM c
+""",
+    doc=f"Training-sequence packing: assign docs to {PACK_BUDGET_TOKENS}-"
+    "token bins per language via a cumulative token sum over a "
+    "deterministic (size desc, doc_id) order — the shuffle-free "
+    "approximation of first-fit-decreasing. One window shuffle keyed on "
+    "lang; at 100 TB the partition key widens to (lang, shard) so no "
+    "single ordering grows unbounded, which only renumbers bins, never "
+    "overfills them: bin occupancy stays bounded by budget + one doc "
+    "because the cumulative sum is per-partition by construction.",
+    tags=("sampling", "window"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.lower("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / F.lit(PACK_BUDGET_TOKENS)
+        )
+        .cast("bigint")
+        .alias("bin_id"),
+    )

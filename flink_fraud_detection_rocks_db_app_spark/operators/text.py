@@ -369,3 +369,51 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (reason == "ok").alias("keep"),
         reason.alias("reason"),
     )
+
+
+# ----------------------------------------------------------------- PII flags
+
+# Patterns kept to the regex intersection of Java (Spark) and RE2
+# (DuckDB): char classes, bounded repetition, \d, \b — no lookaround.
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+# The synthetic corpus is alphabetic-only, so the PII counts are
+# structurally zero there; the long-word count is value-bearing on the
+# same fixtures and proves the regexp_extract_all path end to end.
+_LONG_WORD = r"\b[a-z]{7,}\b"
+
+
+@register(
+    "doc_pii_flags",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(lower(text), '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(lower(text), '{_PII_SSN}')) AS BIGINT) AS n_ssns,
+       CAST(len(regexp_extract_all(lower(text), '{_LONG_WORD}')) AS BIGINT) AS n_long_words
+FROM documents
+""",
+    doc="PII pre-filter signals: per-doc counts of email / phone / "
+    "SSN-shaped matches. Scan-local regexp over the text column (zero "
+    "shuffle, rides the corpus scan); patterns restricted to the "
+    "Java-regex ∩ RE2 subset so the oracle replays them verbatim. The "
+    "redaction/drop decision composes downstream exactly like "
+    "gopher_quality_filter's rule cascade.",
+    tags=("text",),
+)
+def doc_pii_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def n(pat: str, alias: str):
+        # F.lit(pat), not an F.expr SQL string: the SQL parser would
+        # interpret \b as a backspace escape and silently match nothing
+        return F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(pat), F.lit(0))
+        ).cast("bigint").alias(alias)
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        n(_PII_EMAIL, "n_emails"),
+        n(_PII_PHONE, "n_phones"),
+        n(_PII_SSN, "n_ssns"),
+        n(_LONG_WORD, "n_long_words"),
+    )

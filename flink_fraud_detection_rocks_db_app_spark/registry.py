@@ -51,7 +51,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 DRIVER_WINDOW: tuple[str, ...] = (
     # skew-handling + SQL-API representative
     "event_type_stats_salted",
-    "sql_tumble_sum_3s",
+    # r3: sql_tumble_sum_3s (same operator as tumble_sum_3s through the
+    # SQL API face; that face stays covered by tests/test_oracle_parity)
+    # gave its slot to the sequence-packing family
+    "pack_sequences",
     # extension joins (as-of / range / interval)
     "asof_latest_order",
     "range_join_price_band",
