@@ -331,3 +331,25 @@ def test_approx_distinct_tracks_exact_twin(spark):
     assert set(exact) == set(approx)
     for w, e in exact.items():
         assert abs(approx[w] - e) <= max(1, 3 * 0.02 * e), (w, approx[w], e)
+
+
+def test_pack_sequences_bin_occupancy_invariant(spark):
+    """The packing contract from the docstring: within each (lang, bin),
+    total tokens minus the largest doc stays under the budget (cumsum
+    binning can overshoot by at most one document), every doc lands in
+    exactly one bin, and bins are contiguous from 0 per lang."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.sampling import (
+        PACK_BUDGET_TOKENS,
+    )
+    from flink_fraud_detection_rocks_db_app_spark.registry import all_queries
+
+    rows = all_queries()["pack_sequences"].fn(spark, SF_SMALL).collect()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_bin: dict = {}
+    for r in rows:
+        by_bin.setdefault((r.lang, r.bin_id), []).append(r.n_tokens)
+    for (lang, b), toks in by_bin.items():
+        assert sum(toks) - max(toks) < PACK_BUDGET_TOKENS, (lang, b, toks)
+    for lang in {r.lang for r in rows}:
+        bins = sorted({r.bin_id for r in rows if r.lang == lang})
+        assert bins == list(range(len(bins))), (lang, bins)
