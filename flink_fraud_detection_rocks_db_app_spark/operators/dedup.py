@@ -378,9 +378,13 @@ def dedup_ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the DF cutoff fuses into the grouping for free (no separate
     # df-count join, no postings self-join re-running the shingle
     # lineage twice; a string-keyed self-join version of this query
-    # was 5x SLOWER than unpruned at sf0.1). The two consumers of
-    # `kept` (pair expansion + per-doc pruned sizes) share the
-    # shuffle via Spark's ReusedExchange.
+    # was 5x SLOWER than unpruned at sf0.1). NB the two consumers of
+    # `kept` (pair expansion + per-doc pruned sizes) do NOT share the
+    # shuffle: collect_list is non-deterministic, which blocks
+    # ReuseExchange canonicalization, so the postings build runs per
+    # consumer. Measured at sf0.1 a localCheckpoint of `kept` is a
+    # wash (the build is one scan-local pass + one bounded shuffle);
+    # at 100 TB persist `kept` explicitly if the rebuild shows up.
     sh = shingled(spark, sf_dir)
     ex = sh.select(
         "doc_id", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s")
