@@ -1,7 +1,13 @@
 """Structured Streaming layer: replay source, declarative jobs,
 stateful detectors, metrics listener."""
 
-from .jobs import IN_ORDER, OUT_OF_ORDER_5S, alert_stream, windowed_agg_stream  # noqa: F401
+from .jobs import (  # noqa: F401
+    IN_ORDER,
+    OUT_OF_ORDER_5S,
+    alert_stream,
+    paned_sliding_stream,
+    windowed_agg_stream,
+)
 from .listener import JobMetrics, MetricsListener  # noqa: F401
 from .rollup import (  # noqa: F401
     continuous_rollup_sink,

@@ -48,6 +48,54 @@ def windowed_agg_stream(
     return out.select(*cols, *[c for c in out.columns if c not in ("w", key)])
 
 
+def paned_sliding_stream(
+    stream: DataFrame,
+    size_ms: int,
+    slide_ms: int,
+    watermark: str = IN_ORDER,
+    key: str | None = "account_id",
+) -> DataFrame:
+    """Streaming form of WA3's pane optimization (the batch version is
+    operators/windows.slide_sum_50s_10s_paned): a tumbling gcd-pane SUM
+    feeds a chained sliding window over the PANE rows. The naive
+    sliding agg writes size/slide state rows per EVENT; here the
+    sliding Expand and its state writes run on pane aggregates, so the
+    second stage's input volume is |panes| not |rows| * overlap — the
+    same rewrite that makes sliding windows survive scale, expressed
+    with Spark's multiple-stateful-operator support. Emits the same
+    (w_start, key, sum_amount) rows as windowed_agg_stream(size, slide)
+    once the watermark closes both stages (asserted by differential
+    test).
+
+    Measured tradeoff (sf0.1 replay, local[32]): the naive form is
+    ~10% FASTER here — the second state store's per-micro-batch
+    open/commit outweighs the saved Expand volume while batches are
+    small. The crossover favors panes when per-event state writes
+    dominate per-batch fixed costs, i.e. at real event volumes; both
+    forms are kept so the deployment can choose by measurement."""
+    import math
+
+    pane_ms = math.gcd(size_ms, slide_ms)
+    keys = [F.window("event_time", f"{pane_ms} milliseconds").alias("p")] + (
+        [F.col(key)] if key else []
+    )
+    panes = (
+        stream.withWatermark("event_time", watermark)
+        .groupBy(*keys)
+        .agg(F.sum("amount").alias("pane_sum"))
+    )
+    outer_keys = [
+        F.window(
+            F.window_time("p"), f"{size_ms} milliseconds", f"{slide_ms} milliseconds"
+        ).alias("w")
+    ] + ([F.col(key)] if key else [])
+    out = panes.groupBy(*outer_keys).agg(F.sum("pane_sum").alias("sum_amount"))
+    cols = [F.unix_millis(F.col("w.start")).alias("w_start")]
+    if key:
+        cols.append(F.col(key))
+    return out.select(*cols, "sum_amount")
+
+
 def alert_stream(agg_stream: DataFrame, threshold: float, value_col: str = "sum_amount") -> DataFrame:
     """F2: stateless threshold on the windowed aggregate -> alerts
     (reference: master/src/main/java/InorderTumblingWindow/FraudDetector2.java:14-31)."""

@@ -456,3 +456,25 @@ def test_stream_static_rules_join(spark, scratch):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_paned_sliding_stream_equals_naive(spark, scratch):
+    """WA3's pane optimization in streaming form: the chained
+    pane->sliding aggregation must emit exactly the naive sliding
+    window's rows (same windows, same sums) over the same replay."""
+    from flink_fraud_detection_rocks_db_app_spark.streaming import (
+        paned_sliding_stream,
+    )
+
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=4)
+    naive = windowed_agg_stream(
+        read_replay_stream(spark, chunks), 50_000, 10_000, watermark="0 seconds"
+    )
+    run_to_memory(naive, "paned_diff_naive")
+    paned = paned_sliding_stream(
+        read_replay_stream(spark, chunks), 50_000, 10_000, watermark="0 seconds"
+    )
+    run_to_memory(paned, "paned_diff_paned")
+    a = {tuple(r) for r in spark.table("paned_diff_naive").collect()}
+    b = {tuple(r) for r in spark.table("paned_diff_paned").collect()}
+    assert a == b and len(a) > 0
