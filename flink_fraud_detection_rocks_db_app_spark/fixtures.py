@@ -77,6 +77,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 f"events.ts arrived as unsupported dtype {dtype!r}; "
                 "extend fixtures.load() for this physical type"
             )
+    elif name == "embeddings":
+        # Same drift-probe idea for the vector column: every consumer
+        # casts elements to DOUBLE on BOTH engines (similarity.py uses
+        # `transform(embedding, x -> CAST(x AS DOUBLE))` / `::DOUBLE[]`),
+        # so float<->double physical drift is semantically neutral —
+        # float->double widening is exact and a double fixture is read
+        # natively by both. Anything else (decimal, binary, string)
+        # needs a new adapter; fail HERE with the type in the message,
+        # not one `zip_with` deep in a similarity query.
+        dtype = dict(df.dtypes).get("embedding")
+        if dtype not in ("array<float>", "array<double>"):
+            raise TypeError(
+                f"embeddings.embedding arrived as unsupported dtype {dtype!r}; "
+                "extend fixtures.load() for this physical type"
+            )
     return df
 
 

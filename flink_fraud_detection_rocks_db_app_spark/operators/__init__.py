@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     sampling,
     similarity,
     stateful,
+    streamface,
     text,
     timeseries,
     tpch,

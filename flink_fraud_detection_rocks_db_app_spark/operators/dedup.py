@@ -221,6 +221,25 @@ WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(spark, sf_dir)
+    cand = lsh_candidate_pairs(sig)
+    return verify_exact_jaccard(spark, sf_dir, cand)
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Banding + bucket-collision candidate pairs from minhash
+    signatures. A band-bucket SELF-JOIN would make Spark build the
+    whole scan->shingle->signature lineage twice; grouping on
+    (band, bucket) computes it once and the candidate pairs expand
+    from the collected array. Bucket lists are tiny by construction
+    for genuinely *near*-dup corpora (a collision IS the signal), but
+    N exact copies of one document all land in the same bucket — so
+    the expansion is pipelined (posexplode, then each element emits
+    its own tail slice) instead of flattening one O(N^2) in-row array:
+    the generator streams pairs row-at-a-time and peak memory per task
+    stays O(N). The O(N^2) *output* for an N-copy boilerplate cluster
+    is inherent to the pair-set contract; the structural valve is
+    running exact dedup first (corpus_prep_pipeline does), which
+    collapses identical texts to one representative before LSH."""
     rows_per_band = MINHASH_K // LSH_BANDS
     bands = sig.select(
         "doc_id",
@@ -235,30 +254,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
-    # Same group-postings-once / expand-pairs-in-array shape as the
-    # ngram queries: a band-bucket SELF-JOIN would make Spark build the
-    # whole scan->shingle->signature lineage twice; grouping on
-    # (band, bucket) computes it once and the candidate pairs expand
-    # inside the collected array. Bucket lists are tiny by construction
-    # (a bucket collision IS the near-dup signal), so collect_list here
-    # is skew-safe where the raw-postings version needs the DF cutoff.
     groups = bands.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
-    cand = (
+    return (
         groups.where(F.size("ds") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ds, (x, i) -> "
-                    "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .select("ds", F.posexplode("ds").alias("i", "doc_a"))
+        .select("doc_a", F.explode(F.expr("slice(ds, i + 2, size(ds))")).alias("doc_b"))
         .distinct()
     )
-    # exact verification on candidates only
+
+
+def verify_exact_jaccard(spark: SparkSession, sf_dir: str, cand: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification on candidate pairs only — precision
+    is exact regardless of how candidates were produced."""
     sh = shingled(spark, sf_dir)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))

@@ -8,9 +8,14 @@ arithmetic so the identical formula replays in any SQL engine:
 
 - Sampling key: Knuth multiplicative hash ``(id * 2654435761) mod 2^32``
   — a uniform permutation of the id space using only BIGINT math (no
-  engine-specific hash functions, no overflow: max id * constant is
-  far below 2^63). The per-stratum rate gate is then a plain integer
-  comparison, so the oracle is exact, not statistical.
+  engine-specific hash functions). The multiply is evaluated in
+  SPLIT form (16-bit hi/lo halves of ``id mod 2^32``, each product
+  < 2^49) so it is overflow-free for ARBITRARY 64-bit ids: the naive
+  ``id * 2654435761`` wraps int64 once ids pass ~3.47e9, and
+  non-ANSI Spark wraps silently where DuckDB/ANSI errors — the
+  sampled sets would silently diverge between engines at exactly the
+  corpus scale this targets. The per-stratum rate gate is then a
+  plain integer comparison, so the oracle is exact, not statistical.
 - TF-IDF: integer tf/df plus ``ln(N/df)``; scores are rounded to 6
   decimals BEFORE the per-doc ranking so a sub-ulp libm difference
   between engines can never flip row membership (registry.py
@@ -29,6 +34,19 @@ from ..registry import register
 # Knuth's multiplicative constant (golden-ratio reciprocal * 2^32).
 _KNUTH = 2654435761
 _MOD = 4294967296  # 2^32
+
+# (doc_id * _KNUTH) mod 2^32 via 16-bit split multiply — identical to
+# the naive product for every id, but every intermediate stays < 2^49
+# so int64 can never wrap (asserted for random 63-bit ids in
+# tests/test_extensions.py). Only `{idiv}` differs per engine
+# (Spark `div`, DuckDB `//`); all other operators behave identically
+# on the non-negative operands this produces.
+_HASH_TMPL = (
+    "((((((doc_id % 4294967296) {idiv} 65536) * 2654435761) % 4294967296)"
+    " * 65536 + (doc_id % 65536) * 2654435761) % 4294967296)"
+)
+_HASH_SPARK = _HASH_TMPL.format(idiv="div")
+_HASH_DUCK = _HASH_TMPL.format(idiv="//")
 
 # per-stratum keep rates in 1/100ths applied to the 32-bit hash space;
 # stratification axis is (lang): high-resource languages are downsampled
@@ -50,7 +68,7 @@ _RATE_SQL = (
     oracle=f"""
 SELECT doc_id, lang, source
 FROM documents
-WHERE (doc_id * {_KNUTH}) % {_MOD} < ({_RATE_SQL}) * ({_MOD} // 100)
+WHERE {_HASH_DUCK} < ({_RATE_SQL}) * ({_MOD} // 100)
 """,
     doc="Deterministic per-language stratified sample: Knuth "
     "multiplicative hash of doc_id gates each row against its stratum's "
@@ -60,7 +78,7 @@ WHERE (doc_id * {_KNUTH}) % {_MOD} < ({_RATE_SQL}) * ({_MOD} // 100)
 )
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    bucket = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(_MOD))
+    bucket = F.expr(_HASH_SPARK)
     rate = F.expr(_RATE_SQL)
     return docs.where(bucket < rate * (_MOD // 100)).select(
         "doc_id", "lang", "source"

@@ -1,0 +1,71 @@
+"""Batch-faced STREAMING queries: the registered fn runs the real
+Structured Streaming job over the deterministic replay and returns the
+materialized sink table, while the oracle is the plain batch SQL the
+stream must converge to. This puts stream==batch equality — watermark
+advancement, append-mode window closure, state-store correctness —
+under the driver's hash gate, not just the pytest suite: if watermark
+emission breaks, the driver row goes red.
+
+The reference's EP1 job is exactly this shape (stream in, windowed
+sums out; reference: master/src/main/java/InorderTumblingWindow/
+FraudDetectionJob.java:52-76); the suite's differential tests
+(tests/test_streaming.py) cover the same equality plus the
+out-of-order/late-drop variants that have no batch-SQL oracle.
+
+Mechanics: a finite replay under append mode withholds the windows
+containing the final events (their end never passes the closing
+watermark), so the replay appends a far-future SENTINEL row that
+pushes the watermark past every real window; the sentinel's own
+window never closes and is additionally filtered out.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .windows import MS, sql_tumble
+
+
+@register(
+    "stream_tumble_sum_1h_replay",
+    oracle=sql_tumble(MS["h"], "SUM(value) AS sum_amount"),
+    doc="EP1 as a driver row: per-account 1h tumbling SUM computed by the "
+    "ACTUAL streaming engine (chunked replay, 0s watermark, append mode, "
+    "memory sink) and hash-compared against the batch SQL. Green iff "
+    "stream==batch holds end to end.",
+    tags=("streaming", "window", "parity"),
+)
+def stream_tumble_sum_1h_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import (
+        SENTINEL_ACCOUNT,
+        append_sentinel_chunk,
+        read_replay_stream,
+        run_to_memory,
+        windowed_agg_stream,
+        write_replay_chunks,
+    )
+    from ..fixtures import transactions
+
+    name = f"streamface_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(".scratch", name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        max_us = (
+            transactions(spark, sf_dir)
+            .agg(F.max(F.unix_micros("event_time")))
+            .collect()[0][0]
+        )
+        # 7 days past the last event: beyond every 1h window boundary.
+        append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
+        agg = windowed_agg_stream(read_replay_stream(spark, chunks), MS["h"], watermark="0 seconds")
+        run_to_memory(agg, name)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)

@@ -16,6 +16,8 @@ from .rollup import (  # noqa: F401
     run_continuous_rollup,
 )
 from .replay import (  # noqa: F401
+    SENTINEL_ACCOUNT,
+    append_sentinel_chunk,
     read_replay_batch,
     read_replay_stream,
     run_to_memory,

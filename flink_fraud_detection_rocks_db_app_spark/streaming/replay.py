@@ -111,6 +111,39 @@ def write_replay_chunks(
     return out
 
 
+SENTINEL_ACCOUNT = -1
+
+
+def append_sentinel_chunk(chunks_dir: str, t_us: int) -> None:
+    """One far-future row in its own FINAL chunk. Append mode only
+    emits a window once the watermark passes its end, so the windows
+    containing the stream's last real events are normally withheld
+    when a finite replay ends; the sentinel advances the closing
+    watermark past every real window. Its own window never closes, so
+    the sentinel never appears in the output (consumers filter
+    SENTINEL_ACCOUNT as belt-and-braces). The chunk's mtime is pinned
+    strictly after every real chunk so FileStreamSource delivers it
+    last (same arrival-order invariant as write_replay_chunks)."""
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "account_id": pd.array([SENTINEL_ACCOUNT], dtype="int64"),
+            "t_us": pd.array([t_us], dtype="int64"),
+            "amount": [0.0],
+            "event_id": pd.array([-1], dtype="int64"),
+        }
+    )
+    path = os.path.join(chunks_dir, "chunk_9999_sentinel.parquet")
+    rows.to_parquet(path, index=False)
+    last = max(
+        os.stat(os.path.join(chunks_dir, f)).st_mtime
+        for f in os.listdir(chunks_dir)
+        if f != "chunk_9999_sentinel.parquet"
+    )
+    os.utime(path, (last + 1, last + 1))
+
+
 def read_replay_stream(spark: SparkSession, chunks_dir: str) -> DataFrame:
     """Streaming DataFrame over the replay chunks, one file per
     micro-batch (so watermarks advance between batches)."""

@@ -353,3 +353,27 @@ def test_pack_sequences_bin_occupancy_invariant(spark):
     for lang in {r.lang for r in rows}:
         bins = sorted({r.bin_id for r in rows if r.lang == lang})
         assert bins == list(range(len(bins))), (lang, bins)
+
+
+def test_sampling_hash_overflow_free_for_64bit_ids(spark):
+    """The split-multiply Knuth gate must (a) equal the naive
+    ``(id * K) mod 2^32`` everywhere, and (b) never wrap int64 — the
+    naive product overflows once ids pass ~3.47e9, which non-ANSI
+    Spark wraps SILENTLY while DuckDB errors, silently diverging the
+    sampled sets between engines. Probed under ANSI mode (overflow ->
+    hard error) across the full 64-bit id range."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.sampling import (
+        _HASH_SPARK,
+        _KNUTH,
+        _MOD,
+    )
+
+    big = [0, 1, 3_470_000_000, 2**32 - 1, 2**32, 2**48 + 12345, 2**62, 2**63 - 1]
+    df = spark.createDataFrame([(i,) for i in big], "doc_id bigint")
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        got = {r.doc_id: r.h for r in df.selectExpr("doc_id", f"{_HASH_SPARK} AS h").collect()}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert got == {i: (i * _KNUTH) % _MOD for i in big}
