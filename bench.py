@@ -72,7 +72,9 @@ def _err_summary(exc: Exception) -> str:
     return (first or repr(exc))[:200]
 
 
-def _stream_benches(spark, sf_dir: str, errors: dict[str, str]) -> dict[str, float]:
+def _stream_benches(
+    spark, sf_dir: str, errors: dict[str, str], throughput: dict[str, dict]
+) -> dict[str, float]:
     """Three micro-batched streams over one replayed fixture, timed end
     to end (replay materialization excluded — it's the generator, not
     the engine): EP1 tumbling agg, the sliding-window agg, and the F5
@@ -134,8 +136,17 @@ def _stream_benches(spark, sf_dir: str, errors: dict[str, str]) -> dict[str, flo
             t0 = time.perf_counter()
             try:
                 out = job(read_replay_stream(spark, chunks))
-                run_to_memory(out, f"bench_{name}_{uuid.uuid4().hex[:8]}")
+                stats = run_to_memory(out, f"bench_{name}_{uuid.uuid4().hex[:8]}")
                 timings[name] = round(time.perf_counter() - t0, 3)
+                # Throughput in the reference's own Prometheus metric
+                # (numEvents / processing duration, BASELINE.md) from
+                # StreamingQueryProgress — tracks engine processing
+                # rate independently of harness wall-clock overhead.
+                if stats["sec"] > 0:
+                    throughput[name] = {
+                        "rows": stats["rows"],
+                        "rows_per_sec": round(stats["rows"] / stats["sec"], 1),
+                    }
             except Exception as exc:  # noqa: BLE001
                 print(f"bench: {name} FAILED: {exc!r}", file=sys.stderr)
                 timings[name] = -1.0
@@ -181,8 +192,9 @@ def main() -> None:
             timings[name] = -1.0
             errors[name] = _err_summary(exc)
     batch_total = round(sum(t for t in timings.values() if t >= 0), 3)
+    throughput: dict[str, dict] = {}
     try:
-        timings.update(_stream_benches(spark, sf_dir, errors))
+        timings.update(_stream_benches(spark, sf_dir, errors, throughput))
     except Exception as exc:  # noqa: BLE001
         print(f"bench: stream harness FAILED: {exc!r}", file=sys.stderr)
         errors["_stream_harness"] = _err_summary(exc)
@@ -202,6 +214,10 @@ def main() -> None:
                 # batch-side subtotal
                 "batch_total": batch_total,
                 "stream_total": round(total - batch_total, 3),
+                # per-stream processing rate (StreamingQueryProgress:
+                # input rows / summed triggerExecution) — the
+                # reference's numEvents/duration metric definition
+                "stream_throughput": throughput,
                 # batch queries: best of 2 back-to-back runs (noise
                 # hygiene); streams run once (finite replay, too long
                 # to double). r1/r2 were single-shot.

@@ -171,6 +171,13 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash family changed r3; the semantic oracle — pair set == exact
     # Jaccard — is family-agnostic, and the recall contract is
     # re-asserted at two sfs in tests/test_extensions.py.)
+    # Settled by warm-session A/B (scripts/ab_minhash.py, interleaved
+    # min-of-N at sf0.1, identical downstream): hash-once best 2.04 s
+    # vs per-shingle-×-k best 2.30 s; medians within noise. The r3
+    # bench's 3.02 s was scheduler noise on top of this, not an
+    # algorithmic regression — and the k-fold reduction in
+    # variable-length string hashing is the term that grows with
+    # corpus size, so hash-once is kept.
     mh = [
         F.expr(f"array_min(transform(hs, h -> xxhash64(h, {i})))").alias(f"h{i}")
         for i in range(MINHASH_K)
@@ -394,6 +401,13 @@ def dedup_ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumer. Measured at sf0.1 a localCheckpoint of `kept` is a
     # wash (the build is one scan-local pass + one bounded shuffle);
     # at 100 TB persist `kept` explicitly if the rebuild shows up.
+    # r4 follow-up (scripts/ab_ngram_reuse.py): a deterministic
+    # spelling — df via groupBy(s).count() + join, no collect_list in
+    # the shared subtree — was ALSO a wash (candidate 2.94 s vs
+    # current 2.86 s min-of-3 at sf0.1, identical 256-row output) and
+    # materialized zero ReusedExchange nodes under AQE while doubling
+    # the scan count in the physical plan; the single-build + persist
+    # route remains the 100 TB recommendation, not plan surgery.
     sh = shingled(spark, sf_dir)
     ex = sh.select(
         "doc_id", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s")

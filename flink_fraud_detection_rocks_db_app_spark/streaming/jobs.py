@@ -67,12 +67,18 @@ def paned_sliding_stream(
     once the watermark closes both stages (asserted by differential
     test).
 
-    Measured tradeoff (sf0.1 replay, local[32]): the naive form is
-    ~10% FASTER here — the second state store's per-micro-batch
-    open/commit outweighs the saved Expand volume while batches are
-    small. The crossover favors panes when per-event state writes
-    dominate per-batch fixed costs, i.e. at real event volumes; both
-    forms are kept so the deployment can choose by measurement."""
+    Measured crossover (scripts/ab_paned_sliding.py — sf0.1 replay,
+    6 micro-batches, local[32], min-of-2 per point, densify=k replays
+    each event k times): naive 7.96 s / paned 10.18 s at 1× (600k
+    events), naive 8.82 s / paned 10.50 s at 10× (6M), naive 14.02 s /
+    **paned 12.04 s at 40×** (24M events). The second state store
+    costs a fixed ~2.2 s/replay of per-batch open/commit, but the
+    per-event slope is ~2.7× shallower (state writes ∝ |panes|, not
+    |rows|×overlap), so panes win once a micro-batch carries roughly
+    >4M events under this 50s/10s config — i.e. at real stream
+    volumes, exactly where the scale argument applies. Both forms are
+    kept: naive for sparse streams, paned when per-event state volume
+    dominates."""
     import math
 
     pane_ms = math.gcd(size_ms, slide_ms)

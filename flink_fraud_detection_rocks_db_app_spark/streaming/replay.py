@@ -77,6 +77,7 @@ def write_replay_chunks(
     n_chunks: int = 8,
     jitter_ms: int = 0,
     late_every: int = 0,
+    densify: int = 1,
 ) -> str:
     """Materialize the fixture as `n_chunks` sequential parquet files
     under scratch_dir/chunks and return that path.
@@ -84,11 +85,28 @@ def write_replay_chunks(
     Chunks follow *arrival order* (original ts), so with jitter the
     stream is genuinely out-of-order in event time while arrival is
     monotone-ish — the reference's out-of-order model.
+
+    `densify=k` replays each event k times (unique event_ids, ±500ms
+    deterministic spread so copies stay distinct rows in event time):
+    the knob that scales EVENT DENSITY per window without changing the
+    window population — for measuring how per-event state-write costs
+    (e.g. sliding-window Expand) grow against per-batch fixed costs.
     """
     out = os.path.join(scratch_dir, "chunks")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     df = _prepared(spark, sf_dir, jitter_ms, late_every)
+    if densify > 1:
+        k = F.lit(densify)
+        df = df.crossJoin(spark.range(densify).select(F.col("id").alias("rep"))).select(
+            "account_id",
+            (
+                F.col("t_us")
+                + (F.pmod(F.xxhash64("event_id", "rep"), F.lit(1001)) - 500) * 1000
+            ).alias("t_us"),
+            "amount",
+            (F.col("event_id") * k + F.col("rep")).alias("event_id"),
+        )
     # In-order replay arrives sorted by event time; disordered replay
     # arrives in original (pre-jitter) order, i.e. jitter makes event
     # time non-monotone across arrival — the reference's model.
@@ -170,9 +188,15 @@ def read_replay_batch(spark: SparkSession, chunks_dir: str) -> DataFrame:
     )
 
 
-def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "append") -> None:
+def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "append") -> dict:
     """Run a streaming query over the (finite) replay to completion,
-    results land in the in-memory table `name`."""
+    results land in the in-memory table `name`.
+
+    Returns the run's aggregate progress — {"rows": total input rows,
+    "sec": summed triggerExecution time} from StreamingQueryProgress —
+    so callers can report throughput in the reference's own metric
+    (numEvents / duration, BASELINE.md's Prometheus definition), not
+    just wall time. Callers that only want the table ignore it."""
     q = (
         sdf.writeStream.outputMode(output_mode)
         .format("memory")
@@ -184,3 +208,7 @@ def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "append") -> Non
     finally:
         q.stop()
         q.awaitTermination()
+    progress = q.recentProgress or []
+    rows = sum(int(p.get("numInputRows", 0)) for p in progress)
+    ms = sum(int((p.get("durationMs") or {}).get("triggerExecution", 0)) for p in progress)
+    return {"rows": rows, "sec": round(ms / 1000.0, 3)}

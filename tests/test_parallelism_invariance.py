@@ -66,3 +66,83 @@ def test_result_invariant_to_shuffle_partitions(spark, name):
         f"{name}: result depends on partition count "
         f"({len(serial)} vs {len(parallel)} rows)"
     )
+
+
+def test_streaming_restart_invariant_to_shuffle_partitions(spark, scratch):
+    """The reference's parallelism axis applied to STREAMING state: a
+    checkpointed query restarted under a different
+    spark.sql.shuffle.partitions must produce the identical window
+    results. Structured Streaming pins the state partition count in
+    the checkpoint (the offset log records numShufflePartitions), so a
+    conf change on restart must be a no-op for results — this asserts
+    that contract end to end: run half the replay at 4 partitions,
+    'crash', restart the second half at 17, compare the union against
+    the batch answer."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from flink_fraud_detection_rocks_db_app_spark.operators.windows import MS, tumbling
+    from flink_fraud_detection_rocks_db_app_spark.streaming import (
+        IN_ORDER,
+        read_replay_batch,
+        read_replay_stream,
+        windowed_agg_stream,
+        write_replay_chunks,
+    )
+
+    size_ms = MS["h"]
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=6)
+    files = sorted(glob.glob(os.path.join(chunks, "*.parquet")))
+    live = os.path.join(scratch, "live")
+    out = os.path.join(scratch, "out")
+    ckpt = os.path.join(scratch, "ckpt")
+    os.makedirs(live)
+
+    def run_once():
+        agg = windowed_agg_stream(
+            read_replay_stream(spark, live), size_ms, watermark=IN_ORDER
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        for f in files[:3]:
+            shutil.copy2(f, live)
+        run_once()
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        for f in files[3:]:
+            shutil.copy2(f, live)
+        run_once()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    got = {
+        (r.w_start, r.account_id): r.sum_amount
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = read_replay_batch(spark, chunks)
+    full = {
+        (r.w_start, r.account_id): r.sum_amount
+        for r in tumbling(batch, size_ms, [F.sum("amount").alias("sum_amount")]).collect()
+    }
+    wm = batch.agg(F.max(F.unix_millis("event_time"))).collect()[0][0]
+    want = {k: v for k, v in full.items() if k[0] + size_ms <= wm}
+    assert set(got) == set(want), (
+        f"missing={sorted(set(want) - set(got))[:3]} "
+        f"extra={sorted(set(got) - set(want))[:3]}"
+    )
+    for k, v in got.items():
+        assert abs(v - full[k]) < 1e-9, k
