@@ -562,9 +562,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVAL_PRED = "doc_id % 97 = 0"
 
 
-@register(
-    "decontaminate_ngram_overlap",
-    oracle=f"""
+_DECON_ORACLE = f"""
 WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM t),
 ev AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE {_EVAL_PRED}),
@@ -572,7 +570,12 @@ tr AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE NOT ({_EVAL_PRED}))
 SELECT tr.doc_id, COUNT(*) AS n_hits
 FROM tr JOIN ev USING (s)
 GROUP BY 1
-""",
+"""
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=_DECON_ORACLE,
     doc="Train-set decontamination: flag training docs sharing any word-"
     "3-gram with the eval suite, with the count of distinct contaminated "
     "shingles per doc. Plan shape for 100 TB: the eval side (benchmarks "
@@ -601,3 +604,72 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+# Bloom sizing for the fixture's eval side (~1k distinct shingles):
+# 2048 long words = 131072 bits, 5 lanes -> FP ~ (k*n/m)^k ~ 1e-7.
+# In production m scales with the eval-suite size (bits ~ 10x distinct
+# shingles keeps FP < 1%); the verify join makes FP a COST, never a
+# correctness issue.
+_BLOOM_WORDS = 2048
+_BLOOM_K = 5
+
+
+@register(
+    "decontaminate_bloom_prefilter",
+    oracle=_DECON_ORACLE,
+    doc="Decontamination with a BLOOM prefilter: the eval shingle set "
+    "compiles to a 16 KB long-array bitset (5 xxhash64 lanes) that rides "
+    "to every task via a broadcast one-row cross join; training shingles "
+    "that miss the bloom are dropped SCAN-SIDE in whole-stage codegen "
+    "before any join, and survivors are exact-verified against the real "
+    "set, so the output is identical to decontaminate_ngram_overlap "
+    "(same oracle). The 100 TB role: a bloom is ~8 bits/key where a "
+    "broadcast hash relation is ~30+ bytes/key, so eval suites too big "
+    "to broadcast as a join relation still fit as a bloom — the exact "
+    "join then only sees the ~FP+true-hit sliver instead of every "
+    "training shingle.",
+    tags=("dedup", "text", "join", "sketch"),
+)
+def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingled(spark, sf_dir)
+    ev = (
+        sh.where(F.expr(_EVAL_PRED))
+        .select(F.explode("shingles").alias("t"))
+        .select(F.xxhash64("t").alias("s"))
+        .distinct()
+    )
+    m_bits = _BLOOM_WORDS * 64
+    # Sparse (word, mask) build entirely in Spark; only the bounded
+    # bitset (<= _BLOOM_WORDS rows, the same data volume the exact path
+    # broadcasts) is collected to assemble the dense array.
+    sparse = (
+        ev.select(
+            F.expr(
+                f"explode(transform(sequence(0, {_BLOOM_K - 1}), "
+                f"i -> pmod(xxhash64(s, i), {m_bits})))"
+            ).alias("bit")
+        )
+        .select(
+            (F.col("bit") / 64).cast("int").alias("word"),
+            F.col("bit").cast("int").alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(1L, pmod(b, 64)))").alias("mask"))
+        .collect()
+    )
+    words = [0] * _BLOOM_WORDS
+    for r in sparse:
+        words[r.word] = r.mask
+    bloom = spark.createDataFrame([(words,)], "bf array<bigint>")
+    tr = sh.where(~F.expr(_EVAL_PRED)).select(
+        "doc_id",
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s"),
+    )
+    probe = F.expr(
+        f"forall(sequence(0, {_BLOOM_K - 1}), i -> "
+        f"(element_at(bf, cast(pmod(xxhash64(s, i), {m_bits}) div 64 AS INT) + 1) "
+        f"& shiftleft(1L, cast(pmod(xxhash64(s, i), {m_bits}) AS INT) % 64)) != 0)"
+    )
+    pre = tr.crossJoin(F.broadcast(bloom)).where(probe).drop("bf")
+    return pre.join(ev, "s").groupBy("doc_id").agg(F.count("*").alias("n_hits"))

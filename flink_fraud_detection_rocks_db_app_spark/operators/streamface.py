@@ -69,3 +69,50 @@ def stream_tumble_sum_1h_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)
+
+
+@register(
+    "stream_dedup_tumble_sum_1h_replay",
+    oracle=sql_tumble(MS["h"], "SUM(value) AS sum_amount"),
+    doc="Streaming at-least-once dedup under the oracle gate: the replay "
+    "REDELIVERS every 7th event verbatim (the broker at-least-once "
+    "model), dropDuplicatesWithinWatermark('event_id') absorbs the "
+    "redeliveries in bounded state (keys expire once the 5s watermark "
+    "passes — state is O(events in the delay window), not O(stream)), "
+    "and the downstream 1h tumbling sums must equal the duplicate-free "
+    "batch SQL exactly. A red row means either dedup state or chained "
+    "stateful-operator watermark propagation broke.",
+    tags=("streaming", "dedup", "window", "parity"),
+)
+def stream_dedup_tumble_sum_1h_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import (
+        SENTINEL_ACCOUNT,
+        append_sentinel_chunk,
+        read_replay_stream,
+        run_to_memory,
+        windowed_agg_stream,
+        write_replay_chunks,
+    )
+    from ..fixtures import transactions
+
+    name = f"streamdedup_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(".scratch", name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6, dup_every=7)
+        max_us = (
+            transactions(spark, sf_dir)
+            .agg(F.max(F.unix_micros("event_time")))
+            .collect()[0][0]
+        )
+        append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
+        deduped = (
+            read_replay_stream(spark, chunks)
+            .withWatermark("event_time", "5 seconds")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        agg = windowed_agg_stream(deduped, MS["h"], watermark=None)
+        run_to_memory(agg, name)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)

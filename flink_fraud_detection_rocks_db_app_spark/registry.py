@@ -119,8 +119,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_frame_sample",
     "multimodal_features",
     # r3: multimodal_feature_agg (features + a groupBy; the pillar keeps
-    # two driver slots) gave its slot to the decontamination capability
-    "decontaminate_ngram_overlap",
+    # two driver slots) gave its slot to the decontamination capability.
+    # r4: the bloom-prefilter variant takes the decontamination slot —
+    # it exercises strictly more (bitset build + scan-side probe + the
+    # SAME exact-verify join and oracle); the plain form stays
+    # full-suite verified.
+    "decontaminate_bloom_prefilter",
     # ANN / similarity pillar
     "ann_cosine_topk",
     "ann_lsh_buckets",
@@ -141,9 +145,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # composed Gopher-style quality gate
     "doc_repetition_signals",
     "gopher_quality_filter",
-    # time-series pillar
+    # time-series pillar (r4: event_deltas — lag-window arithmetic, the
+    # same row-frame machinery as moving_avg, still full-suite verified
+    # — gave its slot to the streaming at-least-once dedup row, so the
+    # dedup-under-redelivery contract is hash-gated by the driver)
     "moving_avg_5_events",
-    "event_deltas",
+    "stream_dedup_tumble_sum_1h_replay",
     "resample_daily_gapfill",
     # relational / TPC-H pillar
     "tpch_q1_pricing_summary",

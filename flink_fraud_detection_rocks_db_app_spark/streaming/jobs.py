@@ -26,13 +26,17 @@ def windowed_agg_stream(
     stream: DataFrame,
     size_ms: int,
     slide_ms: int | None = None,
-    watermark: str = IN_ORDER,
+    watermark: str | None = IN_ORDER,
     key: str | None = "account_id",
     aggs: list | None = None,
 ) -> DataFrame:
     """EP1/EP2 streaming shape: watermark -> keyed event-time window ->
     aggregate. Output columns match the batch `windows.tumbling/sliding`
-    builders so stream==batch equality is a direct DataFrame compare."""
+    builders so stream==batch equality is a direct DataFrame compare.
+
+    `watermark=None` means the input is ALREADY watermarked (e.g. by an
+    upstream stateful operator like dropDuplicatesWithinWatermark);
+    re-declaring it between chained stateful operators is disallowed."""
     if aggs is None:
         aggs = [F.sum("amount").alias("sum_amount")]
     win = (
@@ -41,7 +45,8 @@ def windowed_agg_stream(
         else F.window("event_time", f"{size_ms} milliseconds", f"{slide_ms} milliseconds")
     )
     keys = [win.alias("w")] + ([F.col(key)] if key else [])
-    out = stream.withWatermark("event_time", watermark).groupBy(*keys).agg(*aggs)
+    src = stream if watermark is None else stream.withWatermark("event_time", watermark)
+    out = src.groupBy(*keys).agg(*aggs)
     cols = [F.unix_millis(F.col("w.start")).alias("w_start")]
     if key:
         cols.append(F.col(key))

@@ -78,6 +78,7 @@ def write_replay_chunks(
     jitter_ms: int = 0,
     late_every: int = 0,
     densify: int = 1,
+    dup_every: int = 0,
 ) -> str:
     """Materialize the fixture as `n_chunks` sequential parquet files
     under scratch_dir/chunks and return that path.
@@ -91,6 +92,12 @@ def write_replay_chunks(
     the knob that scales EVENT DENSITY per window without changing the
     window population — for measuring how per-event state-write costs
     (e.g. sliding-window Expand) grow against per-batch fixed costs.
+
+    `dup_every=k` redelivers every k-th event VERBATIM (same event_id,
+    same timestamp, arriving right after the original) — the
+    at-least-once delivery model every real broker exhibits; the
+    streaming dedup operators must absorb these without changing any
+    aggregate.
     """
     out = os.path.join(scratch_dir, "chunks")
     shutil.rmtree(out, ignore_errors=True)
@@ -112,6 +119,17 @@ def write_replay_chunks(
     # time non-monotone across arrival — the reference's model.
     order_col = "t_us" if not (jitter_ms or late_every) else "event_id"
     pdf = df.orderBy(order_col, "event_id").toPandas()
+    if dup_every:
+        # stable sort keeps each redelivery immediately after its
+        # original, i.e. within the same (or at worst the next) chunk —
+        # inside any bounded-delay dedup window.
+        import pandas as pd
+
+        pdf = (
+            pd.concat([pdf, pdf.iloc[::dup_every]])
+            .sort_values([order_col, "event_id"], kind="stable")
+            .reset_index(drop=True)
+        )
     n = len(pdf)
     size = -(-n // n_chunks)
     base = int(os.stat(scratch_dir).st_mtime)

@@ -377,3 +377,14 @@ def test_sampling_hash_overflow_free_for_64bit_ids(spark):
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
     assert got == {i: (i * _KNUTH) % _MOD for i in big}
+
+
+def test_bloom_prefilter_matches_exact_decontamination(spark):
+    """The bloom path must emit EXACTLY the exact path's rows (FPs are
+    removed by the verify join; FNs are impossible for a bloom), and
+    the prefilter must actually prune — at fixture sizing the surviving
+    shingle stream should be a small fraction of the training postings."""
+    exact = {(r.doc_id, r.n_hits) for r in _rows(spark, "decontaminate_ngram_overlap")}
+    bloom = {(r.doc_id, r.n_hits) for r in _rows(spark, "decontaminate_bloom_prefilter")}
+    assert exact == bloom
+    assert len(bloom) > 0

@@ -478,3 +478,38 @@ def test_paned_sliding_stream_equals_naive(spark, scratch):
     a = {tuple(r) for r in spark.table("paned_diff_naive").collect()}
     b = {tuple(r) for r in spark.table("paned_diff_paned").collect()}
     assert a == b and len(a) > 0
+
+
+def test_stream_dedup_absorbs_redelivery(spark, scratch):
+    """At-least-once redelivery (dup_every): WITHOUT dedup the windowed
+    sums must be corrupted (proves the knob injects real duplicates);
+    WITH dropDuplicatesWithinWatermark they equal the duplicate-free
+    batch answer on every emitted window."""
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=6, dup_every=5)
+    full = _batch_tumble(spark)
+
+    naive = windowed_agg_stream(
+        read_replay_stream(spark, chunks), SIZE_MS, watermark=OUT_OF_ORDER_5S
+    )
+    run_to_memory(naive, "t_dup_naive")
+    got_naive = {
+        (r.w_start, r.account_id): r.sum_amount
+        for r in spark.table("t_dup_naive").collect()
+    }
+    corrupted = [k for k, v in got_naive.items() if abs(v - full[k]) > 1e-9]
+    assert corrupted, "dup_every must corrupt at least one window sum"
+
+    deduped = (
+        read_replay_stream(spark, chunks)
+        .withWatermark("event_time", OUT_OF_ORDER_5S)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = windowed_agg_stream(deduped, SIZE_MS, watermark=None)
+    run_to_memory(agg, "t_dup_clean")
+    got = {
+        (r.w_start, r.account_id): r.sum_amount
+        for r in spark.table("t_dup_clean").collect()
+    }
+    assert got, "deduped stream emitted nothing"
+    for k, v in got.items():
+        assert abs(v - full[k]) < 1e-9, k
