@@ -62,6 +62,11 @@ HEADLINE = [
     "decontaminate_ngram_overlap",
     "tumble_approx_distinct_users_1h",
     "stratified_sample_docs",
+    # round 4 additions: the bloom-prefiltered decontamination path —
+    # benched alongside the broadcast-exact form it must shadow — and
+    # the BLAS-vectorized exact ANN next to its JVM zip_with twin
+    "decontaminate_bloom_prefilter",
+    "ann_cosine_topk_blas",
 ]
 
 

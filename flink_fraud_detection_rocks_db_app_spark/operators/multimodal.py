@@ -252,3 +252,64 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return m.mapInPandas(extract, FRAME_SCHEMA)
+
+
+RESIZE_EVERY = 4  # keep every 4th byte — the downsample ratio
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_len", T.LongType()),
+        T.StructField("thumb_len", T.LongType()),
+        T.StructField("thumb_md5", T.StringType()),
+    ]
+)
+
+
+def resize_payload(payload: bytes, every: int = RESIZE_EVERY) -> bytes:
+    """STUB resize: byte-stride downsample (every `every`-th byte) —
+    the plumbing shape of thumbnailing (a real deployment swaps the
+    stride for a PIL/libvips resample; the Arrow batch shape, schema,
+    and scan-local execution do not move)."""
+    return payload[::every]
+
+
+@register(
+    "multimodal_resize",
+    # byte stride == char stride on the pure-ASCII fixture payloads, so
+    # the downsampled bytes (and their md5) are exactly expressible in
+    # SQL — full value-hash oracle for the resize plumbing.
+    oracle=f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS orig_len,
+       CAST((length(text) + {RESIZE_EVERY - 1}) // {RESIZE_EVERY} AS BIGINT) AS thumb_len,
+       md5(array_to_string([text[i] for i in range(1, length(text) + 1, {RESIZE_EVERY})], '')) AS thumb_md5
+FROM documents
+""",
+    doc=f"Media resize stand-in: every {RESIZE_EVERY}th byte of the "
+    "payload via mapInPandas — completes the decode/feature/resize/"
+    "frame-sample quartet. Scan-local like the other multimodal ops: "
+    "payloads never shuffle, only (doc_id, lens, md5) rows leave the "
+    "scan stage; at 100 TB the thumbnail would be WRITTEN back as a "
+    "new binary column in the same pass, still shuffle-free.",
+    tags=("multimodal",),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    m = media_table(spark, sf_dir)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                thumb = resize_payload(b)
+                rows.append(
+                    (doc_id, len(b), len(thumb), hashlib.md5(thumb).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "orig_len", "thumb_len", "thumb_md5"]
+            )
+
+    return m.mapInPandas(extract, RESIZE_SCHEMA)

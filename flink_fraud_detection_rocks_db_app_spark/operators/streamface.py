@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from .windows import MS, sql_tumble
+from .windows import MS, sql_session, sql_tumble
 
 
 @register(
@@ -112,6 +112,50 @@ def stream_dedup_tumble_sum_1h_replay(spark: SparkSession, sf_dir: str) -> DataF
             .dropDuplicatesWithinWatermark(["event_id"])
         )
         agg = windowed_agg_stream(deduped, MS["h"], watermark=None)
+        run_to_memory(agg, name)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)
+
+
+@register(
+    "stream_session_sum_replay",
+    oracle=sql_session(6 * MS["h"]),
+    doc="Session windows under the oracle gate: the streaming engine "
+    "MERGES per-key open sessions in the state store as events arrive "
+    "(the capability the reference's custom trigger machinery was built "
+    "toward) and the watermark closes them; the materialized sessions "
+    "must hash-equal the batch gaps-and-islands SQL. Sits past the "
+    "driver window, verified every round by the full-registry oracle "
+    "parity test.",
+    tags=("streaming", "session", "parity"),
+)
+def stream_session_sum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import (
+        SENTINEL_ACCOUNT,
+        append_sentinel_chunk,
+        read_replay_stream,
+        run_to_memory,
+        session_agg_stream,
+        write_replay_chunks,
+    )
+    from ..fixtures import transactions
+
+    name = f"streamsess_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(".scratch", name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        max_us = (
+            transactions(spark, sf_dir)
+            .agg(F.max(F.unix_micros("event_time")))
+            .collect()[0][0]
+        )
+        # 30 days: past every possible 6h-gap session close.
+        append_sentinel_chunk(chunks, max_us + 30 * MS["d"] * 1000)
+        agg = session_agg_stream(
+            read_replay_stream(spark, chunks), 6 * MS["h"], watermark="0 seconds"
+        )
         run_to_memory(agg, name)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

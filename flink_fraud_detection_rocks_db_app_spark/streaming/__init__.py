@@ -5,7 +5,9 @@ from .jobs import (  # noqa: F401
     IN_ORDER,
     OUT_OF_ORDER_5S,
     alert_stream,
+    chained_windows_stream,
     paned_sliding_stream,
+    session_agg_stream,
     windowed_agg_stream,
 )
 from .listener import JobMetrics, MetricsListener  # noqa: F401

@@ -388,3 +388,18 @@ def test_bloom_prefilter_matches_exact_decontamination(spark):
     bloom = {(r.doc_id, r.n_hits) for r in _rows(spark, "decontaminate_bloom_prefilter")}
     assert exact == bloom
     assert len(bloom) > 0
+
+
+def test_blas_ann_matches_jvm_ann(spark):
+    """The BLAS matmul path must return the same top-k SET as the JVM
+    zip_with path (cosines may differ in the last ulps from summation
+    order, so compare ids and 9-sig-digit scores)."""
+    jvm = {
+        (r.query_id, r.neighbor_id, float(f"{r.cosine:.9g}"))
+        for r in _rows(spark, "ann_cosine_topk")
+    }
+    blas = {
+        (r.query_id, r.neighbor_id, float(f"{r.cosine:.9g}"))
+        for r in _rows(spark, "ann_cosine_topk_blas")
+    }
+    assert jvm == blas

@@ -130,6 +130,9 @@ BNLJ_OK = {
     "tpch_q11_important_stock",
     # one-row corpus-count (N) broadcast into the idf expression
     "tfidf_top_terms",
+    # one-row bloom-bitset array broadcast to every task (16 KB build
+    # side; the probe is a scan-side filter, not a join predicate)
+    "decontaminate_bloom_prefilter",
 }
 # Queries whose semantics REQUIRE Python (documented; Arrow-batched).
 PYTHON_OK = {
@@ -139,6 +142,8 @@ PYTHON_OK = {
     "multimodal_features",
     "multimodal_feature_agg",
     "multimodal_frame_sample",
+    "multimodal_resize",
+    "ann_cosine_topk_blas",
 }
 
 
