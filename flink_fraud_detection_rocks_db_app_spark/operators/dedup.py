@@ -673,3 +673,78 @@ def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     pre = tr.crossJoin(F.broadcast(bloom)).where(probe).drop("bf")
     return pre.join(ev, "s").groupBy("doc_id").agg(F.count("*").alias("n_hits"))
+
+
+# ------------------------------------------------- winnowing fingerprints
+
+WINNOW_W = 4  # winnowing window over consecutive shingle hashes
+
+# Winnowing is ORDER-SENSITIVE (the rolling window walks the shingle
+# stream in document order), so it runs over the RAW sequential
+# shingles — the deduplicated `shingled()` view is unusable here
+# because distinct-array ordering is engine-specific (DuckDB
+# list_distinct vs Spark array_distinct need not agree, and the
+# window contents would silently diverge).
+_RAW_SHINGLES_SPARK = (
+    "IF(size(w) >= 3, "
+    "transform(sequence(1, size(w) - 2), i -> "
+    "concat(w[i - 1], ' ', w[i], ' ', w[i + 1])), "
+    "array())"
+)
+_RAW_SHINGLES_DUCK = (
+    "[w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]"
+)
+# Shingle hash both engines can reproduce bit-for-bit: first 15 hex
+# chars of md5 (same trick as SimHash) — xxhash64 would be faster but
+# has no DuckDB twin, and fingerprints exist to be compared ACROSS
+# systems, so cross-engine reproducibility is part of the contract.
+_WIN_HASH_SPARK = (
+    "transform(gs, g -> "
+    "CAST(conv(substring(md5(encode(g, 'UTF-8')), 1, 15), 16, 10) AS BIGINT))"
+)
+_WIN_HASH_DUCK = "[('0x' || substr(md5(g), 1, 15))::BIGINT FOR g IN gs]"
+
+
+@register(
+    "doc_winnow_fingerprints",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+sh AS (SELECT doc_id, {_RAW_SHINGLES_DUCK} AS gs FROM t),
+hs AS (SELECT doc_id, {_WIN_HASH_DUCK} AS h FROM sh WHERE len(gs) > 0),
+wins AS (
+  SELECT doc_id,
+         CASE WHEN len(h) >= {WINNOW_W}
+              THEN [list_min(h[i:i + {WINNOW_W - 1}])
+                    FOR i IN range(1, len(h) - {WINNOW_W} + 2)]
+              ELSE [list_min(h)] END AS fps
+  FROM hs
+)
+SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wins
+""",
+    doc=f"Document fingerprinting by WINNOWING (Schleimer et al.): the "
+    f"rolling minimum over every {WINNOW_W} consecutive shingle hashes, "
+    "deduplicated — the guarantee is that any shared run of ~w+n-1 "
+    "tokens between two documents shares at least one fingerprint, at "
+    "~2/(w+1) the storage of full shingle sets. Entirely scan-local "
+    "(transform/slice/array_min inside codegen, no explode before the "
+    "distinct), so at 100 TB only the selected (doc_id, fp) pairs — "
+    "a ~2/(w+1) fraction of postings — reach the shuffle that an "
+    "overlap join would key on.",
+    tags=("dedup", "text", "fingerprint"),
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", whitespace_tokens("text").alias("w")
+    ).select("doc_id", F.expr(_RAW_SHINGLES_SPARK).alias("gs")).where(F.size("gs") > 0)
+    hs = sh.select("doc_id", F.expr(_WIN_HASH_SPARK).alias("h"))
+    w = WINNOW_W
+    wins = hs.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN size(h) >= {w} THEN "
+            f"transform(sequence(1, size(h) - {w} + 1), i -> array_min(slice(h, i, {w}))) "
+            f"ELSE array(array_min(h)) END"
+        ).alias("fps"),
+    )
+    return wins.select("doc_id", F.explode(F.array_distinct("fps")).alias("fp"))

@@ -403,3 +403,27 @@ def test_blas_ann_matches_jvm_ann(spark):
         for r in _rows(spark, "ann_cosine_topk_blas")
     }
     assert jvm == blas
+
+
+def test_winnow_fingerprints_catch_near_dups(spark):
+    """Winnowing's guarantee: two documents sharing a sufficiently long
+    token run share at least one selected fingerprint. Every exact-
+    Jaccard>=0.5 near-dup pair at this sf must therefore collide on
+    >=1 winnow fingerprint — and fingerprints must be a strict
+    compression of the full shingle postings (storage ratio ~2/(w+1))."""
+    pairs = [(r.doc_a, r.doc_b) for r in _rows(spark, "dedup_ngram_jaccard")]
+    assert pairs
+    fps: dict = {}
+    n_shingles = 0
+    for r in _rows(spark, "doc_winnow_fingerprints"):
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    for a, b in pairs:
+        assert fps[a] & fps[b], (a, b)
+    from flink_fraud_detection_rocks_db_app_spark.operators.dedup import shingled
+    from .conftest import SF_SMALL as _SF
+    from pyspark.sql import functions as F
+    n_shingles = (
+        shingled(spark, _SF).select(F.sum(F.size("shingles"))).collect()[0][0]
+    )
+    n_fps = sum(len(v) for v in fps.values())
+    assert n_fps < 0.8 * n_shingles, (n_fps, n_shingles)
