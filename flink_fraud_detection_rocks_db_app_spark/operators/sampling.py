@@ -208,3 +208,39 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bin_id"),
     )
+
+
+# Weighted keep-rate: longer documents sampled more (the standard
+# quality-proportional corpus move), capped at _W_CAP chars, scaled by
+# _W_BASE_PCT at the cap. All integer math: threshold fits int64
+# (2000 * 30 * 42949672 ~ 2.6e12) and the division is integer in both
+# engines, so the kept set is bit-reproducible.
+_W_CAP = 2000
+_W_BASE_PCT = 30
+_W_UNIT = _MOD // 100  # 1% of the 32-bit hash space
+
+
+@register(
+    "weighted_sample_docs",
+    oracle=f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {_HASH_DUCK} <
+      (least(n_chars, {_W_CAP}) * {_W_BASE_PCT} * {_W_UNIT}) // {_W_CAP}
+""",
+    doc="Deterministic WEIGHTED sampling: per-doc keep probability "
+    f"proportional to min(n_chars, {_W_CAP}) — {_W_BASE_PCT}% at the cap "
+    "— gated by the same overflow-free Knuth hash as the stratified "
+    "sampler. Scan-local, zero shuffle, reproducible across engines and "
+    "runs; with stratified_sample_docs and pack_sequences this completes "
+    "the deterministic sampling toolkit (uniform-per-stratum, "
+    "importance-weighted, budget-packed).",
+    tags=("sampling", "text"),
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.expr(_HASH_SPARK)
+    thresh = F.expr(
+        f"least(n_chars, {_W_CAP}) * {_W_BASE_PCT} * {_W_UNIT} div {_W_CAP}"
+    )
+    return docs.where(bucket < thresh).select("doc_id", "lang", "n_chars")
