@@ -160,3 +160,96 @@ def stream_session_sum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)
+
+
+@register(
+    "stream_interval_join_replay",
+    # identical contract to the batch interval_join_click_purchase
+    oracle="""
+SELECT c.user_id AS account_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_ms(p.ts) - epoch_ms(c.ts) AS lag_ms, p.value AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 7 DAY
+""",
+    doc="Stream-STREAM interval join under the oracle gate: clicks and "
+    "purchases are two watermarked streams over the same replay; the "
+    "join keeps 7 days of click state (watermark-bounded eviction — "
+    "state is O(events in the range window), not O(stream)) and must "
+    "emit EXACTLY the batch interval-join pairs. Each side gets its own "
+    "far-future sentinel (a row that survives that side's type filter) "
+    "so both watermarks close past every real event. The suite's "
+    "differential test covers the subset/coverage semantics mid-stream; "
+    "this row pins final-result hash equality.",
+    tags=("streaming", "join", "interval", "parity"),
+)
+def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import load
+    from ..streaming import (
+        SENTINEL_ACCOUNT,
+        append_sentinel_chunk,
+        read_replay_stream,
+        run_to_memory,
+        write_replay_chunks,
+    )
+
+    name = f"streamivj_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(".scratch", name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        ev = load(spark, sf_dir, "events")
+        max_us = ev.agg(F.max(F.expr("ts div 1000"))).collect()[0][0]
+        # one sentinel per join side: -1 plays 'click', -2 'purchase'
+        append_sentinel_chunk(chunks, max_us + 30 * 86_400_000_000, event_ids=(-1, -2))
+        types = ev.select("event_id", "event_type")
+
+        def typed(side_sentinel: int, sentinel_type: str):
+            s = read_replay_stream(spark, chunks)
+            t = s.join(F.broadcast(types), "event_id", "left").withColumn(
+                "etype",
+                F.coalesce(
+                    "event_type",
+                    F.when(F.col("event_id") == side_sentinel, sentinel_type),
+                ),
+            )
+            return t
+
+        c = (
+            typed(-1, "click")
+            .where(F.col("etype") == "click")
+            .select(
+                "account_id",
+                F.col("event_time").alias("c_time"),
+                F.col("event_id").alias("click_id"),
+            )
+            .withWatermark("c_time", "0 seconds")
+        )
+        p = (
+            typed(-2, "purchase")
+            .where(F.col("etype") == "purchase")
+            .select(
+                F.col("account_id").alias("p_user"),
+                F.col("event_time").alias("p_time"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("amount").alias("purchase_value"),
+            )
+            .withWatermark("p_time", "0 seconds")
+        )
+        joined = c.join(
+            p,
+            (F.col("account_id") == F.col("p_user"))
+            & (F.col("p_time") > F.col("c_time"))
+            & (F.col("p_time") <= F.col("c_time") + F.expr("INTERVAL 7 DAYS")),
+        ).select(
+            "account_id",
+            "click_id",
+            "purchase_id",
+            (F.unix_millis("p_time") - F.unix_millis("c_time")).alias("lag_ms"),
+            "purchase_value",
+        )
+        run_to_memory(joined, name)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)

@@ -150,7 +150,9 @@ def write_replay_chunks(
 SENTINEL_ACCOUNT = -1
 
 
-def append_sentinel_chunk(chunks_dir: str, t_us: int) -> None:
+def append_sentinel_chunk(
+    chunks_dir: str, t_us: int, event_ids: tuple[int, ...] = (-1,)
+) -> None:
     """One far-future row in its own FINAL chunk. Append mode only
     emits a window once the watermark passes its end, so the windows
     containing the stream's last real events are normally withheld
@@ -159,15 +161,21 @@ def append_sentinel_chunk(chunks_dir: str, t_us: int) -> None:
     the sentinel never appears in the output (consumers filter
     SENTINEL_ACCOUNT as belt-and-braces). The chunk's mtime is pinned
     strictly after every real chunk so FileStreamSource delivers it
-    last (same arrival-order invariant as write_replay_chunks)."""
+    last (same arrival-order invariant as write_replay_chunks).
+
+    `event_ids` lets multi-input jobs (e.g. a stream-stream join whose
+    two sides filter disjoint slices) receive one sentinel PER side —
+    each side's watermark only advances on rows that survive its own
+    filters."""
     import pandas as pd
 
+    n = len(event_ids)
     rows = pd.DataFrame(
         {
-            "account_id": pd.array([SENTINEL_ACCOUNT], dtype="int64"),
-            "t_us": pd.array([t_us], dtype="int64"),
-            "amount": [0.0],
-            "event_id": pd.array([-1], dtype="int64"),
+            "account_id": pd.array([SENTINEL_ACCOUNT] * n, dtype="int64"),
+            "t_us": pd.array([t_us] * n, dtype="int64"),
+            "amount": [0.0] * n,
+            "event_id": pd.array(list(event_ids), dtype="int64"),
         }
     )
     path = os.path.join(chunks_dir, "chunk_9999_sentinel.parquet")
