@@ -244,3 +244,41 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"least(n_chars, {_W_CAP}) * {_W_BASE_PCT} * {_W_UNIT} div {_W_CAP}"
     )
     return docs.where(bucket < thresh).select("doc_id", "lang", "n_chars")
+
+
+SAMPLE_K_PER_STRATUM = 40
+
+
+@register(
+    "sample_k_per_lang",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, lang, {_HASH_DUCK} AS hk FROM documents
+),
+r AS (
+  SELECT doc_id, lang, hk,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk
+  FROM h
+)
+SELECT doc_id, lang, rk FROM r WHERE rk <= {SAMPLE_K_PER_STRATUM}
+""",
+    doc=f"Exactly-k-per-stratum sampling: rank docs per language by the "
+    "overflow-free Knuth hash (a deterministic uniform permutation) and "
+    f"keep the first {SAMPLE_K_PER_STRATUM} — the reservoir-sampling "
+    "contract (uniform k without replacement per group) with zero RNG "
+    "state and bit-reproducible output. One window shuffle keyed on "
+    "lang; at 100 TB swap row_number for a per-partition top-k "
+    "(rank <= k pushes TakeOrdered partials map-side) — the rate-based "
+    "stratified gate cannot guarantee exact counts, this can.",
+    tags=("sampling", "window"),
+)
+def sample_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr(_HASH_SPARK).alias("hk")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("hk").asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= SAMPLE_K_PER_STRATUM)
+        .select("doc_id", "lang", "rk")
+    )
