@@ -1,0 +1,72 @@
+"""End-to-end demo: the training-data pipeline stack on this engine.
+
+    python examples/corpus_pipeline_demo.py [sf_dir]
+
+Walks the documents/embeddings fixtures through the full 100 TB-shaped
+corpus flow — every step is a registered, oracle-verified query:
+
+  1. quality gating        (gopher_quality_filter)
+  2. exact dedup           (dedup_exact — fingerprint groupBy)
+  3. near-dup dedup        (dedup_minhash_lsh -> dedup_clusters)
+  4. decontamination       (decontaminate_bloom_prefilter)
+  5. sampling              (stratified / weighted / exactly-k)
+  6. sequence packing      (pack_sequences)
+  7. similarity            (ann_cosine_topk_blas vs ann_ivf_topk)
+
+Prints one summary line per step: rows in/out and what moved in the
+shuffle — the narrative version of SCALE.md's per-family budgets.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flink_fraud_detection_rocks_db_app_spark.registry import all_queries  # noqa: E402
+from flink_fraud_detection_rocks_db_app_spark.session import get_spark  # noqa: E402
+
+STEPS = (
+    ("quality gate", "gopher_quality_filter",
+     "scan-local rule cascade, zero shuffle"),
+    ("exact dedup", "dedup_exact",
+     "one shuffle keyed on md5 fingerprint; text never moves"),
+    ("near-dup pairs", "dedup_minhash_lsh",
+     "scan-local 32-lane signatures; (band,bucket) equi-join candidates; exact-verified"),
+    ("near-dup clusters", "dedup_clusters",
+     "min-label propagation, O(diameter) keyed shuffles"),
+    ("decontamination", "decontaminate_bloom_prefilter",
+     "16 KB bloom probed scan-side; survivors exact-verified"),
+    ("stratified sample", "stratified_sample_docs",
+     "Knuth-hash gate, zero shuffle, bit-reproducible"),
+    ("weighted sample", "weighted_sample_docs",
+     "length-proportional keep rate through the same gate"),
+    ("exactly-k sample", "sample_k_per_lang",
+     "hash-ranked reservoir contract, one window shuffle"),
+    ("sequence packing", "pack_sequences",
+     "per-lang cumulative-sum bins, one window shuffle"),
+    ("ANN (BLAS exact)", "ann_cosine_topk_blas",
+     "one matmul per Arrow batch + per-batch top-k prune"),
+    ("ANN (IVF)", "ann_ivf_topk",
+     "IVF cell = partition key, nprobe=2"),
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="corpus-demo", cpus=8, shuffle_partitions=8)
+    qs = all_queries()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    print(f"corpus: {n_docs} documents at {sf_dir}")
+    for label, name, note in STEPS:
+        t0 = time.perf_counter()
+        n = qs[name].fn(spark, sf_dir).count()
+        print(f"  {label:18s} {name:32s} -> {n:6d} rows "
+              f"[{time.perf_counter() - t0:5.1f}s]  ({note})")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
