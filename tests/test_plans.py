@@ -258,3 +258,44 @@ def test_date_partition_pruning(spark, scratch):
         .count()
     )
     assert df.count() == want > 0
+
+
+def test_weighted_sample_is_scan_local(spark):
+    """weighted_sample_docs: same zero-exchange contract as the
+    stratified gate — the weight threshold is per-row arithmetic, so
+    the whole query is a scan-side filter."""
+    import re
+
+    df = all_queries()["weighted_sample_docs"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0, plan
+
+
+def test_winnow_fingerprints_no_shuffle_before_explode(spark):
+    """Winnowing computes the fingerprint array entirely in-scan
+    (transform/slice/array_min in codegen): no Exchange and no join in
+    the plan at all — only the generate over the per-doc distinct
+    array."""
+    import re
+
+    df = all_queries()["doc_winnow_fingerprints"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0, plan
+
+
+def test_bloom_prefilter_probe_is_prejoin(spark):
+    """The bloom probe must run BEFORE the exact-verify join (scan-side
+    pruning is the point): the plan's only joins are the 1-row bitset
+    broadcast and the verify join on s — no CartesianProduct — and the
+    filter containing the bloom probe (element_at over the bitset)
+    sits under the join, not above it."""
+    df = all_queries()["decontaminate_bloom_prefilter"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    probe_pos = plan.find("element_at")
+    join_pos = plan.find("SortMergeJoin")
+    if join_pos == -1:
+        join_pos = plan.find("BroadcastHashJoin")
+    assert probe_pos != -1, plan
+    assert join_pos != -1, plan
