@@ -642,9 +642,18 @@ def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     m_bits = _BLOOM_WORDS * 64
     # Sparse (word, mask) build entirely in Spark; only the bounded
     # bitset (<= _BLOOM_WORDS rows, the same data volume the exact path
-    # broadcasts) is collected to assemble the dense array.
+    # broadcasts) is collected to assemble the dense array. The build
+    # reads the RAW (non-distinct) eval shingles: bloom insertion is
+    # idempotent, so the distinct's shuffle is pure cost here — the
+    # bit_or grouping collapses duplicates for free. (`ev` keeps the
+    # distinct for the verify join, where it controls join output.)
+    ev_raw = (
+        sh.where(F.expr(_EVAL_PRED))
+        .select(F.explode("shingles").alias("t"))
+        .select(F.xxhash64("t").alias("s"))
+    )
     sparse = (
-        ev.select(
+        ev_raw.select(
             F.expr(
                 f"explode(transform(sequence(0, {_BLOOM_K - 1}), "
                 f"i -> pmod(xxhash64(s, i), {m_bits})))"
