@@ -31,6 +31,14 @@ from pyspark.sql import functions as F
 from ..registry import register
 from .windows import MS, sql_session, sql_tumble
 
+# Replay scratch anchored to the REPO root, not the CWD: the driver
+# imports __spark_entry__ and calls these fns from its own working
+# directory, which need not be the repo.
+_SCRATCH_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+)
+
 
 @register(
     "stream_tumble_sum_1h_replay",
@@ -53,7 +61,7 @@ def stream_tumble_sum_1h_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..fixtures import transactions
 
     name = f"streamface_{uuid.uuid4().hex[:8]}"
-    scratch = os.path.join(".scratch", name)
+    scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
         chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
@@ -96,7 +104,7 @@ def stream_dedup_tumble_sum_1h_replay(spark: SparkSession, sf_dir: str) -> DataF
     from ..fixtures import transactions
 
     name = f"streamdedup_{uuid.uuid4().hex[:8]}"
-    scratch = os.path.join(".scratch", name)
+    scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
         chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6, dup_every=7)
@@ -142,7 +150,7 @@ def stream_session_sum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..fixtures import transactions
 
     name = f"streamsess_{uuid.uuid4().hex[:8]}"
-    scratch = os.path.join(".scratch", name)
+    scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
         chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
@@ -195,7 +203,7 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     name = f"streamivj_{uuid.uuid4().hex[:8]}"
-    scratch = os.path.join(".scratch", name)
+    scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
         chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
