@@ -105,7 +105,11 @@ def _stream_benches(
         ),
         "stream_running_sum_alerts": lambda s: running_sum_alerts_stream(s, 500.0),
     }
-    scratch = os.path.join(".scratch", f"bench-stream-{uuid.uuid4().hex[:8]}")
+    scratch = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".scratch",
+        f"bench-stream-{uuid.uuid4().hex[:8]}",
+    )
     os.makedirs(scratch, exist_ok=True)
     timings: dict[str, float] = {}
     # Streaming state partitioning is a deployment knob: each shuffle
