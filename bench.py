@@ -119,6 +119,7 @@ def _stream_benches(
     # than 32 (measured ~2x on the sliding job) while still exercising
     # the RocksDB provider. Batch queries keep the session default.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    stream_confs: list[str] = []
     try:
         chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
         # 4 state partitions: measured 8 -> 4 cuts the tumbling job
@@ -132,11 +133,13 @@ def _stream_benches(
 
         for k, v in rocksdb_tuning().items():
             spark.conf.set(k, v)
-        spark.conf.set(
+            stream_confs.append(k)
+        changelog = (
             "spark.sql.streaming.stateStore.rocksdb."
-            "changelogCheckpointing.enabled",
-            "true",
+            "changelogCheckpointing.enabled"
         )
+        spark.conf.set(changelog, "true")
+        stream_confs.append(changelog)
         spark.conf.set("spark.sql.shuffle.partitions", "4")
         for name, job in jobs.items():
             # Failure isolation (round-2 lesson: one broken query must
@@ -170,6 +173,11 @@ def _stream_benches(
                 errors[name] = _err_summary(exc)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # ADVICE r3: restore the stream-only confs too, not just the
+        # shuffle partitioning, so a reused session isn't left with
+        # streaming state-store settings bleeding into batch work.
+        for k in stream_confs:
+            spark.conf.unset(k)
         shutil.rmtree(scratch, ignore_errors=True)
     return timings
 

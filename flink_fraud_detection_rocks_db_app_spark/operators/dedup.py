@@ -757,3 +757,75 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fps"),
     )
     return wins.select("doc_id", F.explode(F.array_distinct("fps")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-passage detection (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr signal): find
+# token spans that occur more than once across the corpus and score each
+# document by the fraction of its spans that are corpus-duplicated. The
+# doc-level signal feeds the same keep/drop cascade as the quality
+# filters; span-level offsets (for surgical passage removal) are the
+# same exploded frame before the per-doc re-aggregate.
+
+SPAN_W = 8  # tokens per span, stride 1
+
+
+@register(
+    "span_dup_stats",
+    # Oracle keys spans by the literal token string; the Spark operator
+    # keys by xxhash64 of that string (8-byte shuffle keys instead of
+    # variable-width strings — the 100 TB knob). Counts agree unless
+    # xxhash64 collides (~2^-64 per pair; none at test scale).
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+spans AS (
+  SELECT doc_id, array_to_string(t[i+1:i+{SPAN_W}], ' ') AS sp
+  FROM (SELECT doc_id, t, unnest(range(len(t) - {SPAN_W - 1})) AS i
+        FROM toks WHERE len(t) >= {SPAN_W})
+),
+c AS (SELECT doc_id, sp, COUNT(*) OVER (PARTITION BY sp) AS n FROM spans)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(COUNT(*) FILTER (n > 1) AS BIGINT) AS n_dup_spans,
+       round(COUNT(*) FILTER (n > 1) / COUNT(*), 6) AS dup_span_frac
+FROM c GROUP BY doc_id
+""",
+    doc=f"Duplicated-passage stats per document: stride-1 {SPAN_W}-token "
+    "spans, a span is 'duplicated' if it occurs >1 time corpus-wide "
+    "(within- or cross-document). Two bounded shuffles: spans hash to "
+    "8-byte xxhash64 keys (span-hash partitioning — the global count is "
+    "a window over that key), then a per-doc re-aggregate. Span "
+    "explosion is ~|tokens| rows per doc but carries only (doc_id, "
+    "hash) — at 100 TB this is the map-side-combine-friendly shape; "
+    "the string spans themselves never shuffle.",
+    tags=("dedup", "text"),
+)
+def span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    spans = (
+        docs.select("doc_id", whitespace_tokens("text").alias("t"))
+        .where(F.size("t") >= SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {SPAN_W - 1}), "
+                    f"i -> xxhash64(array_join(slice(t, i, {SPAN_W}), ' ')))"
+                )
+            ).alias("h"),
+        )
+    )
+    n_global = F.count("*").over(W.partitionBy("h"))
+    scored = spans.withColumn("n", n_global)
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum((F.col("n") > 1).cast("long")).alias("n_dup_spans"),
+        F.round(
+            F.sum((F.col("n") > 1).cast("long")) / F.count("*"), 6
+        ).alias("dup_span_frac"),
+    )

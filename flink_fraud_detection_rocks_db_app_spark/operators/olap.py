@@ -331,3 +331,55 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
     )
+
+
+TOPK_WINDOW_MS = 3_600_000
+TOPK_N = 3
+
+
+@register(
+    "window_heavy_hitters_1h",
+    oracle=f"""
+SELECT w_start, event_type, n, rnk
+FROM (
+  SELECT w_start, event_type, n,
+         row_number() OVER (PARTITION BY w_start ORDER BY n DESC, event_type ASC) AS rnk
+  FROM (
+    SELECT (epoch_ms(ts) // {TOPK_WINDOW_MS}) * {TOPK_WINDOW_MS} AS w_start,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+  )
+)
+WHERE rnk <= {TOPK_N}
+""",
+    doc=f"Heavy hitters per hour: top-{TOPK_N} event types by count in "
+    "each 1h tumbling window (deterministic count DESC, type ASC rank). "
+    "Two-level plan: map-side partial count on (window, type) — a "
+    "bounded key space, so the shuffle is O(windows x types), not "
+    "O(rows) — then a per-window rank over at most |types| rows. At "
+    "100 TB with an unbounded type column the same shape degrades "
+    "gracefully: the partial agg still combines map-side, and a "
+    "count-min/space-saving sketch twin can replace the exact count the "
+    "same way the HLL twin replaces COUNT(DISTINCT).",
+    tags=("batch", "window", "topk"),
+)
+def window_heavy_hitters_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    counts = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+            "event_type",
+        )
+        .groupBy(
+            F.window("event_time", f"{TOPK_WINDOW_MS} milliseconds").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_millis(F.col("w.start")).alias("w_start"), "event_type", "n")
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("w_start").orderBy(F.desc("n"), F.asc("event_type"))
+    )
+    return counts.withColumn("rnk", rnk).where(F.col("rnk") <= TOPK_N)

@@ -492,3 +492,112 @@ def ann_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd) clustering — the semantic-dedup / IVF-training stage.
+# The IVF quantizer above uses FIXED seed vectors as cells; real
+# deployments train those cells. This is the training step: K seeds,
+# a fixed number of Lloyd iterations, every step deterministic so the
+# DuckDB oracle replays the whole pipeline (same pattern as ann_ivf).
+
+KMEANS_K = 4
+KMEANS_ITERS = 2
+# Centroids are rounded to 6dp after every averaging step, on BOTH
+# engines: groupBy-avg summation order is engine/partitioning-dependent
+# in the last ulp, and an unrounded ulp difference could flip an argmin
+# on a near-tie. Rounding makes each iteration's input bit-identical.
+KMEANS_ROUND = 6
+
+
+def _kmeans_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (squared L2 — same argmin as the
+    oracle's list_distance; monotone transform)."""
+    d2 = F.expr(
+        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+    ).alias("d2")
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+    return (
+        e.join(F.broadcast(cents), how="cross")
+        .select("vec_id", "v", "cell", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "cell")
+    )
+
+
+def _kmeans_recompute(assigned: DataFrame) -> DataFrame:
+    """Per-cell mean vector, rebuilt as an array ordered by dimension.
+    sort_array over (pos, value) structs keeps the rebuild deterministic
+    (collect_list alone carries the non-deterministic flag)."""
+    return (
+        assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg("val"), KMEANS_ROUND).alias("c"))
+        .groupBy("cell")
+        .agg(
+            F.expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)").alias("cv")
+        )
+    )
+
+
+def _kmeans_oracle() -> str:
+    iters = []
+    prev = "c0"
+    for i in range(1, KMEANS_ITERS + 1):
+        iters.append(f"""
+a{i} AS (
+  SELECT vec_id, v, cell
+  FROM e CROSS JOIN {prev}
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY list_distance(v, cv) ASC, cell ASC
+  ) = 1
+),
+c{i} AS (
+  SELECT cell, list(c ORDER BY pos) AS cv
+  FROM (
+    SELECT cell, pos, round(avg(val), {KMEANS_ROUND}) AS c
+    FROM (SELECT cell, unnest(v) AS val, unnest(range(len(v))) AS pos FROM a{i})
+    GROUP BY cell, pos
+  )
+  GROUP BY cell
+)""")
+        prev = f"c{i}"
+    final = f"a{KMEANS_ITERS}"
+    return (
+        f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {KMEANS_K}),"""
+        + ",".join(iters)
+        + f"""
+SELECT vec_id, cell AS cluster FROM {final}
+"""
+    )
+
+
+@register(
+    "kmeans_assign",
+    oracle=_kmeans_oracle(),
+    doc=f"Lloyd k-means over the embeddings (K={KMEANS_K}, "
+    f"{KMEANS_ITERS} iterations, deterministic seed = lowest vec_ids): "
+    "assign -> recompute (posexplode + avg, 6dp-rounded) -> reassign. "
+    "Full DuckDB replay oracle — every step is plain SQL. The 100 TB "
+    "path: centroids are O(K*dim) and BROADCAST every iteration; the "
+    "corpus is scanned once per iteration with scan-local argmin (no "
+    "corpus shuffle at all — the only shuffle is the K*dim centroid "
+    "re-average). Trained cells feed ann_ivf_topk as its quantizer; "
+    "cluster ids feed semantic dedup (drop near-centroid duplicates).",
+    tags=("similarity", "clustering"),
+)
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vectors(spark, sf_dir).select("vec_id", "v")
+    cents = e.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    assigned = e
+    for i in range(KMEANS_ITERS):
+        assigned = _kmeans_assign(e, cents)
+        if i < KMEANS_ITERS - 1:  # the last iteration's output is the answer
+            cents = _kmeans_recompute(assigned)
+    return assigned.select("vec_id", F.col("cell").alias("cluster"))

@@ -55,12 +55,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # SQL API face; that face stays covered by tests/test_oracle_parity)
     # gave its slot to the sequence-packing family
     "pack_sequences",
-    # extension joins (as-of / range; r4: interval_join_click_purchase —
-    # same keyed-range-join machinery as range_join_price_band, still
+    # extension joins (r4: interval_join_click_purchase — same
+    # keyed-range-join machinery as range_join_price_band, still
     # full-suite verified — gave its slot to the SQL-text face entry
-    # sql_tumble_sum_3s, so the spark.sql() surface has a driver row)
+    # sql_tumble_sum_3s, so the spark.sql() surface has a driver row.
+    # r4b: range_join_price_band — the remaining range-join variant,
+    # asof_latest_order keeps the family's driver row — gave its slot
+    # to tumble_median_1h: the reference DESIGN.md:27 HOLISTIC median
+    # the Flink code never implemented, realized as an exact
+    # interpolated-percentile window aggregate)
     "asof_latest_order",
-    "range_join_price_band",
+    "tumble_median_1h",
     "sql_tumble_sum_3s",
     # dedup pillar (r4: dedup_clusters — near-dup CC over LSH pairs —
     # rotated in; it was the last dedup stage with suite-only evidence)
@@ -130,12 +135,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_lsh_buckets",
     "ann_ivf_topk",
     "embed_neardup_pairs",
-    "label_centroid_components",
+    # r4b: label_centroid_components (posexplode+avg centroid — its
+    # machinery runs verbatim inside kmeans' recompute step, still
+    # full-suite verified) gave its slot to kmeans_assign, the Lloyd
+    # clustering/IVF-training stage with a full DuckDB replay oracle
+    "kmeans_assign",
     # text-analysis pillar (r4: doc_langid — n-gram heuristic over the
     # same tokenized scan as doc_quality_score, still full-suite
     # verified — gave its slot to doc_pii_flags, previously suite-only)
     "doc_token_stats",
-    "doc_quality_score",
+    # r4b: doc_quality_score (length/punct/stopword ratios — the same
+    # signals recombined by the gopher cascade row below, still
+    # full-suite verified) gave its slot to span_dup_stats, the Lee
+    # et al. duplicated-passage signal, previously unregistered
+    "span_dup_stats",
     "doc_pii_flags",
     # r3: corpus_token_freq_top50 (raw-frequency ranking; tfidf is the
     # strictly richer weighting of the same shape) gave its slot to

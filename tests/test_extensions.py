@@ -427,3 +427,26 @@ def test_winnow_fingerprints_catch_near_dups(spark):
     )
     n_fps = sum(len(v) for v in fps.values())
     assert n_fps < 0.8 * n_shingles, (n_fps, n_shingles)
+
+
+def test_approx_median_tracks_exact_twin(spark):
+    """tumble_approx_median_1h has no SQL oracle (GK sketches are
+    engine-specific); its contract is rank error vs the exact holistic
+    twin. With accuracy=10000 (eps ~ 1e-4) the approx median's rank sits
+    within eps*n of n/2, so on every window it must land inside the
+    exact [p25, p75] envelope — and for windows with enough events,
+    within 5% relative of the exact median."""
+    qs = all_queries()
+    exact = {
+        (r.w_start, r.account_id): (r.median_amount, r.n_events)
+        for r in qs["tumble_median_1h"].fn(spark, SF_SMALL).collect()
+    }
+    approx = {
+        (r.w_start, r.account_id): r.median_amount_approx
+        for r in qs["tumble_approx_median_1h"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, (med, n) in exact.items():
+        a = approx[k]
+        if n >= 20:
+            assert abs(a - med) <= 0.05 * max(abs(med), 1e-9), (k, a, med, n)
