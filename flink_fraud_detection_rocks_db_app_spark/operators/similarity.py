@@ -511,19 +511,26 @@ KMEANS_ROUND = 6
 
 
 def _kmeans_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment (squared L2 — same argmin as the
-    oracle's list_distance; monotone transform)."""
-    d2 = F.expr(
-        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), "
-        "CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
-    ).alias("d2")
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+    """Nearest-centroid assignment, SCAN-LOCAL: the K centroids are
+    collapsed to a single array-of-structs row, broadcast (1-row build
+    side, same shape as the bloom bitset), and the argmin is an
+    array_min over per-centroid squared-L2 structs — struct ordering
+    gives the (distance ASC, cell ASC) tiebreak. Same argmin as the
+    oracle's list_distance (monotone transform); the corpus is never
+    shuffled or row-multiplied K-fold."""
+    cents_row = cents.agg(
+        F.expr("array_sort(collect_list(struct(cell, cv)))").alias("cs")
+    )
+    best = F.expr(
+        "array_min(transform(cs, c -> struct("
+        "aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (s, x) -> s + x) AS d2, "
+        "c.cell AS cell)))"
+    )
     return (
-        e.join(F.broadcast(cents), how="cross")
-        .select("vec_id", "v", "cell", d2)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "v", "cell")
+        e.join(F.broadcast(cents_row), how="cross")
+        .select("vec_id", "v", best.alias("best"))
+        .select("vec_id", "v", F.col("best.cell").alias("cell"))
     )
 
 
@@ -583,10 +590,11 @@ SELECT vec_id, cell AS cluster FROM {final}
     f"{KMEANS_ITERS} iterations, deterministic seed = lowest vec_ids): "
     "assign -> recompute (posexplode + avg, 6dp-rounded) -> reassign. "
     "Full DuckDB replay oracle — every step is plain SQL. The 100 TB "
-    "path: centroids are O(K*dim) and BROADCAST every iteration; the "
-    "corpus is scanned once per iteration with scan-local argmin (no "
-    "corpus shuffle at all — the only shuffle is the K*dim centroid "
-    "re-average). Trained cells feed ann_ivf_topk as its quantizer; "
+    "path: centroids collapse to ONE array-of-structs row and are "
+    "BROADCAST every iteration; assignment is a scan-local array_min "
+    "(no corpus shuffle, no K-fold row blowup — the only shuffle is "
+    "the (cell, pos)-keyed centroid re-average, O(K*dim) groups with "
+    "map-side partials). Trained cells feed ann_ivf_topk as its quantizer; "
     "cluster ids feed semantic dedup (drop near-centroid duplicates).",
     tags=("similarity", "clustering"),
 )

@@ -133,6 +133,9 @@ BNLJ_OK = {
     # one-row bloom-bitset array broadcast to every task (16 KB build
     # side; the probe is a scan-side filter, not a join predicate)
     "decontaminate_bloom_prefilter",
+    # one-row centroid-array broadcast per Lloyd iteration (O(K*dim)
+    # build side; assignment is a scan-local array_min, not a join)
+    "kmeans_assign",
 }
 # Queries whose semantics REQUIRE Python (documented; Arrow-batched).
 PYTHON_OK = {
@@ -299,3 +302,51 @@ def test_bloom_prefilter_probe_is_prejoin(spark):
         join_pos = plan.find("BroadcastHashJoin")
     assert probe_pos != -1, plan
     assert join_pos != -1, plan
+
+
+def test_kmeans_never_shuffles_corpus(spark):
+    """kmeans_assign: centroids collapse to a 1-row broadcast array and
+    assignment is a scan-local array_min — the corpus must never be
+    hash-partitioned by vec_id (the only exchanges are the O(K*dim)
+    centroid re-averages and the 1-row collect_list builds)."""
+    df = all_queries()["kmeans_assign"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert "hashpartitioning(vec_id" not in plan, plan
+    assert "array_min" in plan, plan
+
+
+def test_span_dup_stats_two_bounded_shuffles(spark):
+    """span_dup_stats: exactly the span-hash window exchange and the
+    per-doc re-aggregate exchange — no joins, nothing else."""
+    import re
+
+    df = all_queries()["span_dup_stats"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2, plan
+
+
+def test_heavy_hitters_bounded_key_agg(spark):
+    """window_heavy_hitters_1h: partial count on (window, type) before
+    the exchange (map-side combine over a bounded key space), then one
+    per-window rank — two exchanges total, and Spark's WindowGroupLimit
+    pushes the rank<=k cutoff below the sort."""
+    import re
+
+    df = all_queries()["window_heavy_hitters_1h"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_holistic_median_single_shuffle(spark):
+    """tumble_median_1h: percentile is a TypedImperativeAggregate —
+    ObjectHashAggregate with a partial/final split around ONE exchange.
+    (The full-value buffering cost is the operator's documented
+    contract; the approx twin is the mergeable-sketch path.)"""
+    import re
+
+    df = all_queries()["tumble_median_1h"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert "ObjectHashAggregate" in plan, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
