@@ -417,3 +417,75 @@ def doc_pii_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         n(_PII_SSN, "n_ssns"),
         n(_LONG_WORD, "n_long_words"),
     )
+
+
+# ------------------------------------------------- unigram LM scoring
+
+UNIGRAM_V = 30  # vocab cap: top-V tokens by corpus frequency
+UNIGRAM_OOV_LP = -20.0  # floor log-prob for out-of-vocab tokens
+
+
+@register(
+    "doc_unigram_logprob",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+tf AS (SELECT t, COUNT(*) AS c FROM (SELECT unnest(w) AS t FROM toks) GROUP BY 1),
+tot AS (SELECT SUM(c) AS s FROM tf),
+vocab AS (
+  SELECT t, ln(c / (SELECT s FROM tot)) AS lp
+  FROM tf ORDER BY c DESC, t ASC LIMIT {UNIGRAM_V}
+),
+scored AS (
+  SELECT doc_id, coalesce(lp, {UNIGRAM_OOV_LP}) AS lp
+  FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+  LEFT JOIN vocab USING (t)
+)
+SELECT doc_id,
+       round(AVG(lp), 6) AS avg_logprob,
+       CAST(COUNT(*) FILTER (lp = {UNIGRAM_OOV_LP}) AS BIGINT) AS n_oov
+FROM scored GROUP BY doc_id
+""",
+    doc=f"Model-based quality score: average unigram log-probability "
+    f"per document under a top-{UNIGRAM_V} corpus unigram LM, with a "
+    f"{UNIGRAM_OOV_LP} floor for out-of-vocab tokens (the KenLM-"
+    "perplexity-filter stand-in a pretraining pipeline runs; CCNet's "
+    "quality buckets are exactly this shape with a bigger model). "
+    "Scale design: the model is O(V) and collapses to ONE map row "
+    "broadcast to every task; scoring is a scan-local aggregate over "
+    "the token array (sequential, deterministic order) — the corpus "
+    "never shuffles, only the vocab build does (token-keyed, "
+    "map-side-combined).",
+    tags=("text", "quality"),
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
+    )
+    tf = toks.select(F.explode("w").alias("t")).groupBy("t").agg(
+        F.count("*").alias("c")
+    )
+    tot = tf.agg(F.sum("c").alias("s"))
+    vocab = (
+        tf.crossJoin(F.broadcast(tot))
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(UNIGRAM_V)
+        .select("t", F.log(F.col("c") / F.col("s")).alias("lp"))
+    )
+    model_row = vocab.agg(
+        F.map_from_entries(F.expr("sort_array(collect_list(struct(t, lp)))")).alias("m")
+    )
+    lp_sum = F.expr(
+        f"aggregate(w, CAST(0.0 AS DOUBLE), "
+        f"(s, x) -> s + coalesce(element_at(m, x), CAST({UNIGRAM_OOV_LP} AS DOUBLE)))"
+    )
+    n_oov = F.expr(
+        "CAST(size(filter(w, x -> element_at(m, x) IS NULL)) AS BIGINT)"
+    )
+    return (
+        toks.crossJoin(F.broadcast(model_row))
+        .select(
+            "doc_id",
+            F.round(lp_sum / F.size("w"), 6).alias("avg_logprob"),
+            n_oov.alias("n_oov"),
+        )
+    )

@@ -143,7 +143,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text-analysis pillar (r4: doc_langid — n-gram heuristic over the
     # same tokenized scan as doc_quality_score, still full-suite
     # verified — gave its slot to doc_pii_flags, previously suite-only)
-    "doc_token_stats",
+    # r4b: doc_token_stats (whitespace token counting — its counts are
+    # recomputed inside quality/gopher/tfidf rows, still full-suite
+    # verified) gave its slot to doc_unigram_logprob, the model-based
+    # quality score (broadcast top-V unigram LM, scan-local scoring)
+    "doc_unigram_logprob",
     # r4b: doc_quality_score (length/punct/stopword ratios — the same
     # signals recombined by the gopher cascade row below, still
     # full-suite verified) gave its slot to span_dup_stats, the Lee

@@ -136,6 +136,9 @@ BNLJ_OK = {
     # one-row centroid-array broadcast per Lloyd iteration (O(K*dim)
     # build side; assignment is a scan-local array_min, not a join)
     "kmeans_assign",
+    # one-row total-count and one-row O(V) unigram-model map broadcast;
+    # scoring is a scan-local aggregate, not a join
+    "doc_unigram_logprob",
 }
 # Queries whose semantics REQUIRE Python (documented; Arrow-batched).
 PYTHON_OK = {
@@ -350,3 +353,14 @@ def test_holistic_median_single_shuffle(spark):
     plan = explain_str(df)
     assert "ObjectHashAggregate" in plan, plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+def test_unigram_scoring_is_scan_local(spark):
+    """doc_unigram_logprob: the corpus scoring pass must not shuffle —
+    the model collapses to one map row (broadcast); the only exchanges
+    belong to the vocab build (token-keyed partial counts + the 1-row
+    collects). No doc_id partitioning anywhere."""
+    df = all_queries()["doc_unigram_logprob"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert "hashpartitioning(doc_id" not in plan, plan
+    assert "map_from_entries" in plan, plan
