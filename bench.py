@@ -67,6 +67,15 @@ HEADLINE = [
     # the BLAS-vectorized exact ANN next to its JVM zip_with twin
     "decontaminate_bloom_prefilter",
     "ann_cosine_topk_blas",
+    # round 4b additions: the holistic median pair (exact full-value
+    # ObjectHashAgg vs mergeable GK sketch), Lloyd k-means (broadcast
+    # centroids, scan-local argmin), the duplicated-passage signal, and
+    # the broadcast unigram-LM scorer
+    "tumble_median_1h",
+    "tumble_approx_median_1h",
+    "kmeans_assign",
+    "span_dup_stats",
+    "doc_unigram_logprob",
 ]
 
 

@@ -261,3 +261,50 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)
+
+
+@register(
+    "stream_tumble_median_1h_replay",
+    oracle=sql_tumble(MS["h"], "quantile_cont(value, 0.5) AS median_amount"),
+    doc="DESIGN.md:27's holistic median as a STREAMING driver row: "
+    "percentile() is a TypedImperativeAggregate, so streaming state "
+    "carries the full per-window value buffer — the exact 'store the "
+    "events' cost the reference's record-buffer design predicted for "
+    "holistic aggregation and never shipped. The streamed medians over "
+    "the deterministic replay must hash-match the batch quantile_cont "
+    "SQL; a red row means holistic aggregate state (not just the "
+    "sum/count commutative path) broke under watermark emission.",
+    tags=("streaming", "window", "holistic", "parity"),
+)
+def stream_tumble_median_1h_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import transactions
+    from ..streaming import (
+        SENTINEL_ACCOUNT,
+        append_sentinel_chunk,
+        read_replay_stream,
+        run_to_memory,
+        windowed_agg_stream,
+        write_replay_chunks,
+    )
+
+    name = f"streammedian_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        max_us = (
+            transactions(spark, sf_dir)
+            .agg(F.max(F.unix_micros("event_time")))
+            .collect()[0][0]
+        )
+        append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
+        agg = windowed_agg_stream(
+            read_replay_stream(spark, chunks),
+            MS["h"],
+            watermark="0 seconds",
+            aggs=[F.expr("percentile(amount, 0.5)").alias("median_amount")],
+        )
+        run_to_memory(agg, name)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)

@@ -364,3 +364,42 @@ def test_unigram_scoring_is_scan_local(spark):
     plan = explain_str(df)
     assert "hashpartitioning(doc_id" not in plan, plan
     assert "map_from_entries" in plan, plan
+
+
+def test_zorder_layout_clusters_both_dims(spark, scratch):
+    """write_zordered: every output file must cover a small rectangle
+    of BOTH dimensions (that's the whole point vs a single-column
+    sort). Quantified: the mean per-file min/max span of each column
+    is well under the global span — so parquet footer stats prune
+    files for predicates on either column — while the fixture's
+    natural (time-ordered) layout scatters user_id across the full
+    range in every file."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+    from flink_fraud_detection_rocks_db_app_spark.warehouse import write_zordered
+
+    ev = load(spark, SF_SMALL, "events").select("user_id", "value", "ts")
+    path = os.path.join(scratch, "zorder")
+    write_zordered(ev, path, "user_id", "value", bits=8, n_files=8)
+
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("user_id") - F.min("user_id")).alias("span_u"),
+            (F.max("value") - F.min("value")).alias("span_v"),
+        )
+        .collect()
+    )
+    g = ev.agg(
+        (F.max("user_id") - F.min("user_id")).alias("gu"),
+        (F.max("value") - F.min("value")).alias("gv"),
+    ).collect()[0]
+    assert len(per_file) >= 4, per_file
+    mean_u = sum(r.span_u for r in per_file) / len(per_file)
+    mean_v = sum(r.span_v for r in per_file) / len(per_file)
+    assert mean_u <= 0.6 * g.gu, (mean_u, g.gu)
+    assert mean_v <= 0.6 * g.gv, (mean_v, g.gv)

@@ -513,3 +513,26 @@ def test_stream_dedup_absorbs_redelivery(spark, scratch):
     assert got, "deduped stream emitted nothing"
     for k, v in got.items():
         assert abs(v - full[k]) < 1e-9, k
+
+
+def test_stream_holistic_median_equals_batch(spark, scratch):
+    """DESIGN.md:27's holistic median, STREAMING: percentile() is a
+    TypedImperativeAggregate, so streaming state holds the full value
+    buffer per open window — exactly the 'store the events' cost the
+    reference's design predicted for holistic aggregation. The final
+    emitted medians must equal the batch operator bit-for-bit on the
+    in-order replay."""
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=6)
+    stream = read_replay_stream(spark, chunks)
+    med = [F.expr("percentile(amount, 0.5)").alias("median_amount")]
+    agg = windowed_agg_stream(stream, SIZE_MS, watermark=IN_ORDER, aggs=med)
+    run_to_memory(agg, "t_median")
+    got = {
+        (r.w_start, r.account_id): r.median_amount
+        for r in spark.table("t_median").collect()
+    }
+    batch = tumbling(transactions(spark, SF_SMALL), SIZE_MS, med)
+    full = {(r.w_start, r.account_id): r.median_amount for r in batch.collect()}
+    assert got, "stream emitted nothing"
+    for k, v in got.items():
+        assert abs(v - full[k]) < 1e-9, (k, v, full[k])
