@@ -320,3 +320,87 @@ def dynamic_rules_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "threshold",
         )
     )
+
+
+# ------------------------------------------------------------- funnel
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS t_ms, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+v AS (SELECT user_id, MIN(t_ms) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT e.user_id, MIN(t_ms) AS t_click
+  FROM e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND t_ms > t_view GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(t_ms) AS t_purchase
+  FROM e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND t_ms > t_click GROUP BY 1
+)
+SELECT u.user_id, t_view, t_click, t_purchase,
+       CASE WHEN t_purchase IS NOT NULL THEN 'purchase'
+            WHEN t_click IS NOT NULL THEN 'click'
+            WHEN t_view IS NOT NULL THEN 'view'
+            ELSE 'none' END AS stage
+FROM (SELECT DISTINCT user_id FROM e) u
+LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+""",
+    doc="Ordered funnel (CEP sequence pattern, the product-analytics "
+    "staple): per user, earliest view, then earliest click strictly "
+    "after that view, then earliest purchase strictly after that "
+    "click. ONE shuffle: events group to a per-user sorted "
+    "(ts, type) array and a single in-scan fold walks the sequence — "
+    "the greedy earliest-match is provably equal to the oracle's "
+    "3-level conditional-min joins. Per-user arrays are bounded by "
+    "user activity; for whale users the same semantics decompose into "
+    "the oracle's join cascade (3 bounded user-keyed shuffles) — "
+    "documented alternative, not needed at fixture scale.",
+    tags=("detector", "cep", "funnel"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin(*FUNNEL_STAGES))
+        .select(
+            "user_id",
+            F.expr("ts div 1000000").alias("t_ms"),
+            "event_type",
+        )
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.expr("sort_array(collect_list(struct(t_ms, event_type)))").alias("evs")
+    )
+    fold = F.expr(
+        "aggregate(evs, "
+        "named_struct('v', CAST(NULL AS BIGINT), 'c', CAST(NULL AS BIGINT), "
+        "'p', CAST(NULL AS BIGINT)), "
+        "(acc, e) -> named_struct("
+        "'v', CASE WHEN acc.v IS NULL AND e.event_type = 'view' "
+        "THEN e.t_ms ELSE acc.v END, "
+        "'c', CASE WHEN acc.c IS NULL AND acc.v IS NOT NULL "
+        "AND e.event_type = 'click' AND e.t_ms > acc.v "
+        "THEN e.t_ms ELSE acc.c END, "
+        "'p', CASE WHEN acc.p IS NULL AND acc.c IS NOT NULL "
+        "AND e.event_type = 'purchase' AND e.t_ms > acc.c "
+        "THEN e.t_ms ELSE acc.p END))"
+    )
+    stage = F.expr(
+        "CASE WHEN f.p IS NOT NULL THEN 'purchase' "
+        "WHEN f.c IS NOT NULL THEN 'click' "
+        "WHEN f.v IS NOT NULL THEN 'view' ELSE 'none' END"
+    )
+    return per_user.select("user_id", fold.alias("f")).select(
+        "user_id",
+        F.col("f.v").alias("t_view"),
+        F.col("f.c").alias("t_click"),
+        F.col("f.p").alias("t_purchase"),
+        stage.alias("stage"),
+    )

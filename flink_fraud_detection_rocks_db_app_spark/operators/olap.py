@@ -383,3 +383,41 @@ def window_heavy_hitters_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("w_start").orderBy(F.desc("n"), F.asc("event_type"))
     )
     return counts.withColumn("rnk", rnk).where(F.col("rnk") <= TOPK_N)
+
+
+@register(
+    "window_heavy_hitters_1h_approx",
+    # No SQL oracle ON PURPOSE: approx_top_k's frequent-items sketch is
+    # engine-specific (and tie order among equal counts is unspecified).
+    # The contract vs the exact twin lives in tests/test_extensions.py:
+    # every reported (item, count) must carry the item's EXACT count
+    # (the sketch is exact while distinct items < capacity), and the
+    # reported set must be a valid top-k under count ties.
+    oracle=None,
+    doc=f"Sketch twin of window_heavy_hitters_1h: approx_top_k "
+    f"(frequent-items sketch, capacity 10000) per 1h tumbling window. "
+    "The 100 TB story mirrors HLL/GK: sketch partials are mergeable "
+    "and bounded, so with an unbounded type column the shuffle moves "
+    "O(windows) sketches instead of O(windows x types) count rows — "
+    "and unlike the exact rank, no per-window sort is needed at all.",
+    tags=("batch", "window", "topk", "approx"),
+)
+def window_heavy_hitters_1h_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+            "event_type",
+        )
+        .groupBy(F.window("event_time", f"{TOPK_WINDOW_MS} milliseconds").alias("w"))
+        .agg(F.expr(f"approx_top_k(event_type, {TOPK_N})").alias("tk"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("w_start"),
+            F.explode("tk").alias("e"),
+        )
+        .select(
+            "w_start",
+            F.col("e.item").alias("event_type"),
+            F.col("e.count").alias("n_approx"),
+        )
+    )
