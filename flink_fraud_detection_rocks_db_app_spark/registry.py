@@ -113,7 +113,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # parameter variants they displaced (tumble_sum_5m, slide_sum_5m_1m,
     # project_account_amount_ts, max_by_amount, tpch_q6) stay registered
     # and full-suite oracle-verified past the window
-    "pattern_rising_3",
+    # r4b: pattern_rising_3 (lag-window MATCH_RECOGNIZE shape, still
+    # full-suite verified) gave its CEP slot to the richer sequence
+    # pattern: the ordered funnel's sorted-array fold — a machinery
+    # (in-scan JVM fold) no other driver row exercises
+    "funnel_view_click_purchase",
     "dynamic_rules_alerts",
     # flagship extension composition (quality -> dedup -> report)
     "corpus_prep_pipeline",

@@ -32,6 +32,13 @@ REPRESENTATIVES = (
     "asof_latest_order",
     "dedup_minhash_lsh",
     "slide_sum_50s_10s_paned",
+    # r4b: iterative FP-sensitive pipeline — centroid averages feed the
+    # next iteration's argmin, so summation-order drift across
+    # schedules would flip assignments if the 6dp rounding seam leaked
+    "kmeans_assign",
+    # r4b: sequence fold over a per-key sorted array (the funnel walk
+    # must not depend on which partition built the array)
+    "funnel_view_click_purchase",
 )
 
 
