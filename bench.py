@@ -76,6 +76,9 @@ HEADLINE = [
     "kmeans_assign",
     "span_dup_stats",
     "doc_unigram_logprob",
+    # the sequence-fold funnel and the (user, day)-reduced cohort matrix
+    "funnel_view_click_purchase",
+    "cohort_retention_daily",
 ]
 
 

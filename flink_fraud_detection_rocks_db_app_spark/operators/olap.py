@@ -421,3 +421,40 @@ def window_heavy_hitters_1h_approx(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("e.count").alias("n_approx"),
         )
     )
+
+
+@register(
+    "cohort_retention_daily",
+    oracle="""
+WITH a AS (
+  SELECT user_id, CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day_no
+  FROM events GROUP BY 1, 2
+),
+c AS (SELECT user_id, MIN(day_no) AS cohort_day FROM a GROUP BY 1)
+SELECT cohort_day, day_no - cohort_day AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a JOIN c USING (user_id)
+GROUP BY 1, 2
+""",
+    doc="Cohort retention matrix: users grouped by first-activity day, "
+    "counted at each later activity-day offset. Plan: distinct "
+    "(user, day) pairs reduce the fact table once (map-side combine), "
+    "the per-user cohort day is a second bounded aggregate, and the "
+    "join back is user-keyed on the already-reduced frame — shuffle "
+    "volume is O(user-days), never O(events). The standard "
+    "growth-analytics shape; at 100 TB the (user, day) reduction is "
+    "what keeps it tractable.",
+    tags=("batch", "analytics", "retention"),
+)
+def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    active = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.expr("CAST(ts div 86400000000000 AS BIGINT)").alias("day_no"))
+        .distinct()
+    )
+    cohort = active.groupBy("user_id").agg(F.min("day_no").alias("cohort_day"))
+    return (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_day", (F.col("day_no") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -489,3 +489,55 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_oov.alias("n_oov"),
         )
     )
+
+
+# ------------------------------------------- BPE-style token estimation
+
+# GPT-2-style pre-tokenizer classes, restricted to the Java-regex ∩ RE2
+# dialect (no lookahead, which the original pattern uses): word runs,
+# digit runs, punctuation runs, whitespace collapsed. Subword fertility
+# approximates trained-BPE behavior: long words split into ~len/4-char
+# pieces, so est_bpe_tokens = sum over word runs of ceil(len/4) plus
+# one token per digit/punct run.
+_PRETOK = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+@register(
+    "doc_bpe_token_estimate",
+    oracle=f"""
+WITH runs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_PRETOK}') AS rs,
+         n_chars FROM documents
+)
+SELECT doc_id,
+       CAST(len(rs) AS BIGINT) AS n_pretokens,
+       CAST(list_sum(list_transform(rs,
+            r -> CASE WHEN regexp_matches(r, '^[a-z]') THEN CAST(ceil(len(r) / 4.0) AS BIGINT)
+                      ELSE CAST(1 AS BIGINT) END)) AS BIGINT) AS est_bpe_tokens,
+       CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_chars_div4
+FROM runs
+""",
+    doc="Tokenizer-budget estimation without a tokenizer binary: GPT-2-"
+    "style pre-token runs (word/digit/punctuation, Java∩RE2 dialect) "
+    "plus a ~4-chars-per-subword fertility estimate per word run, and "
+    "the cruder chars/4 bound beside it. Scan-local regexp + array "
+    "arithmetic, zero shuffle — rides the same corpus scan as the "
+    "other text signals; the real-tokenizer swap-in is a mapInPandas "
+    "over the same schema (the multimodal stub pattern).",
+    tags=("text", "tokens"),
+)
+def doc_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    runs = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_PRETOK), F.lit(0))
+    est = F.expr(
+        "CAST(aggregate(rs, CAST(0 AS BIGINT), (s, r) -> s + "
+        "CASE WHEN r RLIKE '^[a-z]' THEN CAST(ceil(length(r) / 4.0) AS BIGINT) "
+        "ELSE CAST(1 AS BIGINT) END) AS BIGINT)"
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", runs.alias("rs"), "n_chars"
+    ).select(
+        "doc_id",
+        F.size("rs").cast("bigint").alias("n_pretokens"),
+        est.alias("est_bpe_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("est_chars_div4"),
+    )
