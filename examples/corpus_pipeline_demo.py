@@ -5,13 +5,15 @@
 Walks the documents/embeddings fixtures through the full 100 TB-shaped
 corpus flow — every step is a registered, oracle-verified query:
 
-  1. quality gating        (gopher_quality_filter)
-  2. exact dedup           (dedup_exact — fingerprint groupBy)
-  3. near-dup dedup        (dedup_minhash_lsh -> dedup_clusters)
-  4. decontamination       (decontaminate_bloom_prefilter)
-  5. sampling              (stratified / weighted / exactly-k)
-  6. sequence packing      (pack_sequences)
-  7. similarity            (ann_cosine_topk_blas vs ann_ivf_topk)
+  1. quality gating        (gopher_quality_filter, doc_unigram_logprob)
+  2. token budgeting       (doc_bpe_token_estimate)
+  3. exact + passage dedup (dedup_exact, span_dup_stats)
+  4. near-dup dedup        (dedup_minhash_lsh -> dedup_clusters)
+  5. decontamination       (decontaminate_bloom_prefilter)
+  6. sampling              (stratified / weighted / exactly-k)
+  7. sequence packing      (pack_sequences)
+  8. similarity            (ann_cosine_topk_blas vs ann_ivf_topk,
+                            kmeans_assign IVF training)
 
 Prints one summary line per step: rows in/out and what moved in the
 shuffle — the narrative version of SCALE.md's per-family budgets.
@@ -31,8 +33,14 @@ from flink_fraud_detection_rocks_db_app_spark.session import get_spark  # noqa: 
 STEPS = (
     ("quality gate", "gopher_quality_filter",
      "scan-local rule cascade, zero shuffle"),
+    ("LM quality score", "doc_unigram_logprob",
+     "top-V unigram model broadcast as one map row; in-scan scoring"),
+    ("token budget", "doc_bpe_token_estimate",
+     "pre-token runs + subword fertility, rides the corpus scan"),
     ("exact dedup", "dedup_exact",
      "one shuffle keyed on md5 fingerprint; text never moves"),
+    ("passage dedup", "span_dup_stats",
+     "stride-1 8-token spans shuffle as 8-byte hashes only"),
     ("near-dup pairs", "dedup_minhash_lsh",
      "scan-local 32-lane signatures; (band,bucket) equi-join candidates; exact-verified"),
     ("near-dup clusters", "dedup_clusters",
@@ -51,6 +59,8 @@ STEPS = (
      "one matmul per Arrow batch + per-batch top-k prune"),
     ("ANN (IVF)", "ann_ivf_topk",
      "IVF cell = partition key, nprobe=2"),
+    ("IVF training", "kmeans_assign",
+     "Lloyd iterations: centroids broadcast, corpus never shuffles"),
 )
 
 
