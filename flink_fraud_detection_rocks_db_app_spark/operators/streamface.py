@@ -308,3 +308,54 @@ def stream_tumble_median_1h_replay(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)
+
+
+@register(
+    "stream_ooo_tumble_sum_1h_replay",
+    oracle=sql_tumble(MS["h"], "SUM(value) AS sum_amount"),
+    doc="W2 (bounded out-of-orderness) as a driver row: the replay "
+    "defers a deterministic half of each chunk's final 6 h of event "
+    "time into the NEXT micro-batch (times intact, arrival disordered "
+    "across batches — several hundred genuinely late-arriving rows at "
+    "sf0.01), and the job runs withWatermark('6 hours') — the "
+    "reference's forBoundedOutOfOrderness contract "
+    "(reference: master/src/main/java/OutofOrderTumblingWindow/"
+    "FraudDetectionJob.java:63-70; its literal 5 s bound matches its "
+    "10 ev/s toy source — scaled here to the fixture's ~23 ev/h "
+    "density, same contract). Every deferred row's window end sits "
+    "strictly above the watermark, so the streamed sums must "
+    "hash-match plain batch SQL; a red row means bounded-disorder "
+    "admission or watermark arithmetic broke.",
+    tags=("streaming", "window", "watermark", "parity"),
+)
+def stream_ooo_tumble_sum_1h_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import transactions
+    from ..streaming import (
+        SENTINEL_ACCOUNT,
+        append_sentinel_chunk,
+        read_replay_stream,
+        run_to_memory,
+        windowed_agg_stream,
+        write_replay_chunks,
+    )
+
+    name = f"streamooo_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        chunks = write_replay_chunks(
+            spark, sf_dir, scratch, n_chunks=6, defer_tail_ms=6 * MS["h"]
+        )
+        max_us = (
+            transactions(spark, sf_dir)
+            .agg(F.max(F.unix_micros("event_time")))
+            .collect()[0][0]
+        )
+        append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
+        agg = windowed_agg_stream(
+            read_replay_stream(spark, chunks), MS["h"], watermark="6 hours"
+        )
+        run_to_memory(agg, name)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)

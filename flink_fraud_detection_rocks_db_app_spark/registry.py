@@ -99,7 +99,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # every other driver row's plan) gave its slot to the pivot/unpivot
     # reshaping family, previously suite-only.
     "pivot_user_event_type",
-    "filter_amount_gt_100",
+    # r4b: filter_amount_gt_100 (P7 — a pushdown filter, exercised
+    # inside every detector row's plan and still plan-tested +
+    # full-suite verified) gave its slot to the W2 streaming face:
+    # stream_ooo_tumble_sum_1h_replay replays with ~200 genuinely
+    # late-arriving rows under withWatermark(6h) and must hash-match
+    # plain batch SQL — bounded-out-of-orderness admission is now
+    # driver-gated, not just suite-tested.
+    "stream_ooo_tumble_sum_1h_replay",
     "alert_user_daily_sum_gt_300",
     "union_max_by",
     # §2 contract operators T3 / F5 / F3 (batch-equivalent forms; the

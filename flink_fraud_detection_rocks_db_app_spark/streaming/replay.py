@@ -79,6 +79,7 @@ def write_replay_chunks(
     late_every: int = 0,
     densify: int = 1,
     dup_every: int = 0,
+    defer_tail_ms: int = 0,
 ) -> str:
     """Materialize the fixture as `n_chunks` sequential parquet files
     under scratch_dir/chunks and return that path.
@@ -98,6 +99,16 @@ def write_replay_chunks(
     at-least-once delivery model every real broker exhibits; the
     streaming dedup operators must absorb these without changing any
     aggregate.
+
+    `defer_tail_ms=d` produces BOUNDED cross-batch disorder that keeps
+    every event time intact: a deterministic half (Knuth hash of
+    event_id) of each chunk's final d ms of event time arrives one
+    chunk LATE, at the head of the next micro-batch. Every deferred
+    row's time t satisfies t > max_t(prev chunk) - d, so under a
+    withWatermark >= d the row's window end is strictly above the
+    watermark and NOTHING is dropped — the stream must still equal
+    plain batch SQL (the reference's bounded-out-of-orderness contract,
+    oracle-checkable because timestamps never change).
     """
     out = os.path.join(scratch_dir, "chunks")
     shutil.rmtree(out, ignore_errors=True)
@@ -132,9 +143,34 @@ def write_replay_chunks(
         )
     n = len(pdf)
     size = -(-n // n_chunks)
+    chunk_of = [min(i // size, n_chunks - 1) for i in range(n)]
+    if defer_tail_ms:
+        pdf = pdf.reset_index(drop=True)
+        # per-chunk event-time max over the ORIGINAL assignment (moving
+        # rows out can only lower a chunk's max, i.e. lower the
+        # watermark — the bound below stays conservative)
+        tmax: dict[int, int] = {}
+        for i in range(n):
+            c = chunk_of[i]
+            tmax[c] = max(tmax.get(c, -(1 << 62)), int(pdf.t_us.iloc[i]))
+        for i in range(n):
+            c = chunk_of[i]
+            in_tail = int(pdf.t_us.iloc[i]) > tmax[c] - defer_tail_ms * 1000
+            # overflow-free Knuth gate (same construction as sampling)
+            h = (int(pdf.event_id.iloc[i]) % 4294967296) * 2654435761 % 2
+            if in_tail and h == 0 and c < n_chunks - 1:
+                chunk_of[i] = c + 1
     base = int(os.stat(scratch_dir).st_mtime)
+    import numpy as np
+
+    chunk_arr = np.asarray(chunk_of)
     for i in range(n_chunks):
-        chunk = pdf.iloc[i * size : (i + 1) * size]
+        if defer_tail_ms:
+            # deferred rows land at the HEAD of the next batch: their
+            # event time is genuinely behind rows already seen
+            chunk = pdf.iloc[np.flatnonzero(chunk_arr == i)]
+        else:
+            chunk = pdf.iloc[i * size : (i + 1) * size]
         if len(chunk) == 0:
             continue
         path = os.path.join(out, f"chunk_{i:04d}.parquet")

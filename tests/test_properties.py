@@ -113,3 +113,39 @@ def test_count_trigger_segments_equal_state_machine(amounts, max_count):
     assert len(fired) == len(want)
     for (fs, fc, fe), (ws, wc, we) in zip(fired, want):
         assert fc == wc and fe == we and abs(fs - ws) < 1e-9
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),  # tight domain: force ties
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_funnel_fold_equals_conditional_min_joins(evs):
+    """funnel_view_click_purchase's two forms must agree on EVERY input,
+    including duplicate timestamps across types (the fixture happens to
+    have none; the strict-inequality stage gates make ties safe and
+    this pins that): the in-scan greedy fold over the (t, type)-sorted
+    array == the oracle's 3-level conditional-min joins."""
+    # fold form (the Spark aggregate() lambda, literally transcribed)
+    v = c = p = None
+    for t, typ in sorted(evs):
+        if v is None and typ == "view":
+            v = t
+        if c is None and v is not None and typ == "click" and t > v:
+            c = t
+        if p is None and c is not None and typ == "purchase" and t > c:
+            p = t
+    # oracle form: set-wide conditional minima
+    views = [t for t, ty in evs if ty == "view"]
+    ov = min(views) if views else None
+    clicks = [t for t, ty in evs if ty == "click" and ov is not None and t > ov]
+    oc = min(clicks) if clicks else None
+    purchases = [t for t, ty in evs if ty == "purchase" and oc is not None and t > oc]
+    op = min(purchases) if purchases else None
+    assert (v, c, p) == (ov, oc, op), (evs, (v, c, p), (ov, oc, op))
