@@ -41,18 +41,32 @@ REPLAY_SCHEMA = T.StructType(
     ]
 )
 
+# Typed variant: event_type rides along (CEP/funnel streams key their
+# transitions on it). Kept separate so the plain transaction replays
+# stay byte-identical with earlier rounds.
+TYPED_REPLAY_SCHEMA = T.StructType(
+    REPLAY_SCHEMA.fields + [T.StructField("event_type", T.StringType())]
+)
 
-def _prepared(spark: SparkSession, sf_dir: str, jitter_ms: int, late_every: int) -> DataFrame:
+
+def _prepared(
+    spark: SparkSession,
+    sf_dir: str,
+    jitter_ms: int,
+    late_every: int,
+    with_event_type: bool = False,
+) -> DataFrame:
     """Fixture rows projected to the transaction schema, optionally
     disordered: every row gets a deterministic jitter in
     [-jitter_ms, +jitter_ms] from event_id, and every `late_every`-th
     row is pushed far past the watermark to exercise late-drop."""
-    ev = load(spark, sf_dir, "events").select(
+    cols = [
         F.col("user_id").alias("account_id"),
         F.expr("ts div 1000").alias("t_us"),
         F.col("value").alias("amount"),
-        "event_id",
-    )
+        F.col("event_id"),
+    ] + ([F.col("event_type")] if with_event_type else [])
+    ev = load(spark, sf_dir, "events").select(*cols)
     if jitter_ms:
         # deterministic pseudo-jitter: hash event_id into [-j, +j]
         ev = ev.withColumn(
@@ -67,7 +81,10 @@ def _prepared(spark: SparkSession, sf_dir: str, jitter_ms: int, late_every: int)
                 F.col("event_id") % late_every == 0, F.col("t_us") - F.lit(3_600_000_000)
             ).otherwise(F.col("t_us")),
         )
-    return ev.select("account_id", "t_us", "amount", "event_id")
+    keep = ["account_id", "t_us", "amount", "event_id"] + (
+        ["event_type"] if with_event_type else []
+    )
+    return ev.select(*keep)
 
 
 def write_replay_chunks(
@@ -80,6 +97,7 @@ def write_replay_chunks(
     densify: int = 1,
     dup_every: int = 0,
     defer_tail_ms: int = 0,
+    with_event_type: bool = False,
 ) -> str:
     """Materialize the fixture as `n_chunks` sequential parquet files
     under scratch_dir/chunks and return that path.
@@ -113,7 +131,7 @@ def write_replay_chunks(
     out = os.path.join(scratch_dir, "chunks")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
-    df = _prepared(spark, sf_dir, jitter_ms, late_every)
+    df = _prepared(spark, sf_dir, jitter_ms, late_every, with_event_type)
     if densify > 1:
         k = F.lit(densify)
         df = df.crossJoin(spark.range(densify).select(F.col("id").alias("rep"))).select(
@@ -143,29 +161,28 @@ def write_replay_chunks(
         )
     n = len(pdf)
     size = -(-n // n_chunks)
-    chunk_of = [min(i // size, n_chunks - 1) for i in range(n)]
-    if defer_tail_ms:
+    import numpy as np
+
+    chunk_arr = None
+    if defer_tail_ms and n:
         pdf = pdf.reset_index(drop=True)
+        ci = np.minimum(np.arange(n) // size, n_chunks - 1)
+        t = pdf.t_us.to_numpy()
         # per-chunk event-time max over the ORIGINAL assignment (moving
         # rows out can only lower a chunk's max, i.e. lower the
         # watermark — the bound below stays conservative)
-        tmax: dict[int, int] = {}
-        for i in range(n):
-            c = chunk_of[i]
-            tmax[c] = max(tmax.get(c, -(1 << 62)), int(pdf.t_us.iloc[i]))
-        for i in range(n):
-            c = chunk_of[i]
-            in_tail = int(pdf.t_us.iloc[i]) > tmax[c] - defer_tail_ms * 1000
-            # overflow-free Knuth gate (same construction as sampling)
-            h = (int(pdf.event_id.iloc[i]) % 4294967296) * 2654435761 % 2
-            if in_tail and h == 0 and c < n_chunks - 1:
-                chunk_of[i] = c + 1
+        tmax = np.array(
+            [t[ci == c].max() if (ci == c).any() else -(1 << 62) for c in range(n_chunks)]
+        )
+        in_tail = t > tmax[ci] - defer_tail_ms * 1000
+        # Knuth gate; uint64 wrap preserves parity (2^64 is even), so
+        # this equals the exact-integer construction sampling uses
+        eid = pdf.event_id.to_numpy().astype(np.uint64)
+        h = (eid % np.uint64(1 << 32)) * np.uint64(2654435761) % np.uint64(2)
+        chunk_arr = np.where(in_tail & (h == 0) & (ci < n_chunks - 1), ci + 1, ci)
     base = int(os.stat(scratch_dir).st_mtime)
-    import numpy as np
-
-    chunk_arr = np.asarray(chunk_of)
     for i in range(n_chunks):
-        if defer_tail_ms:
+        if chunk_arr is not None:
             # deferred rows land at the HEAD of the next batch: their
             # event time is genuinely behind rows already seen
             chunk = pdf.iloc[np.flatnonzero(chunk_arr == i)]
@@ -224,11 +241,15 @@ def append_sentinel_chunk(
     os.utime(path, (last + 1, last + 1))
 
 
-def read_replay_stream(spark: SparkSession, chunks_dir: str) -> DataFrame:
+def read_replay_stream(
+    spark: SparkSession, chunks_dir: str, with_event_type: bool = False
+) -> DataFrame:
     """Streaming DataFrame over the replay chunks, one file per
     micro-batch (so watermarks advance between batches)."""
+    schema = TYPED_REPLAY_SCHEMA if with_event_type else REPLAY_SCHEMA
+    extra = ["event_type"] if with_event_type else []
     return (
-        spark.readStream.schema(REPLAY_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(chunks_dir)
         .select(
@@ -236,6 +257,7 @@ def read_replay_stream(spark: SparkSession, chunks_dir: str) -> DataFrame:
             F.timestamp_micros("t_us").alias("event_time"),
             "amount",
             "event_id",
+            *extra,
         )
     )
 

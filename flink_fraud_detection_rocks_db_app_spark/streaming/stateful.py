@@ -437,3 +437,73 @@ def running_sum_alerts_tws(stream: DataFrame, threshold: float) -> DataFrame:
         outputMode="append",
         timeMode="None",
     )
+
+
+FUNNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("stage", T.StringType()),
+        T.StructField("t_ms", T.LongType()),
+    ]
+)
+
+
+def funnel_stream(stream: DataFrame) -> DataFrame:
+    """Streaming ordered funnel (the batch funnel_view_click_purchase
+    run continuously): per-user state is just THREE timestamps
+    (first view, first click after it, first purchase after that) —
+    O(1) per user forever, the smallest possible sequence-pattern
+    state. A row is emitted each time a user's stage ADVANCES, so the
+    sink holds the live funnel progression; the latest row per user
+    equals the batch operator on the same prefix (differential-tested
+    on the in-order replay).
+
+    Same bucketed-key design as running_sum_alerts_stream: the group
+    key is a hash bucket, state is the per-bucket {user: [v, c, p]}
+    dict, and each batch walks its rows in (user, time, id) order —
+    per-user semantics identical to keying by user, Arrow/state-commit
+    costs paid per bucket."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        st: dict[int, list] = (
+            {int(k): v for k, v in json.loads(state.get[0]).items()}
+            if state.exists
+            else {}
+        )
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["account_id", "t_us", "event_id"], kind="mergesort")
+            for u, t_us, typ in zip(
+                pdf["account_id"].to_numpy(),
+                pdf["t_us"].to_numpy(),
+                pdf["event_type"].to_numpy(),
+            ):
+                u, t = int(u), int(t_us) // 1000
+                v, c, p = st.get(u, (None, None, None))
+                if v is None and typ == "view":
+                    v = t
+                    rows.append((u, "view", t))
+                elif c is None and v is not None and typ == "click" and t > v:
+                    c = t
+                    rows.append((u, "click", t))
+                elif p is None and c is not None and typ == "purchase" and t > c:
+                    p = t
+                    rows.append((u, "purchase", t))
+                st[u] = [v, c, p]
+        state.update((json.dumps(st),))
+        if rows:
+            yield pd.DataFrame(rows, columns=["user_id", "stage", "t_ms"])
+
+    return (
+        _with_epoch(stream)
+        .withColumn("_bucket", F.pmod(F.xxhash64("account_id"), F.lit(N_FOLD_BUCKETS)))
+        .groupBy("_bucket")
+        .applyInPandasWithState(
+            fn,
+            FUNNEL_SCHEMA,
+            T.StructType([T.StructField("state_json", T.StringType())]),
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

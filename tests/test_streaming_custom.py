@@ -375,3 +375,39 @@ def test_stream_stream_interval_join_left_outer(spark, scratch):
     missing = safe_unmatched - got_unmatched
     assert not missing, sorted(missing)[:3]
     assert got_unmatched, "no null-padded rows emitted at all"
+
+
+def test_funnel_stream_matches_batch_funnel(spark, scratch):
+    """Streaming funnel: emissions fire as stages advance; the latest
+    emission per user must equal the batch funnel's final stage and
+    timestamp, and users the batch scores 'none' must never emit."""
+    from flink_fraud_detection_rocks_db_app_spark.registry import all_queries
+    from flink_fraud_detection_rocks_db_app_spark.streaming import funnel_stream
+
+    chunks = write_replay_chunks(
+        spark, SF_SMALL, scratch, n_chunks=6, with_event_type=True
+    )
+    out = funnel_stream(read_replay_stream(spark, chunks, with_event_type=True))
+    run_to_memory(out, "t_funnel")
+    emitted = spark.table("t_funnel").collect()
+    assert emitted, "funnel stream emitted nothing"
+    latest: dict[int, tuple[str, int]] = {}
+    order = {"view": 0, "click": 1, "purchase": 2}
+    for r in emitted:
+        cur = latest.get(r.user_id)
+        if cur is None or order[r.stage] > order[cur[0]]:
+            latest[r.user_id] = (r.stage, r.t_ms)
+    batch = {
+        r.user_id: (r.stage, {"view": r.t_view, "click": r.t_click,
+                              "purchase": r.t_purchase}.get(r.stage))
+        for r in all_queries()["funnel_view_click_purchase"].fn(spark, SF_SMALL).collect()
+    }
+    for u, (stage, t) in latest.items():
+        assert batch[u] == (stage, t), (u, (stage, t), batch[u])
+    # full-funnel users exist in the fixture and must be streamed too
+    assert any(s == "purchase" for s, _ in latest.values())
+    for u, (stage, t) in batch.items():
+        if stage == "none":
+            assert u not in latest, u
+        else:
+            assert latest.get(u) == (stage, t), (u, batch[u], latest.get(u))
