@@ -536,3 +536,33 @@ def test_stream_holistic_median_equals_batch(spark, scratch):
     assert got, "stream emitted nothing"
     for k, v in got.items():
         assert abs(v - full[k]) < 1e-9, (k, v, full[k])
+
+
+def test_defer_tail_replay_disorder_is_real_and_bounded(spark, scratch):
+    """The W2 driver face is only meaningful while the defer-tail
+    replay actually produces cross-batch disorder. Pin both sides:
+    (a) a non-trivial number of rows arrive in a later chunk than an
+    earlier chunk's max event time (genuine late arrivals), and
+    (b) every such row stays within the 6h bound, so a
+    withWatermark('6 hours') job must not drop anything — the
+    invariant the face's batch-SQL oracle relies on."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    bound_ms = 6 * MS["h"]
+    chunks = write_replay_chunks(
+        spark, SF_SMALL, scratch, n_chunks=6, defer_tail_ms=bound_ms
+    )
+    files = sorted(glob.glob(os.path.join(chunks, "*.parquet")))
+    prev_max, n_late = None, 0
+    for f in files:
+        df = pd.read_parquet(f)
+        if prev_max is not None:
+            late = df[df.t_us < prev_max]
+            n_late += len(late)
+            if len(late):
+                assert int(late.t_us.min()) > prev_max - bound_ms * 1000
+        prev_max = max(prev_max or 0, int(df.t_us.max()))
+    assert n_late >= 20, n_late
