@@ -829,3 +829,70 @@ def span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("n") > 1).cast("long")) / F.count("*"), 6
         ).alias("dup_span_frac"),
     )
+
+
+# --------------------------------------------------- incremental dedup
+
+_INCR_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM t),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT doc_a, doc_b, common * 1.0 / (sa.n + sb.n - common) AS jaccard
+  FROM pairs
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+    AND (doc_a % 2) <> (doc_b % 2)
+),
+oriented AS (
+  SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS new_id,
+         CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END AS matched_id,
+         jaccard
+  FROM verified
+)
+SELECT new_id, matched_id, jaccard
+FROM oriented
+QUALIFY row_number() OVER (PARTITION BY new_id ORDER BY matched_id ASC) = 1
+"""
+
+
+@register(
+    "dedup_incremental_lsh",
+    # Same semantic-equivalence oracle as dedup_minhash_lsh (exact
+    # Jaccard pair set — the 16x2 banding's recall-1.0 contract at
+    # J>=0.5), restricted to cross-split pairs and reduced to one
+    # match per new document.
+    oracle=_INCR_ORACLE,
+    doc="Incremental (appending) dedup — the shape a production corpus "
+    "actually runs: the existing corpus (even doc_ids stand in for "
+    "'already ingested') keeps its LSH signatures materialized; each "
+    "NEW batch (odd doc_ids) is signed, bucketed, and verified only "
+    "against colliding corpus buckets, then each new doc reports its "
+    "lowest-id corpus near-dup. At 100 TB the corpus-side signature "
+    "index is the persisted asset (O(docs x 32 longs), bucketed by "
+    "(band, bucket) on disk) and a new batch's cost is proportional "
+    "to the BATCH, not the corpus — no all-corpus rescan, no "
+    "corpus-corpus pair expansion.",
+    tags=("dedup", "lsh", "incremental"),
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = lsh_candidate_pairs(minhash_signatures(spark, sf_dir)).where(
+        (F.col("doc_a") % 2) != (F.col("doc_b") % 2)
+    )  # cross-split only, BEFORE the shingle-verify join
+    pairs = verify_exact_jaccard(spark, sf_dir, cand)
+    oriented = pairs.select(
+        F.when(F.col("doc_a") % 2 == 1, F.col("doc_a")).otherwise(F.col("doc_b")).alias("new_id"),
+        F.when(F.col("doc_a") % 2 == 1, F.col("doc_b")).otherwise(F.col("doc_a")).alias("matched_id"),
+        "jaccard",
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy("new_id").orderBy(F.asc("matched_id")))
+    return oriented.withColumn("rn", rn).where(F.col("rn") == 1).drop("rn")
