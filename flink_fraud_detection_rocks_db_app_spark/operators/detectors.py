@@ -404,3 +404,75 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f.p").alias("t_purchase"),
         stage.alias("stage"),
     )
+
+
+# ------------------------------------------------------ adaptive z-score
+
+ZSCORE_K = 3.0
+ZSCORE_MIN_PRIOR = 5
+
+
+@register(
+    "zscore_alerts_3sigma",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id AS account_id, epoch_ms(ts) AS t_ms, event_id,
+         CAST(value AS DOUBLE) AS amount
+  FROM events
+),
+s AS (
+  SELECT account_id, t_ms, event_id, amount,
+         AVG(amount) OVER w AS mu,
+         STDDEV_SAMP(amount) OVER w AS sigma,
+         COUNT(*) OVER w AS n_prior
+  FROM e
+  WINDOW w AS (PARTITION BY account_id ORDER BY t_ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT account_id, t_ms, amount,
+       round((amount - mu) / sigma, 6) AS z
+FROM s
+WHERE n_prior >= {ZSCORE_MIN_PRIOR} AND sigma > 0
+  AND round(abs(amount - mu) - {ZSCORE_K} * sigma, 6) > 0
+""",
+    doc="Adaptive per-account anomaly detector — the dynamic form of "
+    "the reference's static thresholds (F2's amount>1000 becomes "
+    f"|amount - prefix_mean| > {ZSCORE_K}*prefix_std over each "
+    "account's own history, in (event_time, event_id) order, needing "
+    f">= {ZSCORE_MIN_PRIOR} prior events). One account-keyed sort "
+    "window; the gate compares 6dp-rounded values (the repo's "
+    "row-membership convention) so prefix-aggregate ulp drift can't "
+    "flip a flag. The streaming twin is a Welford fold in "
+    "applyInPandasWithState — same per-key O(1) state as F3/F5.",
+    tags=("detector", "anomaly"),
+)
+def zscore_alerts_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("account_id"),
+        F.expr("ts div 1000000").alias("t_ms"),
+        "event_id",
+        F.col("value").cast("double").alias("amount"),
+    )
+    w = (
+        Window.partitionBy("account_id")
+        .orderBy("t_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = e.select(
+        "account_id",
+        "t_ms",
+        "amount",
+        F.avg("amount").over(w).alias("mu"),
+        F.stddev_samp("amount").over(w).alias("sigma"),
+        F.count("*").over(w).alias("n_prior"),
+    )
+    return s.where(
+        (F.col("n_prior") >= ZSCORE_MIN_PRIOR)
+        & (F.col("sigma") > 0)
+        & (F.round(F.abs(F.col("amount") - F.col("mu")) - ZSCORE_K * F.col("sigma"), 6) > 0)
+    ).select(
+        "account_id",
+        "t_ms",
+        "amount",
+        F.round((F.col("amount") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+    )

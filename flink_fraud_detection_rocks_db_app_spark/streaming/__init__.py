@@ -33,4 +33,5 @@ from .stateful import (  # noqa: F401
     running_mean_alerts_stream,
     running_sum_alerts_batch,
     running_sum_alerts_stream,
+    zscore_alerts_stream,
 )

@@ -507,3 +507,73 @@ def funnel_stream(stream: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+ZSCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("account_id", T.LongType()),
+        T.StructField("t_ms", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("z", T.DoubleType()),
+    ]
+)
+
+
+def zscore_alerts_stream(
+    stream: DataFrame, k: float = 3.0, min_prior: int = 5
+) -> DataFrame:
+    """Streaming twin of zscore_alerts_3sigma: per-account Welford
+    state (n, mean, M2) — O(1) per key forever, numerically stable —
+    flags an event against the PRIOR history before folding it in,
+    exactly like the batch window's 'UNBOUNDED PRECEDING AND 1
+    PRECEDING' frame. Bucketed grouping as in the other folds; the
+    flag gate compares 6dp-rounded values so Welford-vs-window ulp
+    drift can't flip a decision the batch form wouldn't."""
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        st: dict[int, list] = (
+            {int(kk): v for kk, v in json.loads(state.get[0]).items()}
+            if state.exists
+            else {}
+        )
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["account_id", "t_us", "event_id"], kind="mergesort")
+            for u, t_us, a in zip(
+                pdf["account_id"].to_numpy(),
+                pdf["t_us"].to_numpy(),
+                pdf["amount"].to_numpy(),
+            ):
+                u, a = int(u), float(a)
+                n, mean, m2 = st.get(u, (0, 0.0, 0.0))
+                if n >= min_prior:
+                    var = m2 / (n - 1)
+                    sigma = math.sqrt(var) if var > 0 else 0.0
+                    if sigma > 0 and round(abs(a - mean) - k * sigma, 6) > 0:
+                        rows.append(
+                            (u, int(t_us) // 1000, a, round((a - mean) / sigma, 6))
+                        )
+                n += 1
+                d = a - mean
+                mean += d / n
+                m2 += d * (a - mean)
+                st[u] = [n, mean, m2]
+        state.update((json.dumps(st),))
+        if rows:
+            yield pd.DataFrame(rows, columns=["account_id", "t_ms", "amount", "z"])
+
+    return (
+        _with_epoch(stream)
+        .withColumn("_bucket", F.pmod(F.xxhash64("account_id"), F.lit(N_FOLD_BUCKETS)))
+        .groupBy("_bucket")
+        .applyInPandasWithState(
+            fn,
+            ZSCORE_SCHEMA,
+            T.StructType([T.StructField("state_json", T.StringType())]),
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -411,3 +411,28 @@ def test_funnel_stream_matches_batch_funnel(spark, scratch):
             assert u not in latest, u
         else:
             assert latest.get(u) == (stage, t), (u, batch[u], latest.get(u))
+
+
+def test_zscore_stream_matches_batch_window(spark, scratch):
+    """Streaming Welford z-score vs the batch prefix-window form: the
+    flagged (account, t_ms) sets must agree and every z must match to
+    1e-6 (Welford and sum/n mean differ only in ulps; both gates round
+    at 6dp)."""
+    from flink_fraud_detection_rocks_db_app_spark.registry import all_queries
+    from flink_fraud_detection_rocks_db_app_spark.streaming import zscore_alerts_stream
+
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=6)
+    out = zscore_alerts_stream(read_replay_stream(spark, chunks))
+    run_to_memory(out, "t_zscore")
+    got = {
+        (r.account_id, r.t_ms): r.z for r in spark.table("t_zscore").collect()
+    }
+    want = {
+        (r.account_id, r.t_ms): r.z
+        for r in all_queries()["zscore_alerts_3sigma"].fn(spark, SF_SMALL).collect()
+    }
+    assert got, "no streamed z-score alerts"
+    assert set(got) == set(want), (
+        sorted(set(got) ^ set(want))[:5], len(got), len(want))
+    for kk, z in got.items():
+        assert abs(z - want[kk]) <= 1e-6, (kk, z, want[kk])
