@@ -39,6 +39,10 @@ REPRESENTATIVES = (
     # r4b: sequence fold over a per-key sorted array (the funnel walk
     # must not depend on which partition built the array)
     "funnel_view_click_purchase",
+    # r4b: prefix-window aggregates whose 6dp-rounded gate decides row
+    # MEMBERSHIP — summation-order drift across schedules must not
+    # flip a flag
+    "zscore_alerts_3sigma",
 )
 
 
