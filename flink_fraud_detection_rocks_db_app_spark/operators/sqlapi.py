@@ -88,3 +88,46 @@ def sql_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY session_window(event_time, '6 hours'), account_id
         """
     )
+
+
+@register(
+    "sql_window_heavy_hitters_1h",
+    oracle="""
+SELECT w_start, event_type, n, rnk
+FROM (
+  SELECT w_start, event_type, n,
+         row_number() OVER (PARTITION BY w_start ORDER BY n DESC, event_type ASC) AS rnk
+  FROM (
+    SELECT (epoch_ms(ts) // 3600000) * 3600000 AS w_start,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+  )
+)
+WHERE rnk <= 3
+""",
+    doc="window_heavy_hitters_1h as pure SQL text over the raw events "
+    "view (window() grouping expression + rank subquery) — proves the "
+    "round-4 top-k surface is reachable without the DataFrame API; "
+    "Catalyst plans it identically (WindowGroupLimit included)",
+    tags=("sql", "window", "topk"),
+)
+def sql_window_heavy_hitters_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT w_start, event_type, n, rnk
+        FROM (
+          SELECT w_start, event_type, n,
+                 row_number() OVER (PARTITION BY w_start
+                                    ORDER BY n DESC, event_type ASC) AS rnk
+          FROM (
+            SELECT unix_millis(window.start) AS w_start, event_type,
+                   COUNT(*) AS n
+            FROM (SELECT timestamp_micros(ts div 1000) AS event_time,
+                         event_type FROM events)
+            GROUP BY window(event_time, '3600000 milliseconds'), event_type
+          )
+        )
+        WHERE rnk <= 3
+        """
+    )
