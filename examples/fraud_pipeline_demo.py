@@ -6,6 +6,7 @@ Runs, against the deterministic fixture stream:
   EP1  in-order tumbling-window sum + threshold alerts (streaming)
   EP2  out-of-order sliding-window mean (streaming, 5s watermark)
   F5   running-sum detector with reset-on-alert (stateful UDF)
+  +    adaptive z-score anomaly stream (Welford state per account)
 plus the reference-definition job metrics (latency = duration/numEvents,
 throughput = numEvents/duration).
 """
@@ -32,6 +33,7 @@ from flink_fraud_detection_rocks_db_app_spark.streaming import (  # noqa: E402
     running_sum_alerts_stream,
     windowed_agg_stream,
     write_replay_chunks,
+    zscore_alerts_stream,
 )
 
 
@@ -70,6 +72,13 @@ def main() -> None:
         )
         spark.table("f5").orderBy("t_ms").show(5)
         print(f"   {spark.table('f5').count()} alerts")
+
+        print("== adaptive z-score anomalies (3-sigma vs each account's history)")
+        run_to_memory(
+            zscore_alerts_stream(read_replay_stream(spark, chunks)), "zscore"
+        )
+        spark.table("zscore").orderBy("t_ms").show(5)
+        print(f"   {spark.table('zscore').count()} anomalies")
 
         m = listener.metrics
         print(
