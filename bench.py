@@ -79,6 +79,9 @@ HEADLINE = [
     # the sequence-fold funnel and the (user, day)-reduced cohort matrix
     "funnel_view_click_purchase",
     "cohort_retention_daily",
+    # adaptive anomaly window + the appending-corpus dedup form
+    "zscore_alerts_3sigma",
+    "dedup_incremental_lsh",
 ]
 
 
