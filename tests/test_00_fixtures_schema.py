@@ -191,3 +191,37 @@ def test_entry_smoke(spark):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_round4_queries_timezone_free(spark, duck):
+    """End-to-end non-UTC probe for representative round-4 operators
+    (holistic median window + funnel): under a +08:45 session zone the
+    results must still match the DuckDB oracle exactly — all time
+    arithmetic is epoch-integer math, never a session-zone cast."""
+    from flink_fraud_detection_rocks_db_app_spark.registry import all_queries
+
+    qs = all_queries()
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Australia/Eucla")
+        for name in ("tumble_median_1h", "funnel_view_click_purchase"):
+            spec = qs[name]
+            df = spec.fn(spark, SF_SMALL)
+            cols = sorted(df.columns)
+            got = sorted(
+                (tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+                 for r in df.select(*cols).collect()),
+                key=repr,
+            )
+            cur = duck.execute(spec.oracle)
+            names = [d[0] for d in cur.description]
+            idx = [names.index(c) for c in cols]
+            want = sorted(
+                (tuple(round(row[i], 6) if isinstance(row[i], float) else row[i]
+                       for i in idx)
+                 for row in cur.fetchall()),
+                key=repr,
+            )
+            assert got == want, name
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
