@@ -389,6 +389,13 @@ WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5
     tags=("dedup", "join", "skew"),
 )
 def dedup_ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df, _kept = ngram_pruned_pairs(spark, sf_dir)
+    return df
+
+
+def ngram_pruned_pairs(
+    spark: SparkSession, sf_dir: str, persist_postings: bool = False
+) -> tuple[DataFrame, DataFrame]:
     # Same group-postings-once / expand-pairs-in-array shape as the
     # unpruned query — document frequency IS the posting-list size, so
     # the DF cutoff fuses into the grouping for free (no separate
@@ -408,12 +415,23 @@ def dedup_ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized zero ReusedExchange nodes under AQE while doubling
     # the scan count in the physical plan; the single-build + persist
     # route remains the 100 TB recommendation, not plan surgery.
+    # r5: persist_postings=True is the measurement knob for the
+    # persist route (scripts/scale_probe.py runs it at 10× corpus —
+    # 50k docs, token space disjoint per copy: same DF statistics, no
+    # cross-copy pairs — numbers in SCALE.md). The registered query
+    # keeps the single-plan form; callers that persist must trigger
+    # execution and unpersist the returned `kept` themselves (a lazily
+    # returned DataFrame can't scope it).
     sh = shingled(spark, sf_dir)
     ex = sh.select(
         "doc_id", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s")
     )
     groups = ex.groupBy("s").agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
     kept = groups.where(F.size("ds") <= MAXDF)
+    if persist_postings:
+        from pyspark import StorageLevel
+
+        kept = kept.persist(StorageLevel.DISK_ONLY)
     sz = (
         kept.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")
@@ -435,12 +453,13 @@ def dedup_ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     j = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
-    return (
+    out = (
         pairs.join(sza, "doc_a")
         .join(szb, "doc_b")
         .where(j >= 0.5)
         .select("doc_a", "doc_b", j.alias("jaccard"))
     )
+    return out, kept
 
 
 _PRUNED_PAIRS_DUCK = f"""

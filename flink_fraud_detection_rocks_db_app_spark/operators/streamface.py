@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from .windows import MS, sql_session, sql_tumble
+from .stateful import sql_running_alerts
+from .windows import MS, sql_session, sql_slide, sql_tumble
 
 # Replay scratch anchored to the REPO root, not the CWD: the driver
 # imports __spark_entry__ and calls these fns from its own working
@@ -359,3 +360,90 @@ def stream_ooo_tumble_sum_1h_replay(spark: SparkSession, sf_dir: str) -> DataFra
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)
+
+
+@register(
+    "stream_slide_mean_50s_10s_replay",
+    oracle=sql_slide(50_000, 10_000, "AVG(value) AS mean_amount"),
+    doc="EP2 — the reference's OTHER half — as a driver row: the 50s/10s "
+    "sliding mean computed by the ACTUAL streaming engine (reference: "
+    "master/src/main/java/InorderSlidingWindow/FraudDetectionJob.java:77-83). "
+    "Each event expands to size/slide=5 window state rows and the "
+    "watermark must close every overlapping window exactly once; the "
+    "streamed means hash-match the batch window-enumeration SQL. A red "
+    "row means sliding-window streaming state (Expand assignment, "
+    "multi-window closure, partial-avg merge) broke — the half of the "
+    "reference's window matrix the driver gate did not cover before r5.",
+    tags=("streaming", "window", "sliding", "parity"),
+)
+def stream_slide_mean_50s_10s_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import transactions
+    from ..streaming import (
+        SENTINEL_ACCOUNT,
+        append_sentinel_chunk,
+        read_replay_stream,
+        run_to_memory,
+        windowed_agg_stream,
+        write_replay_chunks,
+    )
+
+    name = f"streamslide_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        max_us = (
+            transactions(spark, sf_dir)
+            .agg(F.max(F.unix_micros("event_time")))
+            .collect()[0][0]
+        )
+        append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
+        agg = windowed_agg_stream(
+            read_replay_stream(spark, chunks),
+            50 * MS["s"],
+            slide_ms=10 * MS["s"],
+            watermark="0 seconds",
+            aggs=[F.avg("amount").alias("mean_amount")],
+        )
+        run_to_memory(agg, name)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)
+
+
+@register(
+    "stream_running_sum_alerts_replay",
+    oracle=sql_running_alerts(500.0, mean=False),
+    doc="F5 as a STREAMING driver row: the reset-on-alert running sum "
+    "runs through applyInPandasWithState over the deterministic replay "
+    "(per-bucket JSON state in the state store, alerts emitted in the "
+    "micro-batch they fire) and must hash-match the batch recursive-CTE "
+    "oracle bit-for-bit — the fold adds in the same (t_us, event_id) "
+    "order per key as both the batch fold and the CTE, so no tolerance "
+    "is needed. First driver row that goes red if the custom-stateful "
+    "path (Arrow state round-trip, cross-micro-batch state carry) "
+    "breaks (reference: workspace/frauddetection/src/main/java/"
+    "spendreport/FraudDetector.java:29-46).",
+    tags=("streaming", "detector", "stateful", "parity"),
+)
+def stream_running_sum_alerts_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import (
+        read_replay_stream,
+        run_to_memory,
+        running_sum_alerts_stream,
+        write_replay_chunks,
+    )
+
+    name = f"streamf5_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        # No sentinel: applyInPandasWithState with NoTimeout emits
+        # alerts in the micro-batch they occur — nothing waits on a
+        # closing watermark.
+        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        alerts = running_sum_alerts_stream(read_replay_stream(spark, chunks), 500.0)
+        run_to_memory(alerts, name)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(name)

@@ -511,9 +511,9 @@ WITH runs AS (
 )
 SELECT doc_id,
        CAST(len(rs) AS BIGINT) AS n_pretokens,
-       CAST(list_sum(list_transform(rs,
+       CAST(COALESCE(list_sum(list_transform(rs,
             r -> CASE WHEN regexp_matches(r, '^[a-z]') THEN CAST(ceil(len(r) / 4.0) AS BIGINT)
-                      ELSE CAST(1 AS BIGINT) END)) AS BIGINT) AS est_bpe_tokens,
+                      ELSE CAST(1 AS BIGINT) END)), 0) AS BIGINT) AS est_bpe_tokens,
        CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_chars_div4
 FROM runs
 """,

@@ -69,8 +69,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sql_tumble_sum_3s",
     # dedup pillar (r4: dedup_clusters — near-dup CC over LSH pairs —
     # rotated in; it was the last dedup stage with suite-only evidence)
+    # r5: dedup_exact — the md5-fingerprint hash-groupBy runs verbatim
+    # inside corpus_prep_pipeline's dedup stage (pipeline.py:66), which
+    # stays — gave its slot to doc_winnow_fingerprints, the r4b
+    # order-sensitive fingerprinting family that had suite-only evidence
     "stratified_sample_docs",
-    "dedup_exact",
+    "doc_winnow_fingerprints",
     "dedup_ngram_jaccard_pruned",
     "dedup_minhash_lsh",
     "dedup_clusters",
@@ -82,9 +86,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the deterministic replay and hash-compares against the batch SQL
     # oracle — the first driver row that goes red if watermark emission
     # breaks (VERDICT r3 next-round #4).
-    "tumble_sum_3s",
+    # r5: tumble_sum_3s (A1/WA1) — the IDENTICAL query is driver-gated
+    # through the SQL-text face sql_tumble_sum_3s (same plan, same
+    # oracle), and tumbling machinery also runs in tumble_median_1h and
+    # three streaming faces — gave its slot to window_heavy_hitters_1h,
+    # the r4b windowed top-k family (WindowGroupLimit plan), previously
+    # suite-only (its _approx sketch twin stays envelope-gated in tests)
+    "window_heavy_hitters_1h",
     "stream_tumble_sum_1h_replay",
-    "slide_mean_50s_10s",
+    # r5: slide_mean_50s_10s (EP2/WA2) — superseded in the window by
+    # stream_slide_mean_50s_10s_replay below: the SAME query and oracle
+    # through the ACTUAL streaming engine (strictly more surface —
+    # sliding state closure on top of the Expand assignment); batch
+    # sliding stays driver-gated via global_slide_mean_5m_1m and
+    # slide_sum_50s_10s_paned
+    "stream_slide_mean_50s_10s_replay",
     "global_slide_mean_5m_1m",
     "slide_sum_50s_10s_paned",
     "session_sum_user_6h",
@@ -112,8 +128,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # §2 contract operators T3 / F5 / F3 (batch-equivalent forms; the
     # global T3 variant sits past the window — same operator as user_1d_3)
     "count_or_time_user_1d_3",
-    "running_sum_alerts_gt_500",
+    # r5: running_sum_alerts_gt_500 (F5 batch fold) — superseded by
+    # stream_running_sum_alerts_replay: the SAME recursive-CTE oracle
+    # satisfied by the applyInPandasWithState stream (bit-identical
+    # fold order), putting the custom-stateful streaming path under the
+    # hash gate for the first time; the batch bucketed-fold machinery
+    # stays driver-gated via running_mean_alerts_gt_90
+    "stream_running_sum_alerts_replay",
     "running_mean_alerts_gt_90",
+    # r5 rotations into the detector/analytics block: zscore_alerts_3sigma
+    # (r4b; per-account sort-window fold with a 6dp membership gate +
+    # Welford streaming twin) takes moving_avg_5_events' slot — the same
+    # row-frame window machinery, richer semantics; moving_avg stays
+    # full-suite verified. cohort_retention_daily (r4b; (user, day)
+    # pre-aggregated self-join retention grid) takes
+    # doc_repetition_signals' slot — those sorted-run signals are
+    # recombined verbatim inside gopher_quality_filter, which stays.
+    "zscore_alerts_3sigma",
+    "cohort_retention_daily",
     # round-2 detector additions (CEP rising pattern, broadcast dynamic
     # rules) — rotated INTO the window round 3 so every new operator
     # family has driver evidence (VERDICT r2 "Next round" #5); the
@@ -141,8 +173,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # SAME exact-verify join and oracle); the plain form stays
     # full-suite verified.
     "decontaminate_bloom_prefilter",
-    # ANN / similarity pillar
-    "ann_cosine_topk",
+    # ANN / similarity pillar (r5: ann_cosine_topk — the deliberate
+    # exact-quadratic baseline — rotated out; its zip_with dot-product
+    # scoring + broadcast + window-rank machinery runs verbatim inside
+    # ann_ivf_topk's rerank step, and the suite envelope-gates the
+    # LSH/IVF/BLAS paths against it every round)
     "ann_lsh_buckets",
     "ann_ivf_topk",
     "embed_neardup_pairs",
@@ -169,15 +204,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # strictly richer weighting of the same shape) gave its slot to
     # tfidf_top_terms
     "tfidf_top_terms",
-    # round-2 text additions: sorted-run repetition signals + the
-    # composed Gopher-style quality gate
-    "doc_repetition_signals",
+    # round-2 text additions: the composed Gopher-style quality gate
+    # stays; its doc_repetition_signals input rotated out in r5 (see
+    # the cohort_retention_daily note above). split_train_val_test
+    # (r4b; independent-hash deterministic splitting, the
+    # sampling-family capability with suite-only evidence) takes the
+    # freed slot.
     "gopher_quality_filter",
+    "split_train_val_test",
     # time-series pillar (r4: event_deltas — lag-window arithmetic, the
     # same row-frame machinery as moving_avg, still full-suite verified
     # — gave its slot to the streaming at-least-once dedup row, so the
     # dedup-under-redelivery contract is hash-gated by the driver)
-    "moving_avg_5_events",
+    # r5: moving_avg_5_events rotated out (see zscore note above);
+    # resample_daily_gapfill keeps the time-series family's driver row
     "stream_dedup_tumble_sum_1h_replay",
     "resample_daily_gapfill",
     # relational / TPC-H pillar

@@ -107,6 +107,58 @@ def paned_sliding_stream(
     return out.select(*cols, "sum_amount")
 
 
+# Measured paned-vs-naive crossover (scripts/ab_paned_sliding.py,
+# SCALE.md "Paned sliding crossover"): under the 50s/10s config
+# (overlap = size/slide = 5) the second state store costs a fixed
+# ~2.2 s per replay while cutting the per-event state-write slope
+# ~2.7×; panes start winning once a micro-batch carries roughly 4M
+# events. Naive's per-event cost scales with the overlap factor, so
+# the threshold is expressed in (events × overlap) state writes:
+# 4M events × overlap 5 = 20M writes per micro-batch.
+PANED_CROSSOVER_STATE_WRITES = 20_000_000
+
+
+def sliding_sum_stream(
+    stream: DataFrame,
+    size_ms: int,
+    slide_ms: int,
+    watermark: str = IN_ORDER,
+    key: str | None = "account_id",
+    mode: str = "auto",
+    expected_events_per_batch: int | None = None,
+) -> DataFrame:
+    """Sliding-window streaming SUM with the measured plan choice
+    built in, so callers get the scripts/ab_paned_sliding.py guidance
+    without reading SCALE.md.
+
+    mode:
+    - "naive": one sliding-window agg; each event writes
+      overlap = ceil(size/slide) state rows. Cheapest for sparse
+      streams (no second state store).
+    - "paned": tumbling gcd-pane partials chained into a sliding agg
+      over the panes (WA3's rewrite); pays a fixed ~2.2 s/micro-batch
+      second-store commit but state writes scale with |panes|, not
+      |events| × overlap. Wins for dense streams.
+    - "auto" (default): picks paned iff
+      expected_events_per_batch × overlap > PANED_CROSSOVER_STATE_WRITES
+      (the measured crossover — 4M events/batch at overlap 5); with no
+      estimate it stays naive, the measured winner at every density
+      the fixture replay reaches.
+    """
+    if mode not in ("auto", "naive", "paned"):
+        raise ValueError(f"mode must be auto|naive|paned, got {mode!r}")
+    if mode == "auto":
+        overlap = -(-size_ms // slide_ms)
+        dense = (
+            expected_events_per_batch is not None
+            and expected_events_per_batch * overlap > PANED_CROSSOVER_STATE_WRITES
+        )
+        mode = "paned" if dense else "naive"
+    if mode == "paned":
+        return paned_sliding_stream(stream, size_ms, slide_ms, watermark=watermark, key=key)
+    return windowed_agg_stream(stream, size_ms, slide_ms=slide_ms, watermark=watermark, key=key)
+
+
 def alert_stream(agg_stream: DataFrame, threshold: float, value_col: str = "sum_amount") -> DataFrame:
     """F2: stateless threshold on the windowed aggregate -> alerts
     (reference: master/src/main/java/InorderTumblingWindow/FraudDetector2.java:14-31)."""

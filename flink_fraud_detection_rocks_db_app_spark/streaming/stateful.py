@@ -473,13 +473,21 @@ def funnel_stream(stream: DataFrame) -> DataFrame:
         )
         rows = []
         for pdf in pdf_iter:
-            pdf = pdf.sort_values(["account_id", "t_us", "event_id"], kind="mergesort")
-            for u, t_us, typ in zip(
+            # Fold in the SAME order the batch twin folds: it sorts
+            # sort_array(struct(t_ms, event_type)) at millisecond
+            # resolution, so derive t_ms first and tiebreak on
+            # event_type — sorting on raw t_us would order µs-distinct
+            # but ms-equal events differently and silently break the
+            # stream==batch differential.
+            pdf = pdf.assign(_t_ms=pdf["t_us"] // 1000).sort_values(
+                ["account_id", "_t_ms", "event_type"], kind="mergesort"
+            )
+            for u, t, typ in zip(
                 pdf["account_id"].to_numpy(),
-                pdf["t_us"].to_numpy(),
+                pdf["_t_ms"].to_numpy(),
                 pdf["event_type"].to_numpy(),
             ):
-                u, t = int(u), int(t_us) // 1000
+                u, t = int(u), int(t)
                 v, c, p = st.get(u, (None, None, None))
                 if v is None and typ == "view":
                     v = t
@@ -541,10 +549,16 @@ def zscore_alerts_stream(
         )
         rows = []
         for pdf in pdf_iter:
-            pdf = pdf.sort_values(["account_id", "t_us", "event_id"], kind="mergesort")
-            for u, t_us, a in zip(
+            # Match the batch window frame's ORDER BY (t_ms, event_id)
+            # exactly: derive t_ms before sorting so µs-distinct but
+            # ms-equal events fold in the batch order (raw-t_us sorting
+            # would diverge whenever the ms tiebreak matters).
+            pdf = pdf.assign(_t_ms=pdf["t_us"] // 1000).sort_values(
+                ["account_id", "_t_ms", "event_id"], kind="mergesort"
+            )
+            for u, t_ms_v, a in zip(
                 pdf["account_id"].to_numpy(),
-                pdf["t_us"].to_numpy(),
+                pdf["_t_ms"].to_numpy(),
                 pdf["amount"].to_numpy(),
             ):
                 u, a = int(u), float(a)
@@ -554,7 +568,7 @@ def zscore_alerts_stream(
                     sigma = math.sqrt(var) if var > 0 else 0.0
                     if sigma > 0 and round(abs(a - mean) - k * sigma, 6) > 0:
                         rows.append(
-                            (u, int(t_us) // 1000, a, round((a - mean) / sigma, 6))
+                            (u, int(t_ms_v), a, round((a - mean) / sigma, 6))
                         )
                 n += 1
                 d = a - mean

@@ -1,0 +1,207 @@
+"""Scale probe (VERDICT r4 next-round #4/#5): time the priciest batch
+entries at 1x, ~3x and ~10x corpus size and fit each query's scaling
+exponent, plus the ngram-postings persist A/B at the largest scale.
+
+The bench has only ever run at sf0.1 while the design brief is 100 TB;
+a query whose wall time grows super-linearly here is the thing that
+falls over at cluster scale, whatever its sf0.1 number says.
+
+Scaled tables (written to a scratch dir the query fns read like any
+sf_dir):
+- documents x k: copy c>0 rewrites every token t -> "t·c", so each
+  copy's shingle space is DISJOINT from every other copy's. Corpus
+  statistics (DF distribution, doc lengths, near-dup structure)
+  replicate per copy and cross-copy pairs cannot exist — the workload
+  scales like a k-times-larger corpus, NOT like a corpus of k-fold
+  duplicates (which would be a quadratically different problem).
+- embeddings x k: copy c>0 gets fresh deterministic pseudo-random
+  vectors (uniform [-1, 1] per element from xxhash64) — uniform hash
+  distribution over LSH buckets / IVF cells, no artificial near-dup
+  mass.
+- lineitem x k: verbatim copies. In Q9 lineitem is the pure fact side
+  and every join (part, supplier, partsupp, orders) is many-to-one,
+  so plan work scales linearly by construction.
+- all other tables copied verbatim.
+
+Exponent: least-squares slope of log(t) vs log(k) over the probed
+scales using min-of-2 warm timings. ~1.0 = linear (healthy); the
+fixed plan-compilation floor biases the estimate BELOW 1, so anything
+clearly above ~1.2 deserves a look and above ~1.5 is the round-6 fix
+list.
+
+Usage: python scripts/scale_probe.py [sf_dir] [scales...]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_fraud_detection_rocks_db_app_spark.fixtures import TABLES
+from flink_fraud_detection_rocks_db_app_spark.registry import all_queries
+from flink_fraud_detection_rocks_db_app_spark.session import get_spark
+
+PROBED = [
+    "dedup_ngram_jaccard_pruned",
+    "dedup_minhash_lsh",
+    "dedup_incremental_lsh",
+    "doc_simhash",
+    "decontaminate_bloom_prefilter",
+    "ann_lsh_buckets",
+    "tpch_q9_product_type_profit",
+]
+
+DOC_STRIDE = 1_000_000  # doc_id / vec_id offset per copy
+
+
+def _scaled_documents(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    parts = [docs]
+    for c in range(1, k):
+        tag = F.lit(f"·{c}")  # middle dot — never appears in fixture text
+        parts.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(c * DOC_STRIDE))
+            .withColumn(
+                "text",
+                F.array_join(
+                    F.transform(F.split(F.col("text"), " "), lambda w: F.concat(w, tag)),
+                    " ",
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _scaled_embeddings(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()[0])
+    parts = [emb]
+    for c in range(1, k):
+        rnd = F.expr(
+            f"transform(sequence(0, {dim - 1}), i -> CAST("
+            f"(pmod(xxhash64(vec_id, {c}, i), 2001) - 1000) / 1000.0 AS FLOAT))"
+        )
+        parts.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(c * DOC_STRIDE))
+            .withColumn("embedding", rnd)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _scaled_lineitem(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    out = li
+    for _ in range(1, k):
+        out = out.unionByName(li)
+    return out
+
+
+def build_scaled_dir(spark: SparkSession, sf_dir: str, k: int, scratch: str) -> str:
+    out_dir = os.path.join(scratch, f"x{k}")
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if k > 1 and t == "documents":
+            _scaled_documents(spark, sf_dir, k).write.mode("overwrite").parquet(dst)
+        elif k > 1 and t == "embeddings":
+            _scaled_embeddings(spark, sf_dir, k).write.mode("overwrite").parquet(dst)
+        elif k > 1 and t == "lineitem":
+            _scaled_lineitem(spark, sf_dir, k).write.mode("overwrite").parquet(dst)
+        else:
+            # verbatim: spark round-trip keeps one code path (and the
+            # same parquet writer properties as the scaled tables)
+            spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).write.mode(
+                "overwrite"
+            ).parquet(dst)
+    return out_dir
+
+
+def time_query(spark: SparkSession, fn, sf_dir: str, runs: int = 2) -> float:
+    best = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - t0
+        best = elapsed if best is None else min(best, elapsed)
+    return best
+
+
+def fit_exponent(scales: list[int], times: list[float]) -> float:
+    xs = [math.log(s) for s in scales]
+    ys = [math.log(t) for t in times]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    denom = sum((x - mx) ** 2 for x in xs)
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    scales = [int(s) for s in sys.argv[2:]] or [1, 3, 10]
+    spark = get_spark(app_name="scale_probe")
+    specs = all_queries()
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        f"scale-probe-{uuid.uuid4().hex[:8]}",
+    )
+    results: dict[str, dict] = {q: {"times": {}} for q in PROBED}
+    try:
+        for k in scales:
+            d = build_scaled_dir(spark, sf_dir, k, scratch)
+            for q in PROBED:
+                t = time_query(spark, specs[q].fn, d)
+                results[q]["times"][k] = round(t, 2)
+                print(f"x{k:<3d} {q:35s} {t:7.2f}s", flush=True)
+            if k == max(scales):
+                # VERDICT r4 #5: does persisting the `kept` postings
+                # (built once, read twice) beat the double-build at the
+                # scale where the wash should become a win?
+                from flink_fraud_detection_rocks_db_app_spark.operators.dedup import (
+                    ngram_pruned_pairs,
+                )
+
+                best = None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    df, kept = ngram_pruned_pairs(spark, d, persist_postings=True)
+                    try:
+                        df.write.format("noop").mode("overwrite").save()
+                    finally:
+                        kept.unpersist()
+                    el = time.perf_counter() - t0
+                    best = el if best is None else min(best, el)
+                results["dedup_ngram_jaccard_pruned"]["persist_at_max"] = round(best, 2)
+                print(f"x{k:<3d} ngram persist(kept) DISK_ONLY          {best:7.2f}s", flush=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    for q in PROBED:
+        ts = results[q]["times"]
+        ks = sorted(ts)
+        if len(ks) >= 2:
+            results[q]["exponent"] = round(fit_exponent(ks, [ts[k] for k in ks]), 2)
+    print(json.dumps({"sf_dir": sf_dir, "scales": scales, "results": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
