@@ -82,6 +82,8 @@ HEADLINE = [
     # adaptive anomaly window + the appending-corpus dedup form
     "zscore_alerts_3sigma",
     "dedup_incremental_lsh",
+    # round 5: retrieval/context-prep chunk fan-out (scan-local slice)
+    "doc_chunk_windows",
 ]
 
 
@@ -103,10 +105,14 @@ def _stream_benches(
     import shutil
     import uuid
 
+    from pyspark.sql import functions as F
+
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
     from flink_fraud_detection_rocks_db_app_spark.streaming import (
         read_replay_stream,
         run_to_memory,
         running_sum_alerts_stream,
+        session_agg_stream,
         windowed_agg_stream,
         write_replay_chunks,
     )
@@ -119,6 +125,18 @@ def _stream_benches(
             s, 50_000, 10_000, watermark="0 seconds"
         ),
         "stream_running_sum_alerts": lambda s: running_sum_alerts_stream(s, 500.0),
+        # r5: the remaining streaming families get rows/s numbers too —
+        # merging session state, full-buffer holistic aggregate state,
+        # and (below, two-reader) stream-stream interval-join state
+        "stream_session_sum_6h": lambda s: session_agg_stream(
+            s, 6 * 3_600_000, watermark="0 seconds"
+        ),
+        "stream_tumble_median_1h": lambda s: windowed_agg_stream(
+            s,
+            3_600_000,
+            watermark="0 seconds",
+            aggs=[F.expr("percentile(amount, 0.5)").alias("median_amount")],
+        ),
     }
     scratch = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -156,6 +174,44 @@ def _stream_benches(
         spark.conf.set(changelog, "true")
         stream_confs.append(changelog)
         spark.conf.set("spark.sql.shuffle.partitions", "4")
+        # The interval join needs TWO reader instances over the same
+        # chunks (one per join side) plus the bounded (event_id,
+        # event_type) dim broadcast onto each; the other jobs take one
+        # stream. Wrapped to the same `job(stream)` shape — the arg is
+        # the click side, the purchase side reads the chunks again.
+        types = load(spark, sf_dir, "events").select("event_id", "event_type")
+
+        def _interval_join(clicks):
+            c = (
+                clicks.join(F.broadcast(types), "event_id")
+                .where(F.col("event_type") == "click")
+                .select(
+                    "account_id",
+                    F.col("event_time").alias("c_time"),
+                    F.col("event_id").alias("click_id"),
+                )
+                .withWatermark("c_time", "0 seconds")
+            )
+            p = (
+                read_replay_stream(spark, chunks)
+                .join(F.broadcast(types), "event_id")
+                .where(F.col("event_type") == "purchase")
+                .select(
+                    F.col("account_id").alias("p_user"),
+                    F.col("event_time").alias("p_time"),
+                    F.col("event_id").alias("purchase_id"),
+                    F.col("amount").alias("purchase_value"),
+                )
+                .withWatermark("p_time", "0 seconds")
+            )
+            return c.join(
+                p,
+                (F.col("account_id") == F.col("p_user"))
+                & (F.col("p_time") > F.col("c_time"))
+                & (F.col("p_time") <= F.col("c_time") + F.expr("INTERVAL 7 DAYS")),
+            ).select("account_id", "click_id", "purchase_id", "purchase_value")
+
+        jobs["stream_interval_join_7d"] = _interval_join
         for name, job in jobs.items():
             # Failure isolation (round-2 lesson: one broken query must
             # not black out every other measurement — BENCH_r02 was

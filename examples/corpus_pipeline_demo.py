@@ -10,7 +10,8 @@ corpus flow — every step is a registered, oracle-verified query:
   3. exact + passage dedup (dedup_exact, span_dup_stats)
   4. near-dup dedup        (dedup_minhash_lsh -> dedup_clusters)
   5. decontamination       (decontaminate_bloom_prefilter)
-  6. sampling              (stratified / weighted / exactly-k)
+  6. sampling + splits     (stratified / weighted / exactly-k,
+                            split_train_val_test)
   7. sequence packing      (pack_sequences)
   8. similarity            (ann_cosine_topk_blas vs ann_ivf_topk,
                             kmeans_assign IVF training)
@@ -41,10 +42,14 @@ STEPS = (
      "one shuffle keyed on md5 fingerprint; text never moves"),
     ("passage dedup", "span_dup_stats",
      "stride-1 8-token spans shuffle as 8-byte hashes only"),
+    ("winnow fingerprints", "doc_winnow_fingerprints",
+     "rolling-min shingle selection, scan-local, order-sensitive"),
     ("near-dup pairs", "dedup_minhash_lsh",
      "scan-local 32-lane signatures; (band,bucket) equi-join candidates; exact-verified"),
     ("near-dup clusters", "dedup_clusters",
      "min-label propagation, O(diameter) keyed shuffles"),
+    ("keep best of cluster", "dedup_keep_best_per_cluster",
+     "argmax-quality canonical per cluster (6dp gate, id tiebreak)"),
     ("decontamination", "decontaminate_bloom_prefilter",
      "16 KB bloom probed scan-side; survivors exact-verified"),
     ("stratified sample", "stratified_sample_docs",
@@ -53,6 +58,10 @@ STEPS = (
      "length-proportional keep rate through the same gate"),
     ("exactly-k sample", "sample_k_per_lang",
      "hash-ranked reservoir contract, one window shuffle"),
+    ("train/val/test split", "split_train_val_test",
+     "independent-hash gates, scan-local, engine-reproducible"),
+    ("context chunking", "doc_chunk_windows",
+     "64-token windows, 16-token overlap; scan-local slice fan-out"),
     ("sequence packing", "pack_sequences",
      "per-lang cumulative-sum bins, one window shuffle"),
     ("ANN (BLAS exact)", "ann_cosine_topk_blas",

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..fixtures import load
 from ..functions import whitespace_tokens, word_ngrams
 from ..registry import register
+from .text import _STOP_SQL
 
 # Normalized whitespace-token view of documents; texts are single-space
 # separated already, but normalize anyway (lower + split).
@@ -415,13 +416,18 @@ def ngram_pruned_pairs(
     # materialized zero ReusedExchange nodes under AQE while doubling
     # the scan count in the physical plan; the single-build + persist
     # route remains the 100 TB recommendation, not plan surgery.
-    # r5: persist_postings=True is the measurement knob for the
-    # persist route (scripts/scale_probe.py runs it at 10× corpus —
-    # 50k docs, token space disjoint per copy: same DF statistics, no
-    # cross-copy pairs — numbers in SCALE.md). The registered query
-    # keeps the single-plan form; callers that persist must trigger
-    # execution and unpersist the returned `kept` themselves (a lazily
-    # returned DataFrame can't scope it).
+    # r5 (scripts/scale_probe.py, SCALE.md "Scale probe"): at 10×
+    # corpus (50k docs, token space disjoint per copy — same DF
+    # statistics, no cross-copy pairs) the persist route WINS 2.8×
+    # (4.40 s vs 12.29 s): the r4 wash flips once the postings build
+    # outweighs materialization — the 100 TB regime. A single-pass
+    # tag-union rewrite (sizes + pairs from one build, one mixed-key
+    # shuffle) was also measured and loses at BOTH scales; two
+    # specialized shuffles with map-side partial agg beat one fat one.
+    # persist_postings=True is the production knob; the registered
+    # query keeps the lazy single-plan form (a returned DataFrame
+    # can't scope an unpersist) — callers at corpus scale trigger the
+    # action then unpersist the returned `kept`.
     sh = shingled(spark, sf_dir)
     ex = sh.select(
         "doc_id", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s")
@@ -570,6 +576,74 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("cluster_size", F.count("*").over(w)).withColumn(
         "keep", F.col("doc_id") == F.col("cluster_id")
     )
+
+
+@register(
+    "dedup_keep_best_per_cluster",
+    oracle=f"""
+WITH RECURSIVE {_PRUNED_PAIRS_DUCK},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM dup_pairs
+),
+reach AS (
+  SELECT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY 1),
+qt AS (SELECT doc_id, n_chars, string_split(lower(text), ' ') AS w FROM documents),
+qm AS (
+  SELECT doc_id,
+         len(w) AS n_tokens,
+         len(list_distinct(w))::DOUBLE / len(w) AS distinct_ratio,
+         len(list_filter(w, x -> x IN ('{_STOP_SQL}')))::DOUBLE / len(w) AS stop_ratio
+  FROM qt
+),
+q AS (
+  SELECT doc_id,
+         round(0.4 * LEAST(n_tokens / 100.0, 1.0)
+             + 0.4 * distinct_ratio
+             + 0.2 * (1.0 - ABS(stop_ratio - 0.4)), 6) AS quality
+  FROM qm
+),
+cl AS (
+  SELECT q.doc_id, COALESCE(lab.cluster_id, q.doc_id) AS cluster_id, q.quality
+  FROM q LEFT JOIN lab ON q.doc_id = lab.doc_id
+)
+SELECT doc_id, cluster_id, quality,
+       row_number() OVER (
+         PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC
+       ) = 1 AS keep
+FROM cl
+""",
+    doc="Quality-aware canonical selection: where dedup_clusters keeps "
+    "the MIN-ID member of each near-dup cluster, this keeps the "
+    "HIGHEST-QUALITY member (doc_quality_score's 6dp-rounded signal; "
+    "doc_id tiebreak) — the policy real corpus dedup actually wants "
+    "(drop the worse copy, not the newer one). Singletons are their "
+    "own cluster and always kept. Plan: the CC labels frame is "
+    "O(clustered docs) and joins the scan-side quality signal once; "
+    "the keep decision is one per-cluster window over that bounded "
+    "frame — nothing quadratic beyond the already-pruned pair step.",
+    tags=("dedup", "graph", "quality"),
+)
+def dedup_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .text import doc_quality_score
+
+    pairs = dedup_ngram_jaccard_pruned(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    q = doc_quality_score(spark, sf_dir)
+    cl = q.join(labels, q.doc_id == labels.node, "left").select(
+        q.doc_id,
+        F.coalesce(F.col("label"), q.doc_id).alias("cluster_id"),
+        "quality",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return cl.withColumn("keep", F.row_number().over(w) == 1)
 
 
 # ------------------------------------------------------------ decontamination

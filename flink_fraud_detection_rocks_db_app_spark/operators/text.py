@@ -541,3 +541,53 @@ def doc_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("est_bpe_tokens"),
         F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("est_chars_div4"),
     )
+
+
+# --------------------------------------------------- context chunking
+
+# Token-window chunking for retrieval/context prep: fixed-size
+# overlapping windows over the whitespace tokens. size/stride chosen
+# so the fixture's ~100-400-token docs produce several chunks each.
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48  # overlap = CHUNK_SIZE - CHUNK_STRIDE = 16 tokens
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id, w, unnest(range(0, greatest(len(w) - 1, 0) + 1, {CHUNK_STRIDE})) AS st
+  FROM t
+)
+SELECT doc_id,
+       CAST(st // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(st AS BIGINT) AS start_word,
+       CAST(least(st + {CHUNK_SIZE}, len(w)) AS BIGINT) AS end_word,
+       CAST(least({CHUNK_SIZE}, len(w) - st) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(w, st + 1, st + {CHUNK_SIZE}), ' ') AS chunk_text
+FROM s
+""",
+    doc="Retrieval/context-prep chunking: fixed 64-token windows with "
+    "16-token overlap (stride 48) over the whitespace tokens — the "
+    "document fan-out stage a RAG/embedding pipeline runs before "
+    "embedding or packing. Pure scan-local array arithmetic "
+    "(split -> sequence of starts -> explode -> slice/join): zero "
+    "shuffle, no UDF; at 100 TB this rides the corpus scan and the "
+    "chunk rows flow straight into the ANN/packing stages "
+    "(doc_id, chunk_id) keyed.",
+    tags=("text", "chunking"),
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    starts = F.expr(f"sequence(0, greatest(size(w) - 1, 0), {CHUNK_STRIDE})")
+    return d.select("doc_id", "w", F.explode(starts).alias("st")).select(
+        "doc_id",
+        (F.col("st") / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+        F.col("st").cast("bigint").alias("start_word"),
+        F.least(F.col("st") + CHUNK_SIZE, F.size("w")).cast("bigint").alias("end_word"),
+        F.least(F.lit(CHUNK_SIZE), F.size("w") - F.col("st")).cast("bigint").alias("n_tokens"),
+        F.array_join(F.slice("w", F.col("st") + 1, CHUNK_SIZE), " ").alias("chunk_text"),
+    )

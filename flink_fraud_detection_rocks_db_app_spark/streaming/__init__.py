@@ -4,10 +4,13 @@ stateful detectors, metrics listener."""
 from .jobs import (  # noqa: F401
     IN_ORDER,
     OUT_OF_ORDER_5S,
+    PANED_CROSSOVER_STATE_WRITES,
     alert_stream,
     chained_windows_stream,
+    choose_sliding_mode,
     paned_sliding_stream,
     session_agg_stream,
+    sliding_sum_stream,
     windowed_agg_stream,
 )
 from .listener import JobMetrics, MetricsListener  # noqa: F401

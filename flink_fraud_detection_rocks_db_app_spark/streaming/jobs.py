@@ -145,18 +145,31 @@ def sliding_sum_stream(
       estimate it stays naive, the measured winner at every density
       the fixture replay reaches.
     """
-    if mode not in ("auto", "naive", "paned"):
-        raise ValueError(f"mode must be auto|naive|paned, got {mode!r}")
-    if mode == "auto":
-        overlap = -(-size_ms // slide_ms)
-        dense = (
-            expected_events_per_batch is not None
-            and expected_events_per_batch * overlap > PANED_CROSSOVER_STATE_WRITES
-        )
-        mode = "paned" if dense else "naive"
+    mode = choose_sliding_mode(size_ms, slide_ms, mode, expected_events_per_batch)
     if mode == "paned":
         return paned_sliding_stream(stream, size_ms, slide_ms, watermark=watermark, key=key)
     return windowed_agg_stream(stream, size_ms, slide_ms=slide_ms, watermark=watermark, key=key)
+
+
+def choose_sliding_mode(
+    size_ms: int,
+    slide_ms: int,
+    mode: str = "auto",
+    expected_events_per_batch: int | None = None,
+) -> str:
+    """Resolve "auto" to "naive"/"paned" by the measured crossover
+    (see PANED_CROSSOVER_STATE_WRITES). Pure function so the policy is
+    unit-testable apart from the streaming builders."""
+    if mode not in ("auto", "naive", "paned"):
+        raise ValueError(f"mode must be auto|naive|paned, got {mode!r}")
+    if mode != "auto":
+        return mode
+    overlap = -(-size_ms // slide_ms)
+    dense = (
+        expected_events_per_batch is not None
+        and expected_events_per_batch * overlap > PANED_CROSSOVER_STATE_WRITES
+    )
+    return "paned" if dense else "naive"
 
 
 def alert_stream(agg_stream: DataFrame, threshold: float, value_col: str = "sum_amount") -> DataFrame:

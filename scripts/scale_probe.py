@@ -165,9 +165,18 @@ def main() -> None:
         f"scale-probe-{uuid.uuid4().hex[:8]}",
     )
     results: dict[str, dict] = {q: {"times": {}} for q in PROBED}
+    warmed = False
     try:
         for k in scales:
             d = build_scaled_dir(spark, sf_dir, k, scratch)
+            if not warmed:
+                # one untimed pass of every probed query at the first
+                # scale: first-ever execution pays codegen/compile that
+                # would otherwise bias the smallest scale's timing UP
+                # (and the fitted exponent DOWN)
+                for q in PROBED:
+                    specs[q].fn(spark, d).write.format("noop").mode("overwrite").save()
+                warmed = True
             for q in PROBED:
                 t = time_query(spark, specs[q].fn, d)
                 results[q]["times"][k] = round(t, 2)

@@ -225,3 +225,41 @@ def test_round4_queries_timezone_free(spark, duck):
             assert got == want, name
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_round5_queries_timezone_free(spark, duck):
+    """Same non-UTC probe for the operators rotated into the round-5
+    driver window whose semantics touch event time: the z-score
+    anomaly gate (per-account time ordering), the cohort grid (epoch
+    day buckets), and the windowed heavy hitters (hour buckets)."""
+    from flink_fraud_detection_rocks_db_app_spark.registry import all_queries
+
+    qs = all_queries()
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Australia/Eucla")
+        for name in (
+            "zscore_alerts_3sigma",
+            "cohort_retention_daily",
+            "window_heavy_hitters_1h",
+        ):
+            spec = qs[name]
+            df = spec.fn(spark, SF_SMALL)
+            cols = sorted(df.columns)
+            got = sorted(
+                (tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+                 for r in df.select(*cols).collect()),
+                key=repr,
+            )
+            cur = duck.execute(spec.oracle)
+            names = [d[0] for d in cur.description]
+            idx = [names.index(c) for c in cols]
+            want = sorted(
+                (tuple(round(row[i], 6) if isinstance(row[i], float) else row[i]
+                       for i in idx)
+                 for row in cur.fetchall()),
+                key=repr,
+            )
+            assert got == want, name
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

@@ -403,3 +403,16 @@ def test_zorder_layout_clusters_both_dims(spark, scratch):
     mean_v = sum(r.span_v for r in per_file) / len(per_file)
     assert mean_u <= 0.6 * g.gu, (mean_u, g.gu)
     assert mean_v <= 0.6 * g.gv, (mean_v, g.gv)
+
+
+def test_chunk_windows_is_scan_local(spark):
+    """Context chunking is a pure scan-side fan-out: split -> sequence
+    of starts -> explode -> slice/join all inside the file scan's
+    projection — zero Exchange, zero Join, no Python stage."""
+    import re
+
+    df = all_queries()["doc_chunk_windows"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0, plan
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan

@@ -54,6 +54,9 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "richer driver-gated funnel fold (established r4b rationale)",
     "unpivot": "inverse of the driver-gated pivot row, same reshaping "
     "machinery",
+    "chunking": "r5 addition past the window cutoff; scan-local "
+    "slice/explode over the same tokenized corpus scan as the "
+    "driver-gated text rows — rotate in next window refresh",
 }
 
 

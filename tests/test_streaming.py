@@ -566,3 +566,33 @@ def test_defer_tail_replay_disorder_is_real_and_bounded(spark, scratch):
                 assert int(late.t_us.min()) > prev_max - bound_ms * 1000
         prev_max = max(prev_max or 0, int(df.t_us.max()))
     assert n_late >= 20, n_late
+
+
+def test_choose_sliding_mode_encodes_measured_crossover():
+    """The paned-vs-naive decision (scripts/ab_paned_sliding.py,
+    SCALE.md) is API policy now, not documentation: auto picks naive
+    with no density estimate or a sparse one, and flips to paned once
+    expected per-batch state writes (events x overlap) cross the
+    measured 20M threshold (4M events/batch at 50s/10s overlap 5)."""
+    import pytest
+
+    from flink_fraud_detection_rocks_db_app_spark.streaming import (
+        PANED_CROSSOVER_STATE_WRITES,
+        choose_sliding_mode,
+    )
+
+    assert choose_sliding_mode(50_000, 10_000) == "naive"  # no estimate
+    assert choose_sliding_mode(50_000, 10_000, "auto", 600_000) == "naive"
+    assert choose_sliding_mode(50_000, 10_000, "auto", 24_000_000) == "paned"
+    # crossover boundary: 4M events x overlap 5 == threshold, not above
+    at = PANED_CROSSOVER_STATE_WRITES // 5
+    assert choose_sliding_mode(50_000, 10_000, "auto", at) == "naive"
+    assert choose_sliding_mode(50_000, 10_000, "auto", at + 1) == "paned"
+    # overlap scales the decision: a 50s/1s config (overlap 50) flips
+    # at 10x fewer events than overlap 5
+    assert choose_sliding_mode(50_000, 1_000, "auto", 600_000) == "paned"
+    # explicit modes pass through; junk rejected
+    assert choose_sliding_mode(50_000, 10_000, "paned") == "paned"
+    assert choose_sliding_mode(50_000, 10_000, "naive", 10**9) == "naive"
+    with pytest.raises(ValueError):
+        choose_sliding_mode(50_000, 10_000, "always")
