@@ -28,6 +28,7 @@ from flink_fraud_detection_rocks_db_app_spark.streaming import (  # noqa: E402
     OUT_OF_ORDER_5S,
     MetricsListener,
     alert_stream,
+    choose_sliding_mode,
     read_replay_stream,
     run_to_memory,
     running_sum_alerts_stream,
@@ -64,7 +65,13 @@ def main() -> None:
         )
         run_to_memory(slide, "ep2_means")
         spark.table("ep2_means").orderBy("w_start", "account_id").show(5)
-        print(f"   {spark.table('ep2_means').count()} sliding windows emitted")
+        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        mode = choose_sliding_mode(
+            50_000, 10_000, "auto", expected_events_per_batch=n_events // 6
+        )
+        print(f"   {spark.table('ep2_means').count()} sliding windows emitted; "
+              f"auto plan policy at this density: {mode} "
+              f"(paned wins only for multi-million-event micro-batches — SCALE.md)")
 
         print("== F5: running-sum detector (reset on alert, threshold 500)")
         run_to_memory(

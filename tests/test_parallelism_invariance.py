@@ -43,6 +43,13 @@ REPRESENTATIVES = (
     # MEMBERSHIP — summation-order drift across schedules must not
     # flip a flag
     "zscore_alerts_3sigma",
+    # r5: iterative CC labels feed an argmax-quality window whose
+    # 6dp-rounded score + id tiebreak decides the canonical keep — the
+    # keep flag must not depend on which schedule built the clusters
+    "dedup_keep_best_per_cluster",
+    # r5: pure scan fan-out; chunk ids derive from in-row arithmetic
+    # only, so ANY schedule dependence would mean a bug in the slicing
+    "doc_chunk_windows",
 )
 
 
