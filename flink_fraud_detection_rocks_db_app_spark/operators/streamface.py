@@ -24,6 +24,7 @@ from __future__ import annotations
 import os
 import shutil
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,6 +40,27 @@ _SCRATCH_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     ".scratch",
 )
+
+
+@contextmanager
+def _bounded_state_partitions(spark: SparkSession, n: int = 8):
+    """Cap shuffle partitions for the duration of one replay face.
+
+    Streaming state partition count is fixed by
+    spark.sql.shuffle.partitions at query start, and every partition is
+    a state-store instance paying open/commit PER MICRO-BATCH. The
+    driver runs these faces on a vanilla session (default 200): ~200
+    store commits x 7 micro-batches of pure overhead — measured ~4x
+    wall-time on the sliding/F5 faces vs 8 partitions, identical
+    results (schedule invariance is a tested property; bench.py sizes
+    the same knob to 4 for the same reason). Restores the previous
+    value even on failure, so the surrounding session is untouched."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @register(
@@ -74,7 +96,8 @@ def stream_tumble_sum_1h_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 7 days past the last event: beyond every 1h window boundary.
         append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
         agg = windowed_agg_stream(read_replay_stream(spark, chunks), MS["h"], watermark="0 seconds")
-        run_to_memory(agg, name)
+        with _bounded_state_partitions(spark):
+            run_to_memory(agg, name)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)
@@ -121,7 +144,8 @@ def stream_dedup_tumble_sum_1h_replay(spark: SparkSession, sf_dir: str) -> DataF
             .dropDuplicatesWithinWatermark(["event_id"])
         )
         agg = windowed_agg_stream(deduped, MS["h"], watermark=None)
-        run_to_memory(agg, name)
+        with _bounded_state_partitions(spark):
+            run_to_memory(agg, name)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)
@@ -165,7 +189,8 @@ def stream_session_sum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = session_agg_stream(
             read_replay_stream(spark, chunks), 6 * MS["h"], watermark="0 seconds"
         )
-        run_to_memory(agg, name)
+        with _bounded_state_partitions(spark):
+            run_to_memory(agg, name)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)
@@ -258,7 +283,8 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_millis("p_time") - F.unix_millis("c_time")).alias("lag_ms"),
             "purchase_value",
         )
-        run_to_memory(joined, name)
+        with _bounded_state_partitions(spark):
+            run_to_memory(joined, name)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)
@@ -305,7 +331,8 @@ def stream_tumble_median_1h_replay(spark: SparkSession, sf_dir: str) -> DataFram
             watermark="0 seconds",
             aggs=[F.expr("percentile(amount, 0.5)").alias("median_amount")],
         )
-        run_to_memory(agg, name)
+        with _bounded_state_partitions(spark):
+            run_to_memory(agg, name)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)
@@ -356,7 +383,8 @@ def stream_ooo_tumble_sum_1h_replay(spark: SparkSession, sf_dir: str) -> DataFra
         agg = windowed_agg_stream(
             read_replay_stream(spark, chunks), MS["h"], watermark="6 hours"
         )
-        run_to_memory(agg, name)
+        with _bounded_state_partitions(spark):
+            run_to_memory(agg, name)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)
@@ -405,7 +433,8 @@ def stream_slide_mean_50s_10s_replay(spark: SparkSession, sf_dir: str) -> DataFr
             watermark="0 seconds",
             aggs=[F.avg("amount").alias("mean_amount")],
         )
-        run_to_memory(agg, name)
+        with _bounded_state_partitions(spark):
+            run_to_memory(agg, name)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)
@@ -443,7 +472,8 @@ def stream_running_sum_alerts_replay(spark: SparkSession, sf_dir: str) -> DataFr
         # closing watermark.
         chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
         alerts = running_sum_alerts_stream(read_replay_stream(spark, chunks), 500.0)
-        run_to_memory(alerts, name)
+        with _bounded_state_partitions(spark):
+            run_to_memory(alerts, name)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(name)
