@@ -307,12 +307,12 @@ IVF_CELLS = 8
 IVF_NPROBE = 2
 
 
-@register(
-    "ann_ivf_topk",
-    # Full DuckDB replay of the IVF pipeline: coarse assignment,
-    # nprobe probing and rerank are all plain dot-product SQL — no
-    # hashing anywhere, so the oracle needs no reconciliation at all.
-    oracle=f"""
+# Full DuckDB replay of the IVF pipeline: coarse assignment, nprobe
+# probing and rerank are all plain dot-product SQL — no hashing
+# anywhere, so the oracle needs no reconciliation at all. Shared by
+# the in-plan form (ann_ivf_topk) and the materialized-index form
+# (ann_ivf_topk_indexed): same result contract.
+_IVF_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
@@ -347,7 +347,12 @@ FROM scored
 QUALIFY row_number() OVER (
   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
 ) <= {TOP_K}
-""",
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_IVF_ORACLE,
     doc=f"IVF ANN: coarse quantizer = {IVF_CELLS} deterministic seed "
     "vectors (lowest vec_ids — a fixed 'training sample'); every vector "
     "is assigned to its nearest cell, queries probe their "
@@ -359,13 +364,21 @@ QUALIFY row_number() OVER (
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vectors(spark, sf_dir)
+    cents = _ivf_centroids(e)
+    return _ivf_rerank(_ivf_assigned(e, cents), _ivf_probes(e, cents))
+
+
+def _ivf_centroids(e: DataFrame) -> DataFrame:
     # coarse quantizer: the IVF_CELLS lowest vec_ids (deterministic)
-    cents = e.where(F.col("vec_id") < IVF_CELLS).select(
+    return e.where(F.col("vec_id") < IVF_CELLS).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
     )
+
+
+def _ivf_assigned(e: DataFrame, cents: DataFrame) -> DataFrame:
     # assign every vector to its nearest centroid (argmin by cosine dist)
     sim_to_cent = (dot("v", "cv") / (F.col("norm") * F.col("cnorm"))).alias("csim")
-    assigned = (
+    return (
         e.join(F.broadcast(cents), how="cross")
         .select("vec_id", "v", "norm", "cell", sim_to_cent)
         .withColumn(
@@ -377,11 +390,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("vec_id", "v", "norm", "cell")
     )
+
+
+def _ivf_probes(e: DataFrame, cents: DataFrame) -> DataFrame:
     # queries probe their IVF_NPROBE nearest cells
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
     )
-    probes = (
+    return (
         q.join(F.broadcast(cents), how="cross")
         .select("query_id", "qv", "qnorm", "cell",
                 (dot("qv", "cv") / (F.col("qnorm") * F.col("cnorm"))).alias("csim"))
@@ -394,6 +410,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= IVF_NPROBE)
         .select("query_id", "qv", "qnorm", "cell")
     )
+
+
+def _ivf_rerank(assigned: DataFrame, probes: DataFrame) -> DataFrame:
     cand = assigned.join(probes, "cell").where(F.col("vec_id") != F.col("query_id"))
     cosine = (dot("qv", "v") / (F.col("qnorm") * F.col("norm"))).alias("cosine")
     scored = cand.select("query_id", F.col("vec_id").alias("neighbor_id"), cosine)
@@ -403,6 +422,53 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
         .drop("rn")
     )
+
+
+def write_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the IVF inverted lists as a cell-PARTITIONED parquet
+    table — the docstring's '100 TB path: the inverted lists are the
+    natural bucketing layout on disk' as actual layout, not prose.
+    Each cell directory is one inverted list; a probe query filters on
+    literal cell ids, so the scan prunes whole partitions and reads
+    ~nprobe/cells of the index (plan-tested)."""
+    e = _vectors(spark, sf_dir)
+    assigned = _ivf_assigned(e, _ivf_centroids(e))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+@register(
+    "ann_ivf_topk_indexed",
+    oracle=_IVF_ORACLE,
+    doc=f"IVF ANN against a MATERIALIZED index: the inverted lists are "
+    "written as a cell-partitioned parquet table (write_ivf_index — "
+    "rebuilt idempotently per call, persisted as the reusable asset a "
+    "real deployment would keep) and the probe reads back ONLY the "
+    f"{IVF_NPROBE} cells each query needs: the probed cell set "
+    f"(≤ {N_QUERIES}×{IVF_NPROBE} ids, contract-bounded) collects to "
+    "literal partition filters, so the scan never touches the other "
+    "inverted lists (PartitionFilters plan-tested). Same oracle as "
+    "ann_ivf_topk — the layout must not change a single neighbor.",
+    tags=("similarity", "ann", "ivf", "warehouse"),
+)
+def ann_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    idx = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "ivf_index",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    write_ivf_index(spark, sf_dir, idx)
+    e = _vectors(spark, sf_dir)
+    probes = _ivf_probes(e, _ivf_centroids(e))
+    # contract-bounded driver collect (≤ N_QUERIES * IVF_NPROBE ids):
+    # turning the probed cells into LITERALS is what lets the parquet
+    # source prune unprobed inverted lists at planning time
+    cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    inv = spark.read.parquet(idx).where(F.col("cell").isin(cells))
+    return _ivf_rerank(inv, probes)
 
 
 _ANN_TOPK_ORACLE = f"""

@@ -416,3 +416,39 @@ def test_chunk_windows_is_scan_local(spark):
     assert "Join" not in plan, plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0, plan
     assert "InPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_ivf_index_probe_prunes_partitions(spark, scratch):
+    """The materialized IVF index must behave like an index: the
+    inverted lists are cell= partition directories, and a probe's
+    literal cell filter reaches the scan as PartitionFilters — reading
+    a 2-cell probe touches only those 2 directories' files. The
+    registered indexed query's own plan carries the same
+    PartitionFilters on cell."""
+    import os
+
+    from flink_fraud_detection_rocks_db_app_spark.operators.similarity import (
+        IVF_CELLS,
+        write_ivf_index,
+    )
+
+    idx = os.path.join(scratch, "ivf_idx")
+    write_ivf_index(spark, SF_SMALL, idx)
+    # one directory per inverted list
+    cells = sorted(d for d in os.listdir(idx) if d.startswith("cell="))
+    assert len(cells) == IVF_CELLS, cells
+
+    from pyspark.sql import functions as F
+
+    probe = spark.read.parquet(idx).where(F.col("cell").isin([0, 1]))
+    plan = explain_str(probe)
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    # the pruned scan must report only the probed partitions' files
+    files = probe.select(F.input_file_name()).distinct().collect()
+    assert files, "probe read no files"
+    for (f,) in files:
+        assert "cell=0" in f or "cell=1" in f, f
+
+    q = all_queries()["ann_ivf_topk_indexed"].fn(spark, SF_SMALL)
+    qplan = explain_str(q)
+    assert "PartitionFilters: [cell" in qplan, qplan
