@@ -84,6 +84,8 @@ HEADLINE = [
     "dedup_incremental_lsh",
     # round 5: retrieval/context-prep chunk fan-out (scan-local slice)
     "doc_chunk_windows",
+    # round 5: IVF probe against the materialized cell-partitioned index
+    "ann_ivf_topk_indexed",
 ]
 
 

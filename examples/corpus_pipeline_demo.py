@@ -68,6 +68,8 @@ STEPS = (
      "one matmul per Arrow batch + per-batch top-k prune"),
     ("ANN (IVF)", "ann_ivf_topk",
      "IVF cell = partition key, nprobe=2"),
+    ("ANN (IVF, indexed)", "ann_ivf_topk_indexed",
+     "materialized inverted lists; unprobed partitions pruned"),
     ("IVF training", "kmeans_assign",
      "Lloyd iterations: centroids broadcast, corpus never shuffles"),
 )
