@@ -59,9 +59,19 @@ PROBED = [
     "decontaminate_bloom_prefilter",
     "ann_lsh_buckets",
     "tpch_q9_product_type_profit",
+    # events-based families (×k densified events, window population
+    # fixed): the exact holistic median buffers full windows — the
+    # one aggregate whose per-window state grows with density — probed
+    # against its GK-sketch twin whose state is O(1)/window; plus the
+    # sequence-fold funnel and the prefix-window z-score gate.
+    "tumble_median_1h",
+    "tumble_approx_median_1h",
+    "funnel_view_click_purchase",
+    "zscore_alerts_3sigma",
+    "span_dup_stats",
 ]
 
-DOC_STRIDE = 1_000_000  # doc_id / vec_id offset per copy
+DOC_STRIDE = 1_000_000  # doc_id / vec_id / event_id offset per copy
 
 
 def _scaled_documents(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
@@ -104,6 +114,26 @@ def _scaled_embeddings(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     return out
 
 
+def _scaled_events(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """k-fold event density with the window population fixed: copy c
+    keeps user/type/value but shifts event time by c*37 ms (well inside
+    any probed window) and offsets event_id so sort tiebreaks stay
+    total. Per-window/per-key state grows k-fold — exactly the axis the
+    holistic-vs-sketch pair differs on. NTZ interval arithmetic only
+    (timezone-free)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    parts = [ev]
+    for c in range(1, k):
+        parts.append(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(c * DOC_STRIDE))
+            .withColumn("ts", F.expr(f"ts + INTERVAL {c * 37} MILLISECONDS"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _scaled_lineitem(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     out = li
@@ -123,6 +153,8 @@ def build_scaled_dir(spark: SparkSession, sf_dir: str, k: int, scratch: str) -> 
             _scaled_embeddings(spark, sf_dir, k).write.mode("overwrite").parquet(dst)
         elif k > 1 and t == "lineitem":
             _scaled_lineitem(spark, sf_dir, k).write.mode("overwrite").parquet(dst)
+        elif k > 1 and t == "events":
+            _scaled_events(spark, sf_dir, k).write.mode("overwrite").parquet(dst)
         else:
             # verbatim: spark round-trip keeps one code path (and the
             # same parquet writer properties as the scaled tables)

@@ -521,3 +521,24 @@ def test_split_proportions_and_stability(spark):
     full = {r.doc_id: r.split for r in rows}
     for d, sp in got.items():
         assert full[d] == sp, (d, sp, full[d])
+
+
+def test_ngram_persist_knob_identical_and_scoped(spark):
+    """ngram_pruned_pairs(persist_postings=True) — the measured 100 TB
+    route (SCALE.md scale probe: 2.8x at 10x corpus) — must return
+    exactly the registered query's rows, and the returned `kept` handle
+    must let the caller scope the cache (unpersist leaves nothing
+    cached)."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.dedup import (
+        ngram_pruned_pairs,
+    )
+
+    base, _ = ngram_pruned_pairs(spark, SF_SMALL)
+    want = sorted(map(tuple, base.collect()))
+    df, kept = ngram_pruned_pairs(spark, SF_SMALL, persist_postings=True)
+    try:
+        got = sorted(map(tuple, df.collect()))
+    finally:
+        kept.unpersist(blocking=True)
+    assert got == want
+    assert not kept.is_cached
