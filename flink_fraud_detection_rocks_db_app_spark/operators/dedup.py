@@ -468,6 +468,73 @@ def ngram_pruned_pairs(
     return out, kept
 
 
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM t),
+ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+df AS (SELECT s, COUNT(*) AS df FROM ex0 GROUP BY 1),
+ex AS (SELECT doc_id, s FROM ex0 JOIN df USING (s) WHERE df <= {MAXDF}),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common::DOUBLE / LEAST(sa.n, sb.n), 6) AS containment
+FROM pairs
+JOIN sz sa ON doc_a = sa.doc_id
+JOIN sz sb ON doc_b = sb.doc_id
+WHERE round(common::DOUBLE / LEAST(sa.n, sb.n), 6) >= 0.8
+""",
+    doc="ASYMMETRIC near-dup signal: containment = |A∩B| / min(|A|,|B|) "
+    "over the DF-pruned shingle sets — catches a short document "
+    "embedded inside a long one, which symmetric Jaccard dilutes below "
+    "any usable threshold (the complementary signal Lee et al.-style "
+    "dedup runs beside Jaccard). Same group-postings-once machinery "
+    "and candidate volume as the Jaccard form; only the final scoring "
+    "differs, 6dp-rounded because the ratio gates row membership.",
+    tags=("dedup", "join", "skew"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingled(spark, sf_dir)
+    ex = sh.select(
+        "doc_id", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s")
+    )
+    groups = ex.groupBy("s").agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    kept = groups.where(F.size("ds") <= MAXDF)
+    sz = (
+        kept.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = (
+        kept.where(F.size("ds") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    c = F.round(F.col("common") / F.least(F.col("na"), F.col("nb")), 6)
+    return (
+        pairs.join(sza, "doc_a")
+        .join(szb, "doc_b")
+        .where(c >= 0.8)
+        .select("doc_a", "doc_b", c.alias("containment"))
+    )
+
+
 _PRUNED_PAIRS_DUCK = f"""
 t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM t),
