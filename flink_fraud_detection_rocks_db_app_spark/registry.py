@@ -180,7 +180,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # LSH/IVF/BLAS paths against it every round)
     "ann_lsh_buckets",
     "ann_ivf_topk",
-    "embed_neardup_pairs",
+    # r5: embed_neardup_pairs — the other deliberate-weak exact
+    # baseline — rotated out like ann_cosine_topk above (both stay
+    # suite-verified every round as the envelopes the approximate
+    # paths are gated against); its slot goes to dedup_incremental_lsh,
+    # the appending-corpus dedup form (cost ∝ batch, never corpus)
+    # whose only evidence was suite-level
+    "dedup_incremental_lsh",
     # r4b: label_centroid_components (posexplode+avg centroid — its
     # machinery runs verbatim inside kmeans' recompute step, still
     # full-suite verified) gave its slot to kmeans_assign, the Lloyd

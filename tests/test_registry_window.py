@@ -37,9 +37,6 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "histogram": "describe/summary aggregate over the same groupBy "
     "machinery as the driver-gated stats rows",
     "stats": "same rationale as histogram",
-    "incremental": "dedup_incremental_lsh reuses the driver-gated "
-    "minhash-LSH signature+band machinery on an appending corpus; "
-    "cross-split pruning is suite-gated",
     "interval": "stream_interval_join_replay + interval_join_click_purchase "
     "share keyed-range-join machinery with the driver-gated asof row "
     "(established r4 rotation rationale)",
