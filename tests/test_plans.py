@@ -125,6 +125,9 @@ BNLJ_OK = {
     "ann_cosine_topk",
     "ann_lsh_buckets",
     "ann_ivf_topk",
+    # same bounded centroid cross-broadcast as ann_ivf_topk (IVF_CELLS
+    # rows) in the probe stage; the index side itself is an equi join
+    "ann_ivf_topk_indexed",
     "tpch_q22_dormant_high_balance",
     # one-row scalar-aggregate gate broadcast into the HAVING filter
     "tpch_q11_important_stock",
