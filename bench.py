@@ -86,6 +86,8 @@ HEADLINE = [
     "doc_chunk_windows",
     # round 5: IVF probe against the materialized cell-partitioned index
     "ann_ivf_topk_indexed",
+    # round 5: per-key EWMA adaptive baseline (bit-exact CTE oracle)
+    "ewma_amount_per_account",
 ]
 
 

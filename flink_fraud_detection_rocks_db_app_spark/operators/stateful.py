@@ -184,3 +184,63 @@ def running_sum_alerts_gt_10000(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def running_mean_alerts_gt_90(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running_mean_alerts_batch(transactions_with_id(spark, sf_dir), 90.0)
+
+
+# ----------------------------------------------------------------- EWMA
+
+EWMA_ALPHA = 0.2
+
+
+def ewma_batch(df: DataFrame, alpha: float) -> DataFrame:
+    """Per-key exponentially weighted moving average, seeded with the
+    key's first value: ewma_1 = x_1; ewma_i = a*x_i + (1-a)*ewma_{i-1}.
+    The classic adaptive-baseline smoother for fraud amounts — one
+    float of state per key forever. Same bucketed fold as F3/F5;
+    identical IEEE op order per key makes the oracle bit-exact."""
+    from ..streaming.stateful import _bucketed_fold
+
+    def fold_rows(keys, t_ms, amounts):
+        rows, cur, prev = [], None, 0.0
+        for k, t, a in zip(keys, t_ms, amounts):
+            if k != cur:
+                cur, prev = k, float(a)
+            else:
+                prev = alpha * float(a) + (1 - alpha) * prev
+            rows.append((int(k), int(t), prev))
+        return rows
+
+    return _bucketed_fold(df, fold_rows).select(
+        "account_id", "t_ms", F.col("agg_value").alias("ewma")
+    )
+
+
+@register(
+    "ewma_amount_per_account",
+    oracle=f"""
+WITH RECURSIVE e AS (
+  SELECT user_id AS account_id,
+         epoch_ms(ts) AS t_ms,
+         CAST(value AS DOUBLE) AS amount,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+f AS (
+  SELECT account_id, rn, t_ms, amount AS ewma FROM e WHERE rn = 1
+  UNION ALL
+  SELECT n.account_id, n.rn, n.t_ms,
+         {EWMA_ALPHA} * n.amount + {1 - EWMA_ALPHA} * f.ewma
+  FROM f JOIN e n ON n.account_id = f.account_id AND n.rn = f.rn + 1
+)
+SELECT account_id, t_ms, ewma FROM f
+""",
+    doc=f"Per-account EWMA (alpha={EWMA_ALPHA}) of transaction amounts — "
+    "the adaptive-baseline smoother the z-score detector's fixed "
+    "window complements: O(1) state per key, order (event_time, "
+    "event_id). Recursive-CTE oracle replays the exact per-key IEEE "
+    "multiply-add order, so values are bit-identical (the F3/F5 "
+    "convention). Streaming twin in streaming/stateful.ewma_stream "
+    "(differential-tested).",
+    tags=("detector", "stateful", "timeseries"),
+)
+def ewma_amount_per_account(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ewma_batch(transactions_with_id(spark, sf_dir), EWMA_ALPHA)

@@ -591,3 +591,58 @@ def zscore_alerts_stream(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+EWMA_SCHEMA = T.StructType(
+    [
+        T.StructField("account_id", T.LongType()),
+        T.StructField("t_ms", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+
+def ewma_stream(stream: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Streaming twin of operators/stateful.ewma_batch: per-account
+    EWMA carried across micro-batches as one float of state per key —
+    the smallest possible adaptive-baseline detector state. Bucketed
+    grouping and (account_id, t_us, event_id) fold order exactly as
+    the batch form, so stream==batch is a direct row compare
+    (differential-tested)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        st: dict[int, float] = (
+            {int(k): v for k, v in json.loads(state.get[0]).items()}
+            if state.exists
+            else {}
+        )
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["account_id", "t_us", "event_id"], kind="mergesort")
+            for k, t_us, a in zip(
+                pdf["account_id"].to_numpy(),
+                pdf["t_us"].to_numpy(),
+                pdf["amount"].to_numpy(),
+            ):
+                k = int(k)
+                prev = st.get(k)
+                prev = float(a) if prev is None else alpha * float(a) + (1 - alpha) * prev
+                st[k] = prev
+                rows.append((k, int(t_us) // 1000, prev))
+        state.update((json.dumps(st),))
+        if rows:
+            yield pd.DataFrame(rows, columns=["account_id", "t_ms", "ewma"])
+
+    return (
+        _with_epoch(stream)
+        .withColumn("_bucket", F.pmod(F.xxhash64("account_id"), F.lit(N_FOLD_BUCKETS)))
+        .groupBy("_bucket")
+        .applyInPandasWithState(
+            fn,
+            EWMA_SCHEMA,
+            T.StructType([T.StructField("state_json", T.StringType())]),
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -436,3 +436,24 @@ def test_zscore_stream_matches_batch_window(spark, scratch):
         sorted(set(got) ^ set(want))[:5], len(got), len(want))
     for kk, z in got.items():
         assert abs(z - want[kk]) <= 1e-6, (kk, z, want[kk])
+
+
+def test_ewma_stream_equals_batch_fold(spark, scratch):
+    """Streaming EWMA vs the batch bucketed fold: one float of state
+    per key carried across micro-batches must reproduce the batch
+    recursion bit-for-bit (same multiply-add order per key — the F3/F5
+    exactness convention, no tolerance)."""
+    from flink_fraud_detection_rocks_db_app_spark.registry import all_queries
+    from flink_fraud_detection_rocks_db_app_spark.streaming import ewma_stream
+
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=6)
+    out = ewma_stream(read_replay_stream(spark, chunks))
+    run_to_memory(out, "t_ewma")
+    got = sorted(
+        (r.account_id, r.t_ms, r.ewma) for r in spark.table("t_ewma").collect()
+    )
+    want = sorted(
+        (r.account_id, r.t_ms, r.ewma)
+        for r in all_queries()["ewma_amount_per_account"].fn(spark, SF_SMALL).collect()
+    )
+    assert got and got == want, (len(got), len(want))
