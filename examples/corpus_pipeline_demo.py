@@ -58,6 +58,8 @@ STEPS = (
      "length-proportional keep rate through the same gate"),
     ("exactly-k sample", "sample_k_per_lang",
      "hash-ranked reservoir contract, one window shuffle"),
+    ("temperature rebalance", "temperature_resample_docs",
+     "keep sqrt(n_min/n_l) per language; exact IEEE threshold"),
     ("train/val/test split", "split_train_val_test",
      "independent-hash gates, scan-local, engine-reproducible"),
     ("context chunking", "doc_chunk_windows",

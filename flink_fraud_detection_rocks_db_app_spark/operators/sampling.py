@@ -335,3 +335,46 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "documents").select(
         "doc_id", "lang", split.alias("split")
     )
+
+
+@register(
+    "temperature_resample_docs",
+    oracle=f"""
+WITH c AS (
+  SELECT lang, COUNT(*) AS n_l, MIN(COUNT(*)) OVER () AS n_min
+  FROM documents GROUP BY 1
+)
+SELECT doc_id, lang,
+       CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n_l) * 1000000) AS BIGINT) AS rate_ppm
+FROM documents JOIN c USING (lang)
+WHERE {_HASH_DUCK} <
+      CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n_l) * {_MOD}) AS BIGINT)
+""",
+    doc="Temperature-based language rebalancing (the mT5/CC-100 "
+    "alpha-sampling move, alpha=0.5): each language keeps "
+    "sqrt(n_min/n_l) of its documents, so the post-sample distribution "
+    "is proportional to sqrt of the original — high-resource languages "
+    "downsampled hardest, the rarest kept whole. The per-language "
+    "rates derive from ONE tiny count aggregate (O(langs) rows, "
+    "broadcast-joined back); the gate reuses the overflow-free Knuth "
+    "hash, and because /, sqrt, * and floor are all correctly-rounded "
+    "IEEE ops, the integer threshold is bit-identical across engines — "
+    "the oracle is exact with no rounding seam at all.",
+    tags=("sampling", "text"),
+)
+def temperature_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    c = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_l"))
+        .withColumn("n_min", F.min("n_l").over(Window.partitionBy()))
+    )
+    thresh = F.expr(f"CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n_l) * {_MOD}) AS BIGINT)")
+    rate_ppm = F.expr(
+        "CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n_l) * 1000000) AS BIGINT)"
+    )
+    return (
+        docs.join(F.broadcast(c), "lang")
+        .where(F.expr(_HASH_SPARK) < thresh)
+        .select("doc_id", "lang", rate_ppm.alias("rate_ppm"))
+    )

@@ -148,6 +148,9 @@ PYTHON_OK = {
     "running_sum_alerts_gt_500",
     "running_sum_alerts_gt_10000",
     "running_mean_alerts_gt_90",
+    # r5: per-key EWMA recursion — sequential by semantics like the
+    # F3/F5 folds above, same bucketed applyInPandas machinery
+    "ewma_amount_per_account",
     "multimodal_features",
     "multimodal_feature_agg",
     "multimodal_frame_sample",
