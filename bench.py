@@ -116,6 +116,7 @@ def _stream_benches(
         run_to_memory,
         running_sum_alerts_stream,
         session_agg_stream,
+        sliding_sum_stream,
         windowed_agg_stream,
         write_replay_chunks,
     )
@@ -124,8 +125,11 @@ def _stream_benches(
         "stream_tumble_sum_1h": lambda s: windowed_agg_stream(
             s, 3_600_000, watermark="0 seconds"
         ),
-        "stream_slide_sum_50s_10s": lambda s: windowed_agg_stream(
-            s, 50_000, 10_000, watermark="0 seconds"
+        # routed through the measured-crossover policy API: at this
+        # replay's density auto resolves to the naive Expand form
+        # (identical plan to windowed_agg_stream(size, slide))
+        "stream_slide_sum_50s_10s": lambda s: sliding_sum_stream(
+            s, 50_000, 10_000, watermark="0 seconds", mode="auto"
         ),
         "stream_running_sum_alerts": lambda s: running_sum_alerts_stream(s, 500.0),
         # r5: the remaining streaming families get rows/s numbers too —
