@@ -477,3 +477,57 @@ def stream_running_sum_alerts_replay(spark: SparkSession, sf_dir: str) -> DataFr
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(name)
+
+
+@register(
+    "stream_dynamic_rules_replay",
+    # identical contract to the batch dynamic_rules_alerts
+    oracle="""
+WITH rules AS (
+  SELECT event_type, round(quantile_cont(value, 0.95), 6) AS threshold
+  FROM events GROUP BY 1
+)
+SELECT user_id AS account_id, epoch_ms(e.ts) AS t_ms, e.event_type,
+       CAST(e.value AS DOUBLE) AS amount, r.threshold
+FROM events e JOIN rules r USING (event_type)
+WHERE e.value > r.threshold
+""",
+    doc="The broadcast-state rules pattern as a STREAM-STATIC join "
+    "under the oracle gate: the per-type p95 rules frame (O(|types|), "
+    "always broadcast) joins the live typed replay and every "
+    "above-threshold event must match the batch join exactly. "
+    "Stateless — no watermark, no state store; each micro-batch "
+    "re-broadcasts the static side, which is exactly how Spark ships "
+    "Flink's broadcast-state updates. Sits past the driver window, "
+    "oracle-verified every round by the full-registry parity test.",
+    tags=("streaming", "detector", "join", "parity"),
+)
+def stream_dynamic_rules_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import read_replay_stream, run_to_memory, write_replay_chunks
+    from .detectors import type_threshold_rules
+
+    name = f"streamrules_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        chunks = write_replay_chunks(
+            spark, sf_dir, scratch, n_chunks=6, with_event_type=True
+        )
+        rules = type_threshold_rules(spark, sf_dir)
+        out = (
+            read_replay_stream(spark, chunks, with_event_type=True)
+            .join(F.broadcast(rules), "event_type")
+            .where(F.col("amount") > F.col("threshold"))
+            .select(
+                "account_id",
+                F.unix_millis("event_time").alias("t_ms"),
+                "event_type",
+                F.col("amount").cast("double").alias("amount"),
+                "threshold",
+            )
+        )
+        with _bounded_state_partitions(spark):
+            run_to_memory(out, name)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(name)
