@@ -131,3 +131,43 @@ def sql_window_heavy_hitters_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE rnk <= 3
         """
     )
+
+
+@register(
+    "sql_doc_chunk_windows",
+    # same oracle as the DataFrame form (text.doc_chunk_windows)
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id, w, unnest(range(0, greatest(len(w) - 1, 0) + 1, 48)) AS st
+  FROM t
+)
+SELECT doc_id,
+       CAST(st // 48 AS BIGINT) AS chunk_id,
+       CAST(st AS BIGINT) AS start_word,
+       CAST(least(st + 64, len(w)) AS BIGINT) AS end_word,
+       CAST(least(64, len(w) - st) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(w, st + 1, st + 64), ' ') AS chunk_text
+FROM s
+""",
+    doc="The r5 context-chunking fan-out driven entirely from SQL text "
+    "(LATERAL VIEW explode over a sequence of starts + slice/array_join "
+    "— higher-order array SQL, no DataFrame API): proves the newest "
+    "corpus operator is reachable from the SQL surface with the same "
+    "oracle.",
+    tags=("sql", "text", "chunking"),
+)
+def sql_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT doc_id,
+               CAST(st DIV 48 AS BIGINT) AS chunk_id,
+               CAST(st AS BIGINT) AS start_word,
+               CAST(least(st + 64, size(w)) AS BIGINT) AS end_word,
+               CAST(least(64, size(w) - st) AS BIGINT) AS n_tokens,
+               array_join(slice(w, st + 1, 64), ' ') AS chunk_text
+        FROM (SELECT doc_id, split(text, ' ') AS w FROM documents)
+        LATERAL VIEW explode(sequence(0, greatest(size(w) - 1, 0), 48)) AS st
+        """
+    )
