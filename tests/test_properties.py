@@ -149,3 +149,51 @@ def test_funnel_fold_equals_conditional_min_joins(evs):
     purchases = [t for t, ty in evs if ty == "purchase" and oc is not None and t > oc]
     op = min(purchases) if purchases else None
     assert (v, c, p) == (ov, oc, op), (evs, (v, c, p), (ov, oc, op))
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=1, max_value=2000))
+@example(1)
+@example(64)
+@example(65)
+@example(48)
+@example(49)
+def test_chunk_starts_cover_every_token(n):
+    """doc_chunk_windows' start formula — sequence(0, greatest(n-1,0),
+    STRIDE) with windows [st, min(st+SIZE, n)) — must cover every token
+    index exactly, never emit an empty chunk, and overlap consecutive
+    chunks by SIZE-STRIDE except at the tail. Pure model of the
+    SQL/DataFrame formula (SIZE=64, STRIDE=48)."""
+    SIZE, STRIDE = 64, 48
+    starts = list(range(0, max(n - 1, 0) + 1, STRIDE))
+    covered = set()
+    for s in starts:
+        end = min(s + SIZE, n)
+        assert end > s, (n, s)  # no empty chunk
+        covered.update(range(s, end))
+    assert covered == set(range(n))
+    for a, b in zip(starts, starts[1:]):
+        overlap = min(a + SIZE, n) - b
+        assert overlap == min(SIZE - STRIDE, n - b), (n, a, b)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_ewma_stays_within_seen_minmax(xs):
+    """The EWMA recursion (seed = first value, then a*x + (1-a)*prev)
+    is a convex combination at every step, so it can never leave the
+    [min, max] envelope of the values seen so far — the invariant that
+    makes it a usable adaptive baseline."""
+    alpha = 0.2
+    prev = xs[0]
+    lo = hi = xs[0]
+    for x in xs[1:]:
+        prev = alpha * x + (1 - alpha) * prev
+        lo, hi = min(lo, x), max(hi, x)
+        assert lo - 1e-9 <= prev <= hi + 1e-9, (xs, prev, lo, hi)
