@@ -428,6 +428,20 @@ def ngram_pruned_pairs(
     # query keeps the lazy single-plan form (a returned DataFrame
     # can't scope an unpersist) — callers at corpus scale trigger the
     # action then unpersist the returned `kept`.
+    sized, kept = _pruned_pair_counts(spark, sf_dir, persist_postings)
+    j = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    out = sized.where(j >= 0.5).select("doc_a", "doc_b", j.alias("jaccard"))
+    return out, kept
+
+
+def _pruned_pair_counts(
+    spark: SparkSession, sf_dir: str, persist_postings: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the Jaccard and containment pair queries: one
+    postings build -> DF cutoff -> in-array pair expansion -> per-pair
+    common counts joined with both docs' pruned set sizes (na, nb).
+    Returns (sized pair frame, the `kept` postings for optional
+    persist scoping)."""
     sh = shingled(spark, sf_dir)
     ex = sh.select(
         "doc_id", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s")
@@ -458,14 +472,7 @@ def ngram_pruned_pairs(
     )
     sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    j = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
-    out = (
-        pairs.join(sza, "doc_a")
-        .join(szb, "doc_b")
-        .where(j >= 0.5)
-        .select("doc_a", "doc_b", j.alias("jaccard"))
-    )
-    return out, kept
+    return pairs.join(sza, "doc_a").join(szb, "doc_b"), kept
 
 
 @register(
@@ -499,40 +506,9 @@ WHERE round(common::DOUBLE / LEAST(sa.n, sb.n), 6) >= 0.8
     tags=("dedup", "join", "skew"),
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingled(spark, sf_dir)
-    ex = sh.select(
-        "doc_id", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s")
-    )
-    groups = ex.groupBy("s").agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-    kept = groups.where(F.size("ds") <= MAXDF)
-    sz = (
-        kept.select(F.explode("ds").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n"))
-    )
-    pairs = (
-        kept.where(F.size("ds") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ds, (x, i) -> "
-                    "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-    )
-    sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    sized, _kept = _pruned_pair_counts(spark, sf_dir)
     c = F.round(F.col("common") / F.least(F.col("na"), F.col("nb")), 6)
-    return (
-        pairs.join(sza, "doc_a")
-        .join(szb, "doc_b")
-        .where(c >= 0.8)
-        .select("doc_a", "doc_b", c.alias("containment"))
-    )
+    return sized.where(c >= 0.8).select("doc_a", "doc_b", c.alias("containment"))
 
 
 _PRUNED_PAIRS_DUCK = f"""
