@@ -101,11 +101,14 @@ def _err_summary(exc: Exception) -> str:
 def _stream_benches(
     spark, sf_dir: str, errors: dict[str, str], throughput: dict[str, dict]
 ) -> dict[str, float]:
-    """Three micro-batched streams over one replayed fixture, timed end
+    """Six micro-batched streams over the replayed fixture, timed end
     to end (replay materialization excluded — it's the generator, not
-    the engine): EP1 tumbling agg, the sliding-window agg, and the F5
-    stateful detector — so regressions in window state, overlapping
-    window state, and Python stateful state are separately visible."""
+    the engine): EP1 tumbling agg, the sliding-window agg, the F5
+    stateful detector, and (since r5) session windows, the holistic
+    median, and the two-reader stream-stream interval join — so
+    regressions in window state, overlapping-window state, Python
+    stateful state, merging-session state, full-buffer aggregate
+    state, and join state are separately visible."""
     import shutil
     import uuid
 
