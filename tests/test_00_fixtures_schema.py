@@ -242,6 +242,10 @@ def test_round5_queries_timezone_free(spark, duck):
             "zscore_alerts_3sigma",
             "cohort_retention_daily",
             "window_heavy_hitters_1h",
+            # r5b: the EWMA fold orders on unix_micros and stamps
+            # epoch-ms — bit-exact vs the CTE only if no session-zone
+            # cast sneaks into the Arrow path
+            "ewma_amount_per_account",
         ):
             spec = qs[name]
             df = spec.fn(spark, SF_SMALL)
