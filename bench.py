@@ -1,6 +1,14 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (round-6 fix — BENCH_r05 was lost to tail truncation):
+stdout carries TWO JSON lines. First a full DETAIL line (per-query
+timings, stream throughput, errors — ~3 KB and growing), then a SHORT
+flat SUMMARY line (< ~400 bytes, no nested dicts) printed LAST so a
+bounded tail capture always contains one complete parseable object.
+The detail object is also written to BENCH_DETAIL.json next to this
+script so the full per-query record survives regardless of capture
+limits.
 
 Each query executes fully (noop sink — no driver-side collect, mirrors
 a real distributed write) and is timed end-to-end including plan
@@ -241,21 +249,26 @@ def _stream_benches(
             # queries already guard against.
             try:
                 best = None
+                best_stats = None
                 for _ in range(2):
                     t0 = time.perf_counter()
                     out = job(read_replay_stream(spark, chunks))
                     stats = run_to_memory(out, f"bench_{name}_{uuid.uuid4().hex[:8]}")
                     elapsed = time.perf_counter() - t0
-                    best = elapsed if best is None else min(best, elapsed)
+                    # keep the stats from the run that produced the
+                    # reported (min) wall time, so rows_per_sec and the
+                    # min-of-2 timing describe the SAME run (ADVICE r5)
+                    if best is None or elapsed < best:
+                        best, best_stats = elapsed, stats
                 timings[name] = round(best, 3)
                 # Throughput in the reference's own Prometheus metric
                 # (numEvents / processing duration, BASELINE.md) from
                 # StreamingQueryProgress — tracks engine processing
                 # rate independently of harness wall-clock overhead.
-                if stats["sec"] > 0:
+                if best_stats["sec"] > 0:
                     throughput[name] = {
-                        "rows": stats["rows"],
-                        "rows_per_sec": round(stats["rows"] / stats["sec"], 1),
+                        "rows": best_stats["rows"],
+                        "rows_per_sec": round(best_stats["rows"] / best_stats["sec"], 1),
                     }
             except Exception as exc:  # noqa: BLE001
                 print(f"bench: {name} FAILED: {exc!r}", file=sys.stderr)
@@ -314,33 +327,62 @@ def main() -> None:
         print(f"bench: stream harness FAILED: {exc!r}", file=sys.stderr)
         errors["_stream_harness"] = _err_summary(exc)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        # round-over-round context: round 2 added two streaming
+        # entries (sliding-window agg, F5 stateful detector) and
+        # swapped the skew-fragile unpruned ngram dedup for the
+        # DF-pruned flagship; batch_total is the like-for-like
+        # batch-side subtotal
+        "batch_total": batch_total,
+        "stream_total": round(total - batch_total, 3),
+        # per-stream processing rate (StreamingQueryProgress:
+        # input rows / summed triggerExecution) — the
+        # reference's numEvents/duration metric definition
+        "stream_throughput": throughput,
+        # batch queries: best of 2 back-to-back runs (noise
+        # hygiene); since r4 streams are min-of-2 as well
+        # (single-shot stream numbers false-flagged a +45%
+        # regression in r3). r1/r2 were single-shot everywhere.
+        "agg": "min_of_2",
+        **({"errors": errors} if errors else {}),
+    }
+    # Full per-query record: one stdout line (humans / logs) AND a file
+    # next to the script, so the detail survives any capture limit.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    print(json.dumps(detail), flush=True)
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"bench: could not write {detail_path}: {exc!r}", file=sys.stderr)
+    # LAST line: short flat summary (no nested dicts, < ~400 bytes) —
+    # the driver's bounded tail capture truncated the HEAD of round 5's
+    # single 3 KB line and recorded parsed:null, so the parse target is
+    # now this line, which cannot outgrow the capture window.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": float(sf),
-                # round-over-round context: round 2 added two streaming
-                # entries (sliding-window agg, F5 stateful detector) and
-                # swapped the skew-fragile unpruned ngram dedup for the
-                # DF-pruned flagship; batch_total is the like-for-like
-                # batch-side subtotal
                 "batch_total": batch_total,
                 "stream_total": round(total - batch_total, 3),
-                # per-stream processing rate (StreamingQueryProgress:
-                # input rows / summed triggerExecution) — the
-                # reference's numEvents/duration metric definition
-                "stream_throughput": throughput,
-                # batch queries: best of 2 back-to-back runs (noise
-                # hygiene); since r4 streams are min-of-2 as well
-                # (single-shot stream numbers false-flagged a +45%
-                # regression in r3). r1/r2 were single-shot everywhere.
                 "agg": "min_of_2",
-                **({"errors": errors} if errors else {}),
+                "n_queries": len(timings),
+                "n_errors": len(errors),
+                "detail": "BENCH_DETAIL.json + prior stdout line",
             }
-        )
+        ),
+        flush=True,
     )
     spark.stop()
 

@@ -436,13 +436,69 @@ def write_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
+def _ivf_index_path(sf_dir: str) -> tuple[str, str]:
+    """(parent_dir, index_dir) for the materialized IVF index of this
+    fixture. The directory name is keyed on sf_dir AND a fingerprint of
+    the embeddings parquet files (name/size/mtime), so a regenerated
+    fixture gets a fresh index instead of silently reusing a stale one
+    (ADVICE r5: the old path was keyed on path alone and rebuilt+
+    overwritten on every call — racy under concurrent invocations)."""
+    import glob
+    import hashlib
+    import os
+
+    stat_sig = []
+    for f in sorted(glob.glob(os.path.join(sf_dir, "embeddings.parquet*"))):
+        st = os.stat(f)
+        stat_sig.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
+        if os.path.isdir(f):
+            for part in sorted(os.listdir(f)):
+                pst = os.stat(os.path.join(f, part))
+                stat_sig.append(f"{part}:{pst.st_size}:{pst.st_mtime_ns}")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    fp = hashlib.md5("|".join(stat_sig).encode()).hexdigest()[:12]
+    parent = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "ivf_index",
+    )
+    return parent, os.path.join(parent, f"{key}-{fp}")
+
+
+def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once-if-absent with an atomic publish: the index is written
+    to a unique temp dir and os.rename()d into the content-keyed path,
+    so concurrent invocations never observe a half-written index — the
+    rename loser discards its copy (the winner's is byte-equivalent by
+    determinism) and stale fingerprints for the same fixture path are
+    pruned, so index dirs no longer accumulate per call (ADVICE r5)."""
+    import os
+    import shutil
+    import uuid
+
+    parent, idx = _ivf_index_path(sf_dir)
+    if not os.path.isdir(idx):
+        tmp = f"{idx}.tmp-{uuid.uuid4().hex[:8]}"
+        write_ivf_index(spark, sf_dir, tmp)
+        try:
+            os.rename(tmp, idx)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+        prefix = os.path.basename(idx).split("-")[0] + "-"
+        for sib in os.listdir(parent):
+            if sib.startswith(prefix) and sib != os.path.basename(idx):
+                shutil.rmtree(os.path.join(parent, sib), ignore_errors=True)
+    return idx
+
+
 @register(
     "ann_ivf_topk_indexed",
     oracle=_IVF_ORACLE,
     doc=f"IVF ANN against a MATERIALIZED index: the inverted lists are "
-    "written as a cell-partitioned parquet table (write_ivf_index — "
-    "rebuilt idempotently per call, persisted as the reusable asset a "
-    "real deployment would keep) and the probe reads back ONLY the "
+    "written as a cell-partitioned parquet table (ensure_ivf_index — "
+    "built once per fixture content, atomically published, reused "
+    "thereafter: the reusable asset a real deployment would keep) and "
+    "the probe reads back ONLY the "
     f"{IVF_NPROBE} cells each query needs: the probed cell set "
     f"(≤ {N_QUERIES}×{IVF_NPROBE} ids, contract-bounded) collects to "
     "literal partition filters, so the scan never touches the other "
@@ -451,16 +507,7 @@ def write_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     tags=("similarity", "ann", "ivf", "warehouse"),
 )
 def ann_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-
-    idx = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch",
-        "ivf_index",
-        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
-    )
-    write_ivf_index(spark, sf_dir, idx)
+    idx = ensure_ivf_index(spark, sf_dir)
     e = _vectors(spark, sf_dir)
     probes = _ivf_probes(e, _ivf_centroids(e))
     # contract-bounded driver collect (≤ N_QUERIES * IVF_NPROBE ids):

@@ -55,8 +55,27 @@ def _with_epoch(df: DataFrame) -> DataFrame:
     return df.withColumn("t_us", F.unix_micros("event_time"))
 
 
-def _sorted_arrays(pdf: pd.DataFrame):
-    pdf = pdf.sort_values(["t_us", "event_id"], kind="mergesort")
+def _group_frame(
+    pdf_iter: Iterator[pd.DataFrame], by: list[str] | None = None
+) -> pd.DataFrame:
+    """One globally-sorted frame for the whole (group, micro-batch).
+
+    Arrow hands applyInPandasWithState the group's rows as an iterator
+    of chunks bounded by spark.sql.execution.arrow.maxRecordsPerBatch
+    (default 10k). Sorting each chunk independently is only correct
+    while the group fits one chunk — past that, rows out of order
+    ACROSS chunk boundaries would fold in the wrong order and silently
+    break the bit-exact stream==batch differentials (ADVICE r5). Concat
+    first, sort once: memory is O(group rows in this micro-batch) —
+    the same asymptotic bound micro-batch sizing already imposes, and
+    with hash-bucketed grouping ~1/N_FOLD_BUCKETS of the batch."""
+    chunks = list(pdf_iter)
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    return pdf.sort_values(by, kind="mergesort") if by else pdf
+
+
+def _sorted_arrays(pdf_iter: Iterator[pd.DataFrame]):
+    pdf = _group_frame(pdf_iter, ["t_us", "event_id"])
     t_ms = (pdf["t_us"] // 1000).to_numpy()
     return t_ms, pdf["amount"].to_numpy()
 
@@ -152,18 +171,17 @@ def running_sum_alerts_stream(stream: DataFrame, threshold: float) -> DataFrame:
             else {}
         )
         rows = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["account_id", "t_us", "event_id"], kind="mergesort")
-            for k, t_us, a in zip(
-                pdf["account_id"].to_numpy(),
-                pdf["t_us"].to_numpy(),
-                pdf["amount"].to_numpy(),
-            ):
-                s = sums.get(int(k), 0.0) + a
-                if s > threshold:
-                    rows.append((int(k), int(t_us) // 1000, s))
-                    s = 0.0
-                sums[int(k)] = s
+        pdf = _group_frame(pdf_iter, ["account_id", "t_us", "event_id"])
+        for k, t_us, a in zip(
+            pdf["account_id"].to_numpy(),
+            pdf["t_us"].to_numpy(),
+            pdf["amount"].to_numpy(),
+        ):
+            s = sums.get(int(k), 0.0) + a
+            if s > threshold:
+                rows.append((int(k), int(t_us) // 1000, s))
+                s = 0.0
+            sums[int(k)] = s
         state.update((json.dumps(sums),))
         if rows:  # yielding empty untyped frames trips pandas concat warnings
             yield pd.DataFrame(rows, columns=["account_id", "t_ms", "agg_value"])
@@ -193,14 +211,13 @@ def running_mean_alerts_stream(stream: DataFrame, threshold: float) -> DataFrame
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         s, c = state.get if state.exists else (0.0, 0)
         rows = []
-        for pdf in pdf_iter:
-            t_ms, amounts = _sorted_arrays(pdf)
-            for t, a in zip(t_ms, amounts):
-                s += a
-                c += 1
-                if s / c > threshold:
-                    rows.append((key[0], int(t), s / c))
-                    s, c = 0.0, 0
+        t_ms, amounts = _sorted_arrays(pdf_iter)
+        for t, a in zip(t_ms, amounts):
+            s += a
+            c += 1
+            if s / c > threshold:
+                rows.append((key[0], int(t), s / c))
+                s, c = 0.0, 0
         state.update((s, c))
         if rows:
             yield pd.DataFrame(rows, columns=["account_id", "t_ms", "agg_value"])
@@ -254,18 +271,17 @@ def count_or_time_stream(stream: DataFrame, size_ms: int, max_count: int) -> Dat
             else {}
         )
         rows = []
-        for pdf in pdf_iter:
-            t_ms, amounts = _sorted_arrays(pdf)
-            for t, a in zip(t_ms, amounts):
-                w = int(t) - int(t) % size_ms
-                seg, s, c = wins.get(w, [0, 0.0, 0])
-                s += float(a)
-                c += 1
-                if c >= max_count:
-                    rows.append((w, key[0], seg, s, c, "early"))
-                    wins[w] = [seg + 1, 0.0, 0]
-                else:
-                    wins[w] = [seg, s, c]
+        t_ms, amounts = _sorted_arrays(pdf_iter)
+        for t, a in zip(t_ms, amounts):
+            w = int(t) - int(t) % size_ms
+            seg, s, c = wins.get(w, [0, 0.0, 0])
+            s += float(a)
+            c += 1
+            if c >= max_count:
+                rows.append((w, key[0], seg, s, c, "early"))
+                wins[w] = [seg + 1, 0.0, 0]
+            else:
+                wins[w] = [seg, s, c]
         wm = state.getCurrentWatermarkMs()
         for w in sorted(w for w in wins if w + size_ms <= wm):
             seg, s, c = wins.pop(w)
@@ -318,11 +334,10 @@ def record_buffer_tumbling_stream(stream: DataFrame, size_ms: int) -> DataFrame:
             json.loads(state.get[0]) if state.exists else {}
         )
         wins = {int(k): v for k, v in wins.items()}
-        for pdf in pdf_iter:
-            t_ms, amounts = _sorted_arrays(pdf)
-            for t, a in zip(t_ms, amounts):
-                w = int(t) - int(t) % size_ms
-                wins[w] = wins.get(w, 0.0) + float(a)
+        t_ms, amounts = _sorted_arrays(pdf_iter)
+        for t, a in zip(t_ms, amounts):
+            w = int(t) - int(t) % size_ms
+            wins[w] = wins.get(w, 0.0) + float(a)
         wm = state.getCurrentWatermarkMs()
         closed = sorted(w for w in wins if w + size_ms <= wm)
         rows = [(w, key[0], wins.pop(w)) for w in closed]
@@ -417,13 +432,12 @@ def running_sum_alerts_tws(stream: DataFrame, threshold: float) -> DataFrame:
         def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
             s = self._sum.get()[0] if self._sum.exists() else 0.0
             out = []
-            for pdf in rows:
-                t_ms, amounts = _sorted_arrays(pdf)
-                for t, a in zip(t_ms, amounts):
-                    s += a
-                    if s > threshold:
-                        out.append((key[0], int(t), s))
-                        s = 0.0
+            t_ms, amounts = _sorted_arrays(rows)
+            for t, a in zip(t_ms, amounts):
+                s += a
+                if s > threshold:
+                    out.append((key[0], int(t), s))
+                    s = 0.0
             self._sum.update((s,))
             if out:
                 yield pd.DataFrame(out, columns=["account_id", "t_ms", "agg_value"])
@@ -472,33 +486,33 @@ def funnel_stream(stream: DataFrame) -> DataFrame:
             else {}
         )
         rows = []
-        for pdf in pdf_iter:
-            # Fold in the SAME order the batch twin folds: it sorts
-            # sort_array(struct(t_ms, event_type)) at millisecond
-            # resolution, so derive t_ms first and tiebreak on
-            # event_type — sorting on raw t_us would order µs-distinct
-            # but ms-equal events differently and silently break the
-            # stream==batch differential.
-            pdf = pdf.assign(_t_ms=pdf["t_us"] // 1000).sort_values(
-                ["account_id", "_t_ms", "event_type"], kind="mergesort"
-            )
-            for u, t, typ in zip(
-                pdf["account_id"].to_numpy(),
-                pdf["_t_ms"].to_numpy(),
-                pdf["event_type"].to_numpy(),
-            ):
-                u, t = int(u), int(t)
-                v, c, p = st.get(u, (None, None, None))
-                if v is None and typ == "view":
-                    v = t
-                    rows.append((u, "view", t))
-                elif c is None and v is not None and typ == "click" and t > v:
-                    c = t
-                    rows.append((u, "click", t))
-                elif p is None and c is not None and typ == "purchase" and t > c:
-                    p = t
-                    rows.append((u, "purchase", t))
-                st[u] = [v, c, p]
+        # Fold in the SAME order the batch twin folds: it sorts
+        # sort_array(struct(t_ms, event_type)) at millisecond
+        # resolution, so derive t_ms first and tiebreak on
+        # event_type — sorting on raw t_us would order µs-distinct
+        # but ms-equal events differently and silently break the
+        # stream==batch differential.
+        pdf = _group_frame(pdf_iter)
+        pdf = pdf.assign(_t_ms=pdf["t_us"] // 1000).sort_values(
+            ["account_id", "_t_ms", "event_type"], kind="mergesort"
+        )
+        for u, t, typ in zip(
+            pdf["account_id"].to_numpy(),
+            pdf["_t_ms"].to_numpy(),
+            pdf["event_type"].to_numpy(),
+        ):
+            u, t = int(u), int(t)
+            v, c, p = st.get(u, (None, None, None))
+            if v is None and typ == "view":
+                v = t
+                rows.append((u, "view", t))
+            elif c is None and v is not None and typ == "click" and t > v:
+                c = t
+                rows.append((u, "click", t))
+            elif p is None and c is not None and typ == "purchase" and t > c:
+                p = t
+                rows.append((u, "purchase", t))
+            st[u] = [v, c, p]
         state.update((json.dumps(st),))
         if rows:
             yield pd.DataFrame(rows, columns=["user_id", "stage", "t_ms"])
@@ -548,33 +562,33 @@ def zscore_alerts_stream(
             else {}
         )
         rows = []
-        for pdf in pdf_iter:
-            # Match the batch window frame's ORDER BY (t_ms, event_id)
-            # exactly: derive t_ms before sorting so µs-distinct but
-            # ms-equal events fold in the batch order (raw-t_us sorting
-            # would diverge whenever the ms tiebreak matters).
-            pdf = pdf.assign(_t_ms=pdf["t_us"] // 1000).sort_values(
-                ["account_id", "_t_ms", "event_id"], kind="mergesort"
-            )
-            for u, t_ms_v, a in zip(
-                pdf["account_id"].to_numpy(),
-                pdf["_t_ms"].to_numpy(),
-                pdf["amount"].to_numpy(),
-            ):
-                u, a = int(u), float(a)
-                n, mean, m2 = st.get(u, (0, 0.0, 0.0))
-                if n >= min_prior:
-                    var = m2 / (n - 1)
-                    sigma = math.sqrt(var) if var > 0 else 0.0
-                    if sigma > 0 and round(abs(a - mean) - k * sigma, 6) > 0:
-                        rows.append(
-                            (u, int(t_ms_v), a, round((a - mean) / sigma, 6))
-                        )
-                n += 1
-                d = a - mean
-                mean += d / n
-                m2 += d * (a - mean)
-                st[u] = [n, mean, m2]
+        # Match the batch window frame's ORDER BY (t_ms, event_id)
+        # exactly: derive t_ms before sorting so µs-distinct but
+        # ms-equal events fold in the batch order (raw-t_us sorting
+        # would diverge whenever the ms tiebreak matters).
+        pdf = _group_frame(pdf_iter)
+        pdf = pdf.assign(_t_ms=pdf["t_us"] // 1000).sort_values(
+            ["account_id", "_t_ms", "event_id"], kind="mergesort"
+        )
+        for u, t_ms_v, a in zip(
+            pdf["account_id"].to_numpy(),
+            pdf["_t_ms"].to_numpy(),
+            pdf["amount"].to_numpy(),
+        ):
+            u, a = int(u), float(a)
+            n, mean, m2 = st.get(u, (0, 0.0, 0.0))
+            if n >= min_prior:
+                var = m2 / (n - 1)
+                sigma = math.sqrt(var) if var > 0 else 0.0
+                if sigma > 0 and round(abs(a - mean) - k * sigma, 6) > 0:
+                    rows.append(
+                        (u, int(t_ms_v), a, round((a - mean) / sigma, 6))
+                    )
+            n += 1
+            d = a - mean
+            mean += d / n
+            m2 += d * (a - mean)
+            st[u] = [n, mean, m2]
         state.update((json.dumps(st),))
         if rows:
             yield pd.DataFrame(rows, columns=["account_id", "t_ms", "amount", "z"])
@@ -618,18 +632,17 @@ def ewma_stream(stream: DataFrame, alpha: float = 0.2) -> DataFrame:
             else {}
         )
         rows = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["account_id", "t_us", "event_id"], kind="mergesort")
-            for k, t_us, a in zip(
-                pdf["account_id"].to_numpy(),
-                pdf["t_us"].to_numpy(),
-                pdf["amount"].to_numpy(),
-            ):
-                k = int(k)
-                prev = st.get(k)
-                prev = float(a) if prev is None else alpha * float(a) + (1 - alpha) * prev
-                st[k] = prev
-                rows.append((k, int(t_us) // 1000, prev))
+        pdf = _group_frame(pdf_iter, ["account_id", "t_us", "event_id"])
+        for k, t_us, a in zip(
+            pdf["account_id"].to_numpy(),
+            pdf["t_us"].to_numpy(),
+            pdf["amount"].to_numpy(),
+        ):
+            k = int(k)
+            prev = st.get(k)
+            prev = float(a) if prev is None else alpha * float(a) + (1 - alpha) * prev
+            st[k] = prev
+            rows.append((k, int(t_us) // 1000, prev))
         state.update((json.dumps(st),))
         if rows:
             yield pd.DataFrame(rows, columns=["account_id", "t_ms", "ewma"])

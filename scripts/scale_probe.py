@@ -71,16 +71,38 @@ PROBED = [
     "span_dup_stats",
 ]
 
-DOC_STRIDE = 1_000_000  # doc_id / vec_id / event_id offset per copy
+DOC_STRIDE = 1_000_000  # minimum doc_id / vec_id / event_id offset per copy
 
 
-def _scaled_documents(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+def _copy_stride(spark: SparkSession, sf_dir: str) -> int:
+    """Per-copy id offset, derived from the OBSERVED max id across the
+    three id-offset tables rather than assumed (ADVICE r5: a fixture
+    whose id space reaches the fixed 1M stride would silently collide
+    ids across copies, breaking the disjoint-copy construction and the
+    sort tiebreaks). Next power of ten above the max id, floored at the
+    historical 1M so sf0.1-scale runs keep byte-identical offsets."""
+    mx = 0
+    for t, col in (
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+        ("events", "event_id"),
+    ):
+        v = (
+            spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+            .agg(F.max(col))
+            .first()[0]
+        )
+        mx = max(mx, int(v or 0))
+    return max(DOC_STRIDE, 10 ** len(str(mx)))
+
+
+def _scaled_documents(spark: SparkSession, sf_dir: str, k: int, stride: int) -> DataFrame:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     parts = [docs]
     for c in range(1, k):
         tag = F.lit(f"·{c}")  # middle dot — never appears in fixture text
         parts.append(
-            docs.withColumn("doc_id", F.col("doc_id") + F.lit(c * DOC_STRIDE))
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(c * stride))
             .withColumn(
                 "text",
                 F.array_join(
@@ -95,7 +117,7 @@ def _scaled_documents(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     return out
 
 
-def _scaled_embeddings(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+def _scaled_embeddings(spark: SparkSession, sf_dir: str, k: int, stride: int) -> DataFrame:
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     dim = len(emb.select("embedding").first()[0])
     parts = [emb]
@@ -105,7 +127,7 @@ def _scaled_embeddings(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
             f"(pmod(xxhash64(vec_id, {c}, i), 2001) - 1000) / 1000.0 AS FLOAT))"
         )
         parts.append(
-            emb.withColumn("vec_id", F.col("vec_id") + F.lit(c * DOC_STRIDE))
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(c * stride))
             .withColumn("embedding", rnd)
         )
     out = parts[0]
@@ -114,7 +136,7 @@ def _scaled_embeddings(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     return out
 
 
-def _scaled_events(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+def _scaled_events(spark: SparkSession, sf_dir: str, k: int, stride: int) -> DataFrame:
     """k-fold event density with the window population fixed: copy c
     keeps user/type/value but shifts event time by c*37 ms (well inside
     any probed window) and offsets event_id so sort tiebreaks stay
@@ -125,7 +147,7 @@ def _scaled_events(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     parts = [ev]
     for c in range(1, k):
         parts.append(
-            ev.withColumn("event_id", F.col("event_id") + F.lit(c * DOC_STRIDE))
+            ev.withColumn("event_id", F.col("event_id") + F.lit(c * stride))
             .withColumn("ts", F.expr(f"ts + INTERVAL {c * 37} MILLISECONDS"))
         )
     out = parts[0]
@@ -145,16 +167,17 @@ def _scaled_lineitem(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
 def build_scaled_dir(spark: SparkSession, sf_dir: str, k: int, scratch: str) -> str:
     out_dir = os.path.join(scratch, f"x{k}")
     os.makedirs(out_dir, exist_ok=True)
+    stride = _copy_stride(spark, sf_dir)
     for t in TABLES:
         dst = os.path.join(out_dir, f"{t}.parquet")
         if k > 1 and t == "documents":
-            _scaled_documents(spark, sf_dir, k).write.mode("overwrite").parquet(dst)
+            _scaled_documents(spark, sf_dir, k, stride).write.mode("overwrite").parquet(dst)
         elif k > 1 and t == "embeddings":
-            _scaled_embeddings(spark, sf_dir, k).write.mode("overwrite").parquet(dst)
+            _scaled_embeddings(spark, sf_dir, k, stride).write.mode("overwrite").parquet(dst)
         elif k > 1 and t == "lineitem":
             _scaled_lineitem(spark, sf_dir, k).write.mode("overwrite").parquet(dst)
         elif k > 1 and t == "events":
-            _scaled_events(spark, sf_dir, k).write.mode("overwrite").parquet(dst)
+            _scaled_events(spark, sf_dir, k, stride).write.mode("overwrite").parquet(dst)
         else:
             # verbatim: spark round-trip keeps one code path (and the
             # same parquet writer properties as the scaled tables)
