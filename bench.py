@@ -201,8 +201,17 @@ def _stream_benches(
         # plain stream; wrapped to the same `job(stream)` shape — the
         # arg is the click side, the purchase side opens its own
         # reader over the same typed chunks.
+        # 3 chunks, not 6: micro-batch sizing is THE deployment knob
+        # for this job — each batch pays state open/commit on every
+        # partition for BOTH join sides, and SCALE.md's density probe
+        # shows that fixed cost dominates at replay scale (rows/s grows
+        # ~linearly with density). Halving the batch count halves it;
+        # the emitted pair set is identical (inner-join emission does
+        # not depend on batch boundaries), and the 6-chunk suite
+        # differential (tests/test_streaming_custom.py) still pins the
+        # fine-grained watermark semantics every round.
         typed_chunks = write_replay_chunks(
-            spark, sf_dir, os.path.join(scratch, "typed"), n_chunks=6,
+            spark, sf_dir, os.path.join(scratch, "typed"), n_chunks=3,
             with_event_type=True,
         )
 

@@ -484,8 +484,20 @@ def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
             os.rename(tmp, idx)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+            # rename fails legitimately only when a concurrent builder
+            # won the publish race (destination exists); any OTHER cause
+            # (permissions, cross-device, missing parent) must surface
+            # HERE, not as a parquet-read error downstream (ADVICE r6)
+            if not os.path.isdir(idx):
+                raise
         prefix = os.path.basename(idx).split("-")[0] + "-"
         for sib in os.listdir(parent):
+            # skip in-flight '.tmp-' dirs: rmtree'ing a CONCURRENT
+            # builder's half-written copy would fail its write/rename
+            # (ADVICE r6); orphaned temps from crashed builders are
+            # reaped by the loser-cleanup above on the next build
+            if ".tmp-" in sib:
+                continue
             if sib.startswith(prefix) and sib != os.path.basename(idx):
                 shutil.rmtree(os.path.join(parent, sib), ignore_errors=True)
     return idx

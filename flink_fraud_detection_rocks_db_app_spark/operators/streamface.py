@@ -104,6 +104,60 @@ def stream_tumble_sum_1h_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_recordbuffer_tumble_sum_1h_replay",
+    oracle=sql_tumble(MS["h"], "SUM(value) AS sum_amount"),
+    doc="WA5/F1 — the reference's HAND-ROLLED record-buffer tumbling "
+    "window with event-time timers (ListState buffer + timer at "
+    "ts+size, summed on firing; reference: master/src/main/java/"
+    "InorderTumblingWindow/CustomTumblingWindow.java:36-127 and "
+    "FraudDetector.java:35-119) — as a driver row: the "
+    "applyInPandasWithState port keeps {window_start: partial_sum} "
+    "per key, emits a window exactly when the watermark passes its "
+    "end (including the pure-timeout flush where the key is silent in "
+    "the closing micro-batch — the empty-Arrow-iterator path pinned "
+    "by tests/test_arrow_chunking.py), and must hash-match the same "
+    "batch tumbling SQL as the declarative face. A red row means the "
+    "custom stateful-timer path diverged from declarative windowing.",
+    tags=("streaming", "window", "stateful", "parity"),
+)
+def stream_recordbuffer_tumble_sum_1h_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..fixtures import transactions
+    from ..streaming import (
+        SENTINEL_ACCOUNT,
+        append_sentinel_chunk,
+        read_replay_stream,
+        record_buffer_tumbling_stream,
+        run_to_memory,
+        write_replay_chunks,
+    )
+
+    name = f"streamrecbuf_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        max_us = (
+            transactions(spark, sf_dir)
+            .agg(F.max(F.unix_micros("event_time")))
+            .collect()[0][0]
+        )
+        # sentinel pushes the closing watermark past every real 1h
+        # window; the final flush for keys with no rows in that batch
+        # rides the event-time timeout (no-data micro-batch)
+        append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
+        agg = record_buffer_tumbling_stream(
+            read_replay_stream(spark, chunks), MS["h"]
+        )
+        with _bounded_state_partitions(spark):
+            run_to_memory(agg, name)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)
+
+
+@register(
     "stream_dedup_tumble_sum_1h_replay",
     oracle=sql_tumble(MS["h"], "SUM(value) AS sum_amount"),
     doc="Streaming at-least-once dedup under the oracle gate: the replay "

@@ -76,7 +76,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stratified_sample_docs",
     "doc_winnow_fingerprints",
     "dedup_ngram_jaccard_pruned",
-    "dedup_minhash_lsh",
+    # r7: dedup_minhash_lsh — its machinery (hash-once minhash
+    # signatures, band-bucket collision join, exact verify) runs
+    # VERBATIM inside dedup_incremental_lsh (dedup.py:1022:
+    # lsh_candidate_pairs(minhash_signatures(...))), which stays in the
+    # window — gave its slot to dedup_containment_pairs, the
+    # asymmetric-overlap near-dup family (|A∩B|/|A| over the same
+    # pruned-postings machinery) that had suite-only evidence
+    "dedup_containment_pairs",
     "dedup_clusters",
     "doc_simhash",
     # §2 windows: WA1/WA2/WA8/WA9/WA3 + sessions. r4: tumble_mean_3s
@@ -93,7 +100,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the r4b windowed top-k family (WindowGroupLimit plan), previously
     # suite-only (its _approx sketch twin stays envelope-gated in tests)
     "window_heavy_hitters_1h",
-    "stream_tumble_sum_1h_replay",
+    # r7: stream_tumble_sum_1h_replay (W1/EP1 declarative streaming
+    # tumbling) — the SAME windowed_agg_stream machinery and oracle is
+    # driver-gated with strictly more surface by
+    # stream_ooo_tumble_sum_1h_replay below (nonzero watermark +
+    # genuinely late rows on top of the identical plan) — gave its slot
+    # to the WA5/F1 record-buffer face: the reference's hand-rolled
+    # ListState-buffer + event-time-timer tumbling window
+    # (applyInPandasWithState port) hash-matched against the same batch
+    # SQL — the last §2 family whose only evidence was a suite
+    # differential
+    "stream_recordbuffer_tumble_sum_1h_replay",
     # r5: slide_mean_50s_10s (EP2/WA2) — superseded in the window by
     # stream_slide_mean_50s_10s_replay below: the SAME query and oracle
     # through the ACTUAL streaming engine (strictly more surface —
@@ -135,7 +152,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # hash gate for the first time; the batch bucketed-fold machinery
     # stays driver-gated via running_mean_alerts_gt_90
     "stream_running_sum_alerts_replay",
-    "running_mean_alerts_gt_90",
+    # r7: running_mean_alerts_gt_90 (F3 batch) — its machinery is the
+    # shared `_bucketed_fold` (driver-gated below via
+    # ewma_amount_per_account, which calls the identical helper) plus
+    # the reset-on-alert threshold logic (driver-gated above via
+    # stream_running_sum_alerts_replay's bit-exact recursive-CTE
+    # oracle); the mean variant stays full-suite oracle-verified and
+    # differential-tested against its streaming twin — gave its slot
+    # to ewma_amount_per_account, the adaptive-baseline smoother with
+    # a bit-exact recursive-CTE oracle that had suite-only evidence
+    "ewma_amount_per_account",
     # r5 rotations into the detector/analytics block: zscore_alerts_3sigma
     # (r4b; per-account sort-window fold with a 6dp membership gate +
     # Welford streaming twin) takes moving_avg_5_events' slot — the same
@@ -179,7 +205,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # ann_ivf_topk's rerank step, and the suite envelope-gates the
     # LSH/IVF/BLAS paths against it every round)
     "ann_lsh_buckets",
-    "ann_ivf_topk",
+    # r7: ann_ivf_topk (per-call coarse-quantize + probe + rerank) —
+    # superseded in the window by ann_ivf_topk_indexed: the SAME
+    # centroids, probe set, rerank machinery and oracle, but against
+    # the MATERIALIZED cell-partitioned index (ensure_ivf_index:
+    # build-once, atomic publish, partition-pruned probe) — the
+    # warehouse-asset form that is the 100 TB path; the per-call form
+    # stays full-suite verified with the identical oracle
+    "ann_ivf_topk_indexed",
     # r5: embed_neardup_pairs — the other deliberate-weak exact
     # baseline — rotated out like ann_cosine_topk above (both stay
     # suite-verified every round as the envelopes the approximate

@@ -98,6 +98,7 @@ def write_replay_chunks(
     dup_every: int = 0,
     defer_tail_ms: int = 0,
     with_event_type: bool = False,
+    densify_fresh_keys: bool = False,
 ) -> str:
     """Materialize the fixture as `n_chunks` sequential parquet files
     under scratch_dir/chunks and return that path.
@@ -111,6 +112,9 @@ def write_replay_chunks(
     the knob that scales EVENT DENSITY per window without changing the
     window population — for measuring how per-event state-write costs
     (e.g. sliding-window Expand) grow against per-batch fixed costs.
+    `densify_fresh_keys=True` instead gives each copy fresh account_ids
+    (+rep*1M), scaling the KEY population with state-per-key fixed —
+    the axis keyed-join state grows on.
 
     `dup_every=k` redelivers every k-th event VERBATIM (same event_id,
     same timestamp, arriving right after the original) — the
@@ -133,15 +137,29 @@ def write_replay_chunks(
     os.makedirs(out, exist_ok=True)
     df = _prepared(spark, sf_dir, jitter_ms, late_every, with_event_type)
     if densify > 1:
+        # densify_fresh_keys chooses WHICH axis grows k-fold: False
+        # (default) keeps the key population fixed so per-key/per-window
+        # state grows with density (the holistic-aggregate / merging-
+        # session probe axis); True gives each copy fresh keys so the
+        # KEY population grows and state-per-key stays fixed (the
+        # "k-times-more-users" axis — the natural scale-up model for
+        # keyed-join state, where fixed keys would grow join OUTPUT
+        # quadratically instead of stream size linearly).
         k = F.lit(densify)
+        acct = (
+            (F.col("account_id") + F.col("rep") * F.lit(1_000_000)).alias("account_id")
+            if densify_fresh_keys
+            else F.col("account_id")
+        )
         df = df.crossJoin(spark.range(densify).select(F.col("id").alias("rep"))).select(
-            "account_id",
+            acct,
             (
                 F.col("t_us")
                 + (F.pmod(F.xxhash64("event_id", "rep"), F.lit(1001)) - 500) * 1000
             ).alias("t_us"),
             "amount",
             (F.col("event_id") * k + F.col("rep")).alias("event_id"),
+            *(["event_type"] if with_event_type else []),
         )
     # In-order replay arrives sorted by event time; disordered replay
     # arrives in original (pre-jitter) order, i.e. jitter makes event

@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -68,14 +69,28 @@ def _group_frame(
     break the bit-exact stream==batch differentials (ADVICE r5). Concat
     first, sort once: memory is O(group rows in this micro-batch) —
     the same asymptotic bound micro-batch sizing already imposes, and
-    with hash-bucketed grouping ~1/N_FOLD_BUCKETS of the batch."""
-    chunks = list(pdf_iter)
+    with hash-bucketed grouping ~1/N_FOLD_BUCKETS of the batch.
+
+    Returns None when the iterator yields no rows: under
+    GroupStateTimeout.EventTimeTimeout Spark invokes the fold with an
+    EMPTY iterator on a pure timeout flush (state.hasTimedOut), and
+    pd.concat([]) raises — the timeout callers must still run their
+    watermark-flush logic with zero input rows (ADVICE r6)."""
+    chunks = [c for c in pdf_iter if len(c)]
+    if not chunks:
+        return None
     pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
     return pdf.sort_values(by, kind="mergesort") if by else pdf
 
 
+_EMPTY_T_MS = np.array([], dtype=np.int64)
+_EMPTY_AMOUNTS = np.array([], dtype=np.float64)
+
+
 def _sorted_arrays(pdf_iter: Iterator[pd.DataFrame]):
     pdf = _group_frame(pdf_iter, ["t_us", "event_id"])
+    if pdf is None:
+        return _EMPTY_T_MS, _EMPTY_AMOUNTS
     t_ms = (pdf["t_us"] // 1000).to_numpy()
     return t_ms, pdf["amount"].to_numpy()
 
@@ -172,6 +187,8 @@ def running_sum_alerts_stream(stream: DataFrame, threshold: float) -> DataFrame:
         )
         rows = []
         pdf = _group_frame(pdf_iter, ["account_id", "t_us", "event_id"])
+        if pdf is None:
+            pdf = pd.DataFrame(columns=["account_id", "t_us", "amount"])
         for k, t_us, a in zip(
             pdf["account_id"].to_numpy(),
             pdf["t_us"].to_numpy(),
@@ -493,6 +510,8 @@ def funnel_stream(stream: DataFrame) -> DataFrame:
         # but ms-equal events differently and silently break the
         # stream==batch differential.
         pdf = _group_frame(pdf_iter)
+        if pdf is None:
+            pdf = pd.DataFrame(columns=["account_id", "t_us", "event_type"])
         pdf = pdf.assign(_t_ms=pdf["t_us"] // 1000).sort_values(
             ["account_id", "_t_ms", "event_type"], kind="mergesort"
         )
@@ -567,6 +586,8 @@ def zscore_alerts_stream(
         # ms-equal events fold in the batch order (raw-t_us sorting
         # would diverge whenever the ms tiebreak matters).
         pdf = _group_frame(pdf_iter)
+        if pdf is None:
+            pdf = pd.DataFrame(columns=["account_id", "t_us", "amount", "event_id"])
         pdf = pdf.assign(_t_ms=pdf["t_us"] // 1000).sort_values(
             ["account_id", "_t_ms", "event_id"], kind="mergesort"
         )
@@ -633,6 +654,8 @@ def ewma_stream(stream: DataFrame, alpha: float = 0.2) -> DataFrame:
         )
         rows = []
         pdf = _group_frame(pdf_iter, ["account_id", "t_us", "event_id"])
+        if pdf is None:
+            pdf = pd.DataFrame(columns=["account_id", "t_us", "amount"])
         for k, t_us, a in zip(
             pdf["account_id"].to_numpy(),
             pdf["t_us"].to_numpy(),

@@ -167,7 +167,9 @@ def _scaled_lineitem(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
 def build_scaled_dir(spark: SparkSession, sf_dir: str, k: int, scratch: str) -> str:
     out_dir = os.path.join(scratch, f"x{k}")
     os.makedirs(out_dir, exist_ok=True)
-    stride = _copy_stride(spark, sf_dir)
+    # stride needs three max() jobs — skip them at k=1, where every
+    # table is copied verbatim and the stride is never used (ADVICE r6)
+    stride = _copy_stride(spark, sf_dir) if k > 1 else 0
     for t in TABLES:
         dst = os.path.join(out_dir, f"{t}.parquet")
         if k > 1 and t == "documents":

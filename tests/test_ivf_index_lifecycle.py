@@ -1,0 +1,98 @@
+"""Lifecycle tests for ensure_ivf_index (VERDICT r6 #5 + ADVICE r6):
+build-once reuse, stale-fingerprint pruning that spares in-flight
+temps, and rename-failure semantics (race loser tolerated, real
+failures surfaced at the cause)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from flink_fraud_detection_rocks_db_app_spark.operators.similarity import (
+    _ivf_index_path,
+    ensure_ivf_index,
+)
+
+from .conftest import SF_SMALL
+
+
+def _no_temps(parent: str) -> bool:
+    return not any(".tmp-" in d for d in os.listdir(parent))
+
+
+def test_build_once_then_reuse_without_rewrite(spark):
+    parent, idx = _ivf_index_path(SF_SMALL)
+    shutil.rmtree(idx, ignore_errors=True)
+    assert ensure_ivf_index(spark, SF_SMALL) == idx
+    assert os.path.isdir(idx) and _no_temps(parent)
+    sig = {
+        f: os.stat(os.path.join(root, f)).st_mtime_ns
+        for root, _, files in os.walk(idx)
+        for f in files
+    }
+    # second call must reuse: same path, not one file touched
+    assert ensure_ivf_index(spark, SF_SMALL) == idx
+    sig2 = {
+        f: os.stat(os.path.join(root, f)).st_mtime_ns
+        for root, _, files in os.walk(idx)
+        for f in files
+    }
+    assert sig2 == sig, "second ensure_ivf_index call rewrote the index"
+
+
+def test_prunes_stale_fingerprints_but_not_inflight_temps(spark):
+    parent, idx = _ivf_index_path(SF_SMALL)
+    key = os.path.basename(idx).split("-")[0]
+    stale = os.path.join(parent, f"{key}-000000000000")
+    inflight = os.path.join(parent, f"{key}-111111111111.tmp-deadbeef")
+    os.makedirs(stale, exist_ok=True)
+    os.makedirs(inflight, exist_ok=True)
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        assert ensure_ivf_index(spark, SF_SMALL) == idx
+        # stale fingerprint for the same fixture: pruned
+        assert not os.path.isdir(stale)
+        # a CONCURRENT builder's half-written temp: untouched (ADVICE r6
+        # medium — rmtree'ing it would fail the other writer's publish)
+        assert os.path.isdir(inflight)
+    finally:
+        shutil.rmtree(inflight, ignore_errors=True)
+        shutil.rmtree(stale, ignore_errors=True)
+
+
+def test_rename_race_loser_returns_winner_index(spark, monkeypatch):
+    parent, idx = _ivf_index_path(SF_SMALL)
+    shutil.rmtree(idx, ignore_errors=True)
+    real_rename = os.rename
+
+    def winner_beat_us(src, dst):
+        # the winner publishes between our write and our rename: the
+        # destination exists, our rename raises — the loser must
+        # discard its temp and return the (byte-equivalent) winner copy
+        real_rename(src, dst)
+        raise OSError("simulated publish race: destination exists")
+
+    monkeypatch.setattr(os, "rename", winner_beat_us)
+    assert ensure_ivf_index(spark, SF_SMALL) == idx
+    assert os.path.isdir(idx) and _no_temps(parent)
+
+
+def test_rename_real_failure_raises_at_cause(spark, monkeypatch):
+    parent, idx = _ivf_index_path(SF_SMALL)
+    shutil.rmtree(idx, ignore_errors=True)
+
+    def broken_rename(src, dst):
+        raise OSError("simulated cross-device link")
+
+    monkeypatch.setattr(os, "rename", broken_rename)
+    # destination absent after the failure: must raise HERE, not hand
+    # back a path whose parquet read explodes downstream (ADVICE r6 low)
+    with pytest.raises(OSError, match="cross-device"):
+        ensure_ivf_index(spark, SF_SMALL)
+    monkeypatch.undo()
+    assert _no_temps(parent)
+    # recovery: a clean call rebuilds normally
+    assert ensure_ivf_index(spark, SF_SMALL) == idx
+    assert os.path.isdir(idx)

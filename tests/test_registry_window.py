@@ -54,11 +54,9 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "chunking": "r5 addition past the window cutoff; scan-local "
     "slice/explode over the same tokenized corpus scan as the "
     "driver-gated text rows — rotate in next window refresh",
-    "warehouse": "r5 addition (materialized IVF index): same oracle and "
-    "rerank machinery as the driver-gated ann_ivf_topk row; the "
-    "partition-pruning layout is plan-tested "
-    "(test_ivf_index_probe_prunes_partitions)",
 }
+# r7: "warehouse" left the allowlist — ann_ivf_topk_indexed rotated
+# INTO the window (it took ann_ivf_topk's slot; registry.py comment).
 
 
 def test_driver_window_is_exactly_50_unique_registered_names():
