@@ -96,6 +96,13 @@ HEADLINE = [
     "ann_ivf_topk_indexed",
     # round 5: per-key EWMA adaptive baseline (bit-exact CTE oracle)
     "ewma_amount_per_account",
+    # round 7: the remaining newly driver-gated families (extend-only):
+    # asymmetric containment over the shared pruned postings, the
+    # quality-argmax canonical selection (pruned pairs + CC + argmax),
+    # and the derived-threshold temperature resampler
+    "dedup_containment_pairs",
+    "dedup_keep_best_per_cluster",
+    "temperature_resample_docs",
 ]
 
 

@@ -73,7 +73,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # inside corpus_prep_pipeline's dedup stage (pipeline.py:66), which
     # stays — gave its slot to doc_winnow_fingerprints, the r4b
     # order-sensitive fingerprinting family that had suite-only evidence
-    "stratified_sample_docs",
+    # r7b: stratified_sample_docs — temperature resampling gates with
+    # the SAME overflow-free Knuth hash expression, but against
+    # per-language thresholds DERIVED from a broadcast count aggregate
+    # (sqrt(n_min/n_l)) instead of literals — strictly more machinery
+    # over the identical scan-local gate; the literal-rate form stays
+    # full-suite verified
+    "temperature_resample_docs",
     "doc_winnow_fingerprints",
     "dedup_ngram_jaccard_pruned",
     # r7: dedup_minhash_lsh — its machinery (hash-once minhash
@@ -84,7 +90,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # asymmetric-overlap near-dup family (|A∩B|/|A| over the same
     # pruned-postings machinery) that had suite-only evidence
     "dedup_containment_pairs",
-    "dedup_clusters",
+    # r7b: dedup_clusters — keep-best runs the IDENTICAL pipeline
+    # (dedup_ngram_jaccard_pruned pairs -> the same iterative
+    # connected_components call) and then the richer quality-argmax
+    # canonical selection where clusters keeps min-id (the trivial
+    # special case); min-id clustering stays full-suite verified with
+    # its recursive-CTE oracle
+    "dedup_keep_best_per_cluster",
     "doc_simhash",
     # §2 windows: WA1/WA2/WA8/WA9/WA3 + sessions. r4: tumble_mean_3s
     # (A2 — same incremental-agg machinery as tumble_sum_3s, still
@@ -270,7 +282,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q21_suppliers_kept_waiting",
     "revenue_by_nation",
     "top3_orders_per_segment",
-    "customers_without_orders",
+    # r7b: customers_without_orders (EXCEPT -> left-anti join
+    # physically) — tpch_q21 above plans the identical left-anti join
+    # for its NOT EXISTS half, so the set-op's physical machinery keeps
+    # a driver row; the EXCEPT spelling stays full-suite verified —
+    # gave its slot to doc_chunk_windows, honoring the r5 allowlist
+    # note ("rotate in next window refresh"): the retrieval/context-
+    # prep chunk fan-out (scan-local overlapping token-window
+    # slice/explode), previously suite-only
+    "doc_chunk_windows",
 )
 
 

@@ -51,12 +51,15 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "richer driver-gated funnel fold (established r4b rationale)",
     "unpivot": "inverse of the driver-gated pivot row, same reshaping "
     "machinery",
-    "chunking": "r5 addition past the window cutoff; scan-local "
-    "slice/explode over the same tokenized corpus scan as the "
-    "driver-gated text rows — rotate in next window refresh",
+    "iterative": "the connected_components min-label iteration runs "
+    "VERBATIM inside the driver-gated dedup_keep_best_per_cluster row "
+    "(same pruned pairs -> same CC call; r7 rotation rationale)",
+    "setop": "EXCEPT lowers to the same physical left-anti join the "
+    "driver-gated tpch_q21 NOT EXISTS half plans (r7 rotation "
+    "rationale); the EXCEPT spelling stays full-suite verified",
 }
-# r7: "warehouse" left the allowlist — ann_ivf_topk_indexed rotated
-# INTO the window (it took ann_ivf_topk's slot; registry.py comment).
+# r7: "warehouse" and "chunking" left the allowlist — ann_ivf_topk_indexed
+# and doc_chunk_windows rotated INTO the window (registry.py comments).
 
 
 def test_driver_window_is_exactly_50_unique_registered_names():
