@@ -103,6 +103,9 @@ HEADLINE = [
     "dedup_containment_pairs",
     "dedup_keep_best_per_cluster",
     "temperature_resample_docs",
+    # round 7: BM25 lexical retrieval (pruned query-term postings,
+    # broadcast stats, distributed top-k)
+    "bm25_query_topk",
 ]
 
 

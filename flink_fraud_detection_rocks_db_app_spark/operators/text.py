@@ -591,3 +591,110 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(CHUNK_SIZE), F.size("w") - F.col("st")).cast("bigint").alias("n_tokens"),
         F.array_join(F.slice("w", F.col("st") + 1, CHUNK_SIZE), " ").alias("chunk_text"),
     )
+
+
+# -------------------------------------------------------------- BM25
+
+# BM25 retrieval scoring: the standard lexical ranking function a
+# training-data / RAG pipeline uses to mine relevant documents for a
+# query (and the strictly richer sibling of tfidf_top_terms' weighting:
+# same tf/df statistics plus document-length normalization). Constants
+# are the Robertson/Lucene defaults; the idf is the Lucene formulation
+# ln((N - df + 0.5)/(df + 0.5) + 1), always positive.
+BM25_QUERY = ("spark", "join", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+_BM25_QUERY_SQL = "', '".join(BM25_QUERY)
+# per-(doc, term) contribution — ONE canonical expression string, used
+# verbatim by both engines so the double-arithmetic association order
+# is identical (both sides then round the sorted-fold sum to 6dp; the
+# tfidf convention for libm-noise-proof membership)
+_BM25_CONTRIB = (
+    "ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)"
+    f" * (tf * ({BM25_K1} + 1.0))"
+    f" / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
+)
+
+
+@register(
+    "bm25_query_topk",
+    oracle=f"""
+WITH dl AS (
+  SELECT doc_id, len(string_split(lower(text), ' ')) AS dl FROM documents
+),
+stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n_docs
+  FROM dl
+),
+qtok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+q AS (SELECT * FROM qtok WHERE term IN ('{_BM25_QUERY_SQL}')),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM q GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id, tf.term, {_BM25_CONTRIB} AS c
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id, ROUND(SUM(c ORDER BY term), 6) AS bm25
+  FROM contrib GROUP BY 1
+)
+SELECT doc_id, bm25,
+       ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rk
+FROM scored
+QUALIFY rk <= {BM25_TOP_K}
+""",
+    doc=f"BM25 top-{BM25_TOP_K} retrieval for the literal query "
+    f"{BM25_QUERY} (k1={BM25_K1}, b={BM25_B}, Lucene idf): the lexical "
+    "ranking a RAG/data-mining pipeline runs beside the ANN pillar. "
+    "Scale shape: the query-term filter lands BEFORE the tf aggregate, "
+    "so only query-term postings (O(docs x |query|), not O(tokens)) "
+    "ever shuffle; doc length is a scan-local size(split()); avgdl/N "
+    "and the per-term df frame are one-row/O(|query|) broadcasts; the "
+    "global top-k is a distributed TakeOrdered (no single-partition "
+    "window over the corpus — rk is assigned on the returned "
+    f"{BM25_TOP_K}-row frame only). Per-term contributions use one "
+    "canonical expression string in both engines and fold in sorted "
+    "term order, 6dp-rounded — the tfidf libm convention.",
+    tags=("text", "join"),
+)
+def bm25_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id", F.size(F.split(F.lower("text"), " ")).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+    )
+    q = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).where(F.col("term").isin(*BM25_QUERY))
+    tf = q.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = q.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", F.expr(_BM25_CONTRIB).alias("c"))
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ),
+            6,
+        ).alias("bm25")
+    )
+    topk = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOP_K)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return topk.withColumn("rk", F.row_number().over(w))

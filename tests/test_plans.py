@@ -133,6 +133,8 @@ BNLJ_OK = {
     "tpch_q11_important_stock",
     # one-row corpus-count (N) broadcast into the idf expression
     "tfidf_top_terms",
+    # one-row (avgdl, N) scalar-stats broadcast into the BM25 score
+    "bm25_query_topk",
     # one-row bloom-bitset array broadcast to every task (16 KB build
     # side; the probe is a scan-side filter, not a join predicate)
     "decontaminate_bloom_prefilter",
@@ -458,3 +460,22 @@ def test_ivf_index_probe_prunes_partitions(spark, scratch):
     q = all_queries()["ann_ivf_topk_indexed"].fn(spark, SF_SMALL)
     qplan = explain_str(q)
     assert "PartitionFilters: [cell" in qplan, qplan
+
+
+def test_bm25_prunes_postings_before_aggregation(spark):
+    """BM25's query-term filter must land in the scan stage BEFORE the
+    tf aggregate (only O(docs x |query|) postings shuffle, never the
+    full token stream), the df/stats sides must broadcast, and the
+    global top-k must be a TakeOrdered, not a corpus-wide
+    single-partition window."""
+    df = all_queries()["bm25_query_topk"].fn(spark, SF_SMALL)
+    plan = explain_str(df, "formatted")
+    # the query-term IN filter sits in a scan-stage Filter node (the
+    # literal term list is visible in its condition), below the tf agg
+    assert "HashAggregate" in plan, plan
+    flt = plan.index("Condition : term")
+    assert "stream" in plan[flt : flt + 400], plan[flt : flt + 400]
+    # df + the 1-row stats frame ride broadcast exchanges
+    assert "BroadcastExchange" in plan, plan
+    # global top-k is distributed TakeOrdered, not a 1-partition window
+    assert "TakeOrderedAndProject" in plan, plan
