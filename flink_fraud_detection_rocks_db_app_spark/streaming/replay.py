@@ -113,8 +113,9 @@ def write_replay_chunks(
     window population — for measuring how per-event state-write costs
     (e.g. sliding-window Expand) grow against per-batch fixed costs.
     `densify_fresh_keys=True` instead gives each copy fresh account_ids
-    (+rep*1M), scaling the KEY population with state-per-key fixed —
-    the axis keyed-join state grows on.
+    (offset by a stride derived from the observed max id), scaling the
+    KEY population with state-per-key fixed — the axis keyed-join
+    state grows on.
 
     `dup_every=k` redelivers every k-th event VERBATIM (same event_id,
     same timestamp, arriving right after the original) — the
@@ -146,11 +147,18 @@ def write_replay_chunks(
         # keyed-join state, where fixed keys would grow join OUTPUT
         # quadratically instead of stream size linearly).
         k = F.lit(densify)
-        acct = (
-            (F.col("account_id") + F.col("rep") * F.lit(1_000_000)).alias("account_id")
-            if densify_fresh_keys
-            else F.col("account_id")
-        )
+        if densify_fresh_keys:
+            # stride from the OBSERVED max account id (next power of
+            # ten, floored at 1M), not a fixed constant — a fixture
+            # whose id space reaches a fixed stride would silently
+            # collide copies (the scale_probe lesson, ADVICE r5)
+            max_acct = df.agg(F.max("account_id")).first()[0] or 0
+            stride = max(1_000_000, 10 ** len(str(max_acct)))
+            acct = (F.col("account_id") + F.col("rep") * F.lit(stride)).alias(
+                "account_id"
+            )
+        else:
+            acct = F.col("account_id")
         df = df.crossJoin(spark.range(densify).select(F.col("id").alias("rep"))).select(
             acct,
             (

@@ -69,6 +69,12 @@ PROBED = [
     "funnel_view_click_purchase",
     "zscore_alerts_3sigma",
     "span_dup_stats",
+    # r7 additions: the iterative-CC composite (pairs -> min-label CC
+    # -> quality argmax; CC rounds = O(component diameter), which the
+    # disjoint-copy construction keeps fixed as the corpus grows) and
+    # the pruned-postings BM25 scorer
+    "dedup_keep_best_per_cluster",
+    "bm25_query_topk",
 ]
 
 DOC_STRIDE = 1_000_000  # minimum doc_id / vec_id / event_id offset per copy
