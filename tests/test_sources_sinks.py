@@ -481,3 +481,78 @@ def test_binary_corpus_metadata_prunes_payload(spark, scratch):
         corpus.select("media_id", "n_bytes")._jdf.queryExecution().executedPlan().toString()
     )
     assert "content" not in meta_plan
+
+
+def test_record_buffer_timer_state_checkpoint_restart(spark, scratch):
+    """WA5/F1 restart semantics: the record-buffer window's state is
+    BOTH a JSON dict of open-window partial sums AND a registered
+    event-time timeout — both must round-trip through the checkpoint.
+    Stop mid-stream with windows open, restart, deliver the rest plus
+    the closing sentinel: every window must emit exactly once and the
+    sums must equal batch SQL (windows that close after the restart
+    carry partial sums folded before it)."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.windows import MS
+    from flink_fraud_detection_rocks_db_app_spark.streaming import (
+        SENTINEL_ACCOUNT,
+        append_sentinel_chunk,
+        read_replay_batch,
+        record_buffer_tumbling_stream,
+    )
+    from pyspark.sql import functions as F
+
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=6)
+    files = sorted(glob.glob(os.path.join(chunks, "*.parquet")))
+    live = os.path.join(scratch, "live")
+    out = os.path.join(scratch, "out")
+    ckpt = os.path.join(scratch, "ckpt")
+    os.makedirs(live)
+
+    def run_once():
+        agg = record_buffer_tumbling_stream(read_replay_stream(spark, live), MS["h"])
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    for f in files[:3]:
+        shutil.copy2(f, live)
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first > 0, "first half should close some windows"
+    for f in files[3:]:
+        shutil.copy2(f, live)
+    max_us = (
+        read_replay_batch(spark, chunks)
+        .agg(F.max(F.unix_micros("event_time")))
+        .first()[0]
+    )
+    append_sentinel_chunk(live, max_us + 7 * MS["d"] * 1000)
+    run_once()
+
+    rows = (
+        spark.read.parquet(out)
+        .where(F.col("account_id") != SENTINEL_ACCOUNT)
+        .collect()
+    )
+    keys = [(r.w_start, r.account_id) for r in rows]
+    assert len(keys) == len(set(keys)), "a window emitted twice across restart"
+    got = {k: r.sum_amount for k, r in zip(keys, rows)}
+    want = {
+        (r.w_start, r.account_id): r.sum_amount
+        for r in read_replay_batch(spark, chunks)
+        .groupBy(
+            (F.floor(F.unix_millis("event_time") / MS["h"]) * MS["h"]).alias("w_start"),
+            "account_id",
+        )
+        .agg(F.sum("amount").alias("sum_amount"))
+        .collect()
+    }
+    assert set(got) == set(want), (len(got), len(want))
+    for k, v in got.items():
+        assert abs(v - want[k]) < 1e-9, k
