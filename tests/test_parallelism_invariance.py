@@ -50,6 +50,10 @@ REPRESENTATIVES = (
     # r5: pure scan fan-out; chunk ids derive from in-row arithmetic
     # only, so ANY schedule dependence would mean a bug in the slicing
     "doc_chunk_windows",
+    # r7: 6dp-rounded sorted-term fold + global top-k with id tiebreak —
+    # rank membership must not depend on which schedule summed the
+    # per-term contributions or ran the TakeOrdered
+    "bm25_query_topk",
 )
 
 
