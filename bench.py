@@ -119,14 +119,15 @@ def _err_summary(exc: Exception) -> str:
 def _stream_benches(
     spark, sf_dir: str, errors: dict[str, str], throughput: dict[str, dict]
 ) -> dict[str, float]:
-    """Six micro-batched streams over the replayed fixture, timed end
+    """Seven micro-batched streams over the replayed fixture, timed end
     to end (replay materialization excluded — it's the generator, not
     the engine): EP1 tumbling agg, the sliding-window agg, the F5
-    stateful detector, and (since r5) session windows, the holistic
-    median, and the two-reader stream-stream interval join — so
-    regressions in window state, overlapping-window state, Python
-    stateful state, merging-session state, full-buffer aggregate
-    state, and join state are separately visible."""
+    stateful detector, (since r5) session windows, the holistic
+    median, the two-reader stream-stream interval join, and (since r7)
+    the WA5/F1 record-buffer window — so regressions in window state,
+    overlapping-window state, Python stateful state, merging-session
+    state, full-buffer aggregate state, join state, and Python
+    timer/timeout state are separately visible."""
     import shutil
     import uuid
 
@@ -134,6 +135,7 @@ def _stream_benches(
 
     from flink_fraud_detection_rocks_db_app_spark.streaming import (
         read_replay_stream,
+        record_buffer_tumbling_stream,
         run_to_memory,
         running_sum_alerts_stream,
         session_agg_stream,
@@ -164,6 +166,13 @@ def _stream_benches(
             3_600_000,
             watermark="0 seconds",
             aggs=[F.expr("percentile(amount, 0.5)").alias("median_amount")],
+        ),
+        # r7: the custom Python timer path (applyInPandasWithState +
+        # event-time timeouts) — same declarative-tumbling semantics as
+        # stream_tumble_sum_1h above, so their rows/s gap IS the price
+        # of the Python stateful round-trip with timers
+        "stream_recordbuffer_tumble_1h": lambda s: record_buffer_tumbling_stream(
+            s, 3_600_000
         ),
     }
     scratch = os.path.join(

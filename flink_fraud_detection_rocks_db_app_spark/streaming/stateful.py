@@ -338,29 +338,55 @@ def record_buffer_tumbling_stream(stream: DataFrame, size_ms: int) -> DataFrame:
     buffered window on firing
     (reference: master/src/main/java/InorderTumblingWindow/FraudDetector.java:35-119).
 
-    State: {window_start_ms: partial_sum} (incremental, not a raw
-    buffer — same result, O(open windows) instead of O(rows)).
+    State: {account: {window_start_ms: partial_sum}} (incremental, not
+    a raw buffer — same result, O(open windows) instead of O(rows)).
     Emits a window exactly when the event-time watermark passes its
     end; must equal the declarative tumbling aggregate (EP3's
     differential-test idea).
+
+    Same bucketed-key design as running_sum_alerts_stream: the group
+    key is a hash bucket of the account, so Arrow transfer + state
+    commits are paid N_FOLD_BUCKETS times per micro-batch instead of
+    once per account (measured ~4x end to end on the sf0.1 bench
+    replay at 1500 accounts). The registered timeout is the earliest
+    open window end across the bucket; per-(account, window) emission
+    semantics are unchanged because windowed sums are commutative.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        wins: dict[int, float] = (
-            json.loads(state.get[0]) if state.exists else {}
+        wins: dict[int, dict[int, float]] = (
+            {
+                int(a): {int(w): v for w, v in d.items()}
+                for a, d in json.loads(state.get[0]).items()
+            }
+            if state.exists
+            else {}
         )
-        wins = {int(k): v for k, v in wins.items()}
-        t_ms, amounts = _sorted_arrays(pdf_iter)
-        for t, a in zip(t_ms, amounts):
-            w = int(t) - int(t) % size_ms
-            wins[w] = wins.get(w, 0.0) + float(a)
+        pdf = _group_frame(pdf_iter, ["account_id", "t_us", "event_id"])
+        if pdf is not None:
+            for a, t_us, amt in zip(
+                pdf["account_id"].to_numpy(),
+                pdf["t_us"].to_numpy(),
+                pdf["amount"].to_numpy(),
+            ):
+                t = int(t_us) // 1000
+                w = t - t % size_ms
+                d = wins.setdefault(int(a), {})
+                d[w] = d.get(w, 0.0) + float(amt)
         wm = state.getCurrentWatermarkMs()
-        closed = sorted(w for w in wins if w + size_ms <= wm)
-        rows = [(w, key[0], wins.pop(w)) for w in closed]
+        rows = []
+        for a in sorted(wins):
+            d = wins[a]
+            for w in sorted(w for w in d if w + size_ms <= wm):
+                rows.append((w, a, d.pop(w)))
+            if not d:
+                del wins[a]
         if wins:
             state.update((json.dumps(wins),))
-            state.setTimeoutTimestamp(min(wins) + size_ms)
+            state.setTimeoutTimestamp(
+                min(min(d) for d in wins.values()) + size_ms
+            )
         else:
             state.remove()
         if rows:
@@ -368,7 +394,8 @@ def record_buffer_tumbling_stream(stream: DataFrame, size_ms: int) -> DataFrame:
 
     return (
         _with_epoch(stream).withWatermark("event_time", "0 seconds")
-        .groupBy("account_id")
+        .withColumn("_bucket", F.pmod(F.xxhash64("account_id"), F.lit(N_FOLD_BUCKETS)))
+        .groupBy("_bucket")
         .applyInPandasWithState(
             fn,
             WINDOW_SUM_SCHEMA,
