@@ -302,3 +302,53 @@ def test_record_buffer_timeout_flush_with_no_input_rows(spark, scratch):
     assert rows.get((0, 1)) == 100.0
     # account 2's first window closed via the in-data path as usual
     assert rows.get((0, 2)) == 1.0
+
+
+def test_record_buffer_window_boundary_semantics(spark, scratch):
+    """Exact-boundary pins for the record-buffer window: an event at
+    t == window_end belongs to the NEXT window (half-open [start, end)),
+    and a window flushes exactly when the watermark REACHES its end
+    (wm == end closes it) — the same contract as declarative
+    F.window + append mode."""
+    out = os.path.join(scratch, "chunks")
+    os.makedirs(out, exist_ok=True)
+    # One day in, NOT epoch 0: the initial watermark is 0 and Spark's
+    # stateful late filter drops event_time <= watermark, so an
+    # epoch-0 row would hit that (data-independent) corner instead of
+    # the window-boundary semantics under test.
+    B = 86_400_000_000  # us
+    B_MS = B // 1000
+    chunks = [
+        # (account_id, t_us, amount, event_id)
+        [(1, B, 1.0, 1), (1, B + 9_999_000, 2.0, 2), (2, B + 5_000_000, 4.0, 3)],
+        # t exactly at the first window's end: next window's first row
+        [(1, B + 10_000_000, 8.0, 4), (2, B + 10_000_000, 16.0, 5)],
+        # watermark now sits exactly ON the first window's end: closes
+        [(2, B + 25_000_000, 32.0, 6)],
+        # far-future row: closes the second window too
+        [(99, B + 3_600_000_000, 0.0, 7)],
+    ]
+    base = int(os.stat(scratch).st_mtime)
+    for i, rows in enumerate(chunks):
+        pdf = pd.DataFrame(rows, columns=["account_id", "t_us", "amount", "event_id"])
+        pdf = pdf.astype(
+            {"account_id": "int64", "t_us": "int64", "amount": "float64",
+             "event_id": "int64"}
+        )
+        path = os.path.join(out, f"chunk_{i:04d}.parquet")
+        pdf.to_parquet(path, index=False)
+        os.utime(path, (base + i, base + i))
+
+    stream = record_buffer_tumbling_stream(read_replay_stream(spark, out), 10_000)
+    run_to_memory(stream, "t_f1_boundary")
+    got = {
+        (r.w_start, r.account_id): r.sum_amount
+        for r in spark.table("t_f1_boundary").collect()
+        if r.account_id != 99
+    }
+    # the t == end events are NOT in the first window (half-open)
+    assert got[(B_MS, 1)] == 3.0, got
+    assert got[(B_MS, 2)] == 4.0, got
+    # and ARE the next window's first rows
+    assert got[(B_MS + 10_000, 1)] == 8.0, got
+    assert got[(B_MS + 10_000, 2)] == 16.0, got
