@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from .stateful import sql_running_alerts
+from .stateful import sql_count_or_time, sql_running_alerts
 from .windows import MS, sql_session, sql_slide, sql_tumble
 
 # Replay scratch anchored to the REPO root, not the CWD: the driver
@@ -531,6 +531,57 @@ def stream_running_sum_alerts_replay(spark: SparkSession, sf_dir: str) -> DataFr
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(name)
+
+
+@register(
+    "stream_count_or_time_replay",
+    oracle=sql_count_or_time(86_400_000, 3, key=True),
+    doc="T3 — the reference's count-or-time CustomTrigger — through the "
+    "ACTUAL streaming engine under the oracle gate (reference: "
+    "master/src/main/java/InorderTumblingWindow/CustomTrigger.java:34-78): "
+    "FIRE_AND_PURGE segments stream out the moment a (key, window) "
+    "holds 3 events (early, mid-window), the remainder flushes when "
+    "the watermark passes the window end (final — via the event-time "
+    "timeout, including the pure-timeout empty-iterator path), and the "
+    "full emitted segment set must hash-match the batch window-rank "
+    "SQL. Segment boundaries depend only on per-key event order, not "
+    "on micro-batch boundaries, which is why a batch oracle exists at "
+    "all. Sits past the driver window, verified every round by the "
+    "full-registry oracle parity test.",
+    tags=("streaming", "trigger", "stateful", "parity"),
+)
+def stream_count_or_time_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import transactions
+    from ..streaming import (
+        SENTINEL_ACCOUNT,
+        append_sentinel_chunk,
+        count_or_time_stream,
+        read_replay_stream,
+        run_to_memory,
+        write_replay_chunks,
+    )
+
+    name = f"streamt3_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        max_us = (
+            transactions(spark, sf_dir)
+            .agg(F.max(F.unix_micros("event_time")))
+            .collect()[0][0]
+        )
+        # 30 days: past every real daily window, so the final segments
+        # of the last windows flush on the closing watermark
+        append_sentinel_chunk(chunks, max_us + 30 * MS["d"] * 1000)
+        segs = count_or_time_stream(
+            read_replay_stream(spark, chunks), 86_400_000, 3
+        )
+        with _bounded_state_partitions(spark):
+            run_to_memory(segs, name)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)
 
 
 @register(
