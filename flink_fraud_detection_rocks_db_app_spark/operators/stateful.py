@@ -214,9 +214,9 @@ def ewma_batch(df: DataFrame, alpha: float) -> DataFrame:
     )
 
 
-@register(
-    "ewma_amount_per_account",
-    oracle=f"""
+# Recursive-CTE oracle for the EWMA recursion — shared by the batch
+# query below and the streaming replay face (streamface.py)
+EWMA_ORACLE = f"""
 WITH RECURSIVE e AS (
   SELECT user_id AS account_id,
          epoch_ms(ts) AS t_ms,
@@ -232,7 +232,12 @@ f AS (
   FROM f JOIN e n ON n.account_id = f.account_id AND n.rn = f.rn + 1
 )
 SELECT account_id, t_ms, ewma FROM f
-""",
+"""
+
+
+@register(
+    "ewma_amount_per_account",
+    oracle=EWMA_ORACLE,
     doc=f"Per-account EWMA (alpha={EWMA_ALPHA}) of transaction amounts — "
     "the adaptive-baseline smoother the z-score detector's fixed "
     "window complements: O(1) state per key, order (event_time, "

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from .stateful import sql_count_or_time, sql_running_alerts
+from .stateful import EWMA_ORACLE, sql_count_or_time, sql_running_alerts
 from .windows import MS, sql_session, sql_slide, sql_tumble
 
 # Replay scratch anchored to the REPO root, not the CWD: the driver
@@ -528,6 +528,74 @@ def stream_running_sum_alerts_replay(spark: SparkSession, sf_dir: str) -> DataFr
         alerts = running_sum_alerts_stream(read_replay_stream(spark, chunks), 500.0)
         with _bounded_state_partitions(spark):
             run_to_memory(alerts, name)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(name)
+
+
+@register(
+    "stream_running_mean_alerts_replay",
+    oracle=sql_running_alerts(90.0, mean=True),
+    doc="F3 through the real streaming engine under the oracle gate: "
+    "the reset-on-alert running MEAN (per-key (sum, count) ValueState, "
+    "reference: TumblingWindowWithTest/src/main/java/spendreport/"
+    "FraudDetectorSliding.java:33-71) runs via applyInPandasWithState "
+    "over the deterministic replay and must hash-match the recursive-"
+    "CTE oracle bit-for-bit — same add/divide order per key as the "
+    "batch fold, the F5-face convention. Sits past the driver window, "
+    "full-suite oracle-verified every round.",
+    tags=("streaming", "detector", "stateful", "parity"),
+)
+def stream_running_mean_alerts_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import (
+        read_replay_stream,
+        run_to_memory,
+        running_mean_alerts_stream,
+        write_replay_chunks,
+    )
+
+    name = f"streamf3_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        # No sentinel: NoTimeout, alerts emit in the batch they fire.
+        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        alerts = running_mean_alerts_stream(read_replay_stream(spark, chunks), 90.0)
+        with _bounded_state_partitions(spark):
+            run_to_memory(alerts, name)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(name)
+
+
+@register(
+    "stream_ewma_replay",
+    oracle=EWMA_ORACLE,
+    doc="The per-key EWMA smoother through the real streaming engine "
+    "under the oracle gate: one float of state per account carried "
+    "across micro-batches must reproduce the recursive-CTE recursion "
+    "bit-for-bit (identical multiply-add order per key — no "
+    "tolerance). Every input row emits, so this face exercises the "
+    "highest output-volume stateful path. Sits past the driver "
+    "window, full-suite oracle-verified every round.",
+    tags=("streaming", "detector", "stateful", "timeseries", "parity"),
+)
+def stream_ewma_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import (
+        ewma_stream,
+        read_replay_stream,
+        run_to_memory,
+        write_replay_chunks,
+    )
+
+    name = f"streamewma_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        out = ewma_stream(read_replay_stream(spark, chunks))
+        with _bounded_state_partitions(spark):
+            run_to_memory(out, name)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(name)
