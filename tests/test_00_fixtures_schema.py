@@ -267,3 +267,39 @@ def test_round5_queries_timezone_free(spark, duck):
             assert got == want, name
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_round7_stream_faces_timezone_free(spark, duck):
+    """Non-UTC probe for the round-7 stateful stream faces: the whole
+    replay path (epoch-us chunk columns -> timestamp_micros ->
+    unix_micros in the folds) must be session-zone-free, so under a
+    +08:45 zone the streamed results still hash-match the oracle. The
+    record-buffer face additionally exercises the event-time timeout
+    arithmetic (watermark ms vs window end) under the shifted zone."""
+    from flink_fraud_detection_rocks_db_app_spark.registry import all_queries
+
+    qs = all_queries()
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Australia/Eucla")
+        for name in ("stream_recordbuffer_tumble_sum_1h_replay", "stream_ewma_replay"):
+            spec = qs[name]
+            df = spec.fn(spark, SF_SMALL)
+            cols = sorted(df.columns)
+            got = sorted(
+                (tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+                 for r in df.select(*cols).collect()),
+                key=repr,
+            )
+            cur = duck.execute(spec.oracle)
+            names = [d[0] for d in cur.description]
+            idx = [names.index(c) for c in cols]
+            want = sorted(
+                (tuple(round(row[i], 6) if isinstance(row[i], float) else row[i]
+                       for i in idx)
+                 for row in cur.fetchall()),
+                key=repr,
+            )
+            assert got == want, name
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
