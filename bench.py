@@ -104,8 +104,10 @@ HEADLINE = [
     "dedup_keep_best_per_cluster",
     "temperature_resample_docs",
     # round 7: BM25 lexical retrieval (pruned query-term postings,
-    # broadcast stats, distributed top-k)
+    # broadcast stats, distributed top-k) and its materialized
+    # inverted-index form (partition-pruned probe, no corpus scan)
     "bm25_query_topk",
+    "bm25_query_topk_indexed",
 ]
 
 

@@ -1,0 +1,87 @@
+"""Shared build-once/atomic-publish machinery for materialized
+warehouse indexes (the IVF inverted lists, the BM25 postings index).
+
+A deployment keeps these as durable assets next to the data, rebuilt
+only when the source changes. Locally they live under the repo's
+.scratch, keyed on (source path, content fingerprint of the source
+parquet files), so a regenerated fixture gets a fresh index instead of
+silently reusing a stale one, and concurrent builders race safely:
+
+- build into a unique '.tmp-' directory, os.rename into the final
+  content-keyed path (atomic on one filesystem);
+- a rename that fails because the destination exists means a
+  concurrent builder won — discard the temp (the winner's copy is
+  byte-equivalent by determinism); any OTHER rename failure re-raises
+  at the cause rather than surfacing as a parquet-read error later;
+- stale fingerprints for the same source are pruned after publish,
+  skipping in-flight '.tmp-' dirs (rmtree'ing a concurrent builder's
+  half-written copy would fail its publish).
+
+The lifecycle (reuse without rewrite, stale prune sparing temps, race
+loser, real failure) is pinned by tests/test_ivf_index_lifecycle.py,
+which drives this module through ensure_ivf_index.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+import shutil
+import uuid
+from typing import Callable
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+)
+
+
+def content_fingerprint(sf_dir: str, table: str) -> str:
+    """Fingerprint of a fixture table's parquet file(s): name, size,
+    mtime of the file or every part inside a directory-style table."""
+    stat_sig = []
+    for f in sorted(glob.glob(os.path.join(sf_dir, f"{table}.parquet*"))):
+        st = os.stat(f)
+        stat_sig.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
+        if os.path.isdir(f):
+            for part in sorted(os.listdir(f)):
+                pst = os.stat(os.path.join(f, part))
+                stat_sig.append(f"{part}:{pst.st_size}:{pst.st_mtime_ns}")
+    return hashlib.md5("|".join(stat_sig).encode()).hexdigest()[:12]
+
+
+def index_path(kind: str, sf_dir: str, table: str) -> tuple[str, str]:
+    """(parent_dir, index_dir) for a materialized index of `kind` over
+    `table` in `sf_dir` — content-keyed as described in the module
+    docstring."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    fp = content_fingerprint(sf_dir, table)
+    parent = os.path.join(_SCRATCH, f"{kind}_index")
+    return parent, os.path.join(parent, f"{key}-{fp}")
+
+
+def ensure_index(
+    kind: str, sf_dir: str, table: str, build: Callable[[str], None]
+) -> str:
+    """Build-once-if-absent with the atomic publish + stale prune
+    described in the module docstring. `build(tmp_path)` materializes
+    the index into tmp_path; it must be deterministic for the same
+    source content (the race loser's copy is discarded unverified)."""
+    parent, idx = index_path(kind, sf_dir, table)
+    if not os.path.isdir(idx):
+        tmp = f"{idx}.tmp-{uuid.uuid4().hex[:8]}"
+        build(tmp)
+        try:
+            os.rename(tmp, idx)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(idx):
+                raise
+        prefix = os.path.basename(idx).split("-")[0] + "-"
+        for sib in os.listdir(parent):
+            if ".tmp-" in sib:
+                continue
+            if sib.startswith(prefix) and sib != os.path.basename(idx):
+                shutil.rmtree(os.path.join(parent, sib), ignore_errors=True)
+    return idx

@@ -438,69 +438,23 @@ def write_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
 
 def _ivf_index_path(sf_dir: str) -> tuple[str, str]:
     """(parent_dir, index_dir) for the materialized IVF index of this
-    fixture. The directory name is keyed on sf_dir AND a fingerprint of
-    the embeddings parquet files (name/size/mtime), so a regenerated
-    fixture gets a fresh index instead of silently reusing a stale one
-    (ADVICE r5: the old path was keyed on path alone and rebuilt+
-    overwritten on every call — racy under concurrent invocations)."""
-    import glob
-    import hashlib
-    import os
+    fixture — content-keyed on the embeddings files so a regenerated
+    fixture gets a fresh index (shared machinery in indexcache.py;
+    the ADVICE r5/r6 lifecycle hazards are handled there and pinned by
+    tests/test_ivf_index_lifecycle.py)."""
+    from .indexcache import index_path
 
-    stat_sig = []
-    for f in sorted(glob.glob(os.path.join(sf_dir, "embeddings.parquet*"))):
-        st = os.stat(f)
-        stat_sig.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
-        if os.path.isdir(f):
-            for part in sorted(os.listdir(f)):
-                pst = os.stat(os.path.join(f, part))
-                stat_sig.append(f"{part}:{pst.st_size}:{pst.st_mtime_ns}")
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    fp = hashlib.md5("|".join(stat_sig).encode()).hexdigest()[:12]
-    parent = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch",
-        "ivf_index",
-    )
-    return parent, os.path.join(parent, f"{key}-{fp}")
+    return index_path("ivf", sf_dir, "embeddings")
 
 
 def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build-once-if-absent with an atomic publish: the index is written
-    to a unique temp dir and os.rename()d into the content-keyed path,
-    so concurrent invocations never observe a half-written index — the
-    rename loser discards its copy (the winner's is byte-equivalent by
-    determinism) and stale fingerprints for the same fixture path are
-    pruned, so index dirs no longer accumulate per call (ADVICE r5)."""
-    import os
-    import shutil
-    import uuid
+    """Build-once-if-absent with atomic publish + stale prune — see
+    indexcache.ensure_index for the concurrency contract."""
+    from .indexcache import ensure_index
 
-    parent, idx = _ivf_index_path(sf_dir)
-    if not os.path.isdir(idx):
-        tmp = f"{idx}.tmp-{uuid.uuid4().hex[:8]}"
-        write_ivf_index(spark, sf_dir, tmp)
-        try:
-            os.rename(tmp, idx)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-            # rename fails legitimately only when a concurrent builder
-            # won the publish race (destination exists); any OTHER cause
-            # (permissions, cross-device, missing parent) must surface
-            # HERE, not as a parquet-read error downstream (ADVICE r6)
-            if not os.path.isdir(idx):
-                raise
-        prefix = os.path.basename(idx).split("-")[0] + "-"
-        for sib in os.listdir(parent):
-            # skip in-flight '.tmp-' dirs: rmtree'ing a CONCURRENT
-            # builder's half-written copy would fail its write/rename
-            # (ADVICE r6); orphaned temps from crashed builders are
-            # reaped by the loser-cleanup above on the next build
-            if ".tmp-" in sib:
-                continue
-            if sib.startswith(prefix) and sib != os.path.basename(idx):
-                shutil.rmtree(os.path.join(parent, sib), ignore_errors=True)
-    return idx
+    return ensure_index(
+        "ivf", sf_dir, "embeddings", lambda tmp: write_ivf_index(spark, sf_dir, tmp)
+    )
 
 
 @register(

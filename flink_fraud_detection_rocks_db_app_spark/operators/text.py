@@ -6,6 +6,8 @@ in any hot path.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -618,9 +620,9 @@ _BM25_CONTRIB = (
 )
 
 
-@register(
-    "bm25_query_topk",
-    oracle=f"""
+# one oracle for BOTH BM25 forms (scan-time and indexed) — the layout
+# must not change a single score or rank
+_BM25_ORACLE = f"""
 WITH dl AS (
   SELECT doc_id, len(string_split(lower(text), ' ')) AS dl FROM documents
 ),
@@ -648,7 +650,12 @@ SELECT doc_id, bm25,
        ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rk
 FROM scored
 QUALIFY rk <= {BM25_TOP_K}
-""",
+"""
+
+
+@register(
+    "bm25_query_topk",
+    oracle=_BM25_ORACLE,
     doc=f"BM25 top-{BM25_TOP_K} retrieval for the literal query "
     f"{BM25_QUERY} (k1={BM25_K1}, b={BM25_B}, Lucene idf): the lexical "
     "ranking a RAG/data-mining pipeline runs beside the ANN pillar. "
@@ -682,6 +689,118 @@ def bm25_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = (
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", F.expr(_BM25_CONTRIB).alias("c"))
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ),
+            6,
+        ).alias("bm25")
+    )
+    topk = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOP_K)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return topk.withColumn("rk", F.row_number().over(w))
+
+
+# ----------------------------------------------- materialized BM25 index
+
+# Postings partition key: terms hash into this many buckets, so the
+# on-disk layout has a bounded directory count at any vocabulary size
+# and a probe prunes to |query| buckets.
+BM25_TERM_BUCKETS = 64
+
+
+def write_bm25_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the BM25 inverted index: a term-bucket-PARTITIONED
+    postings table (term, doc_id, tf, dl) plus a one-row stats table
+    (avgdl, n_docs) — the lexical twin of the IVF inverted lists
+    (similarity.write_ivf_index). At 100 TB this is the asset a
+    retrieval deployment keeps next to the corpus: queries read only
+    the partitions their terms hash into instead of re-scanning and
+    re-tokenizing the corpus per query."""
+    docs = load(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id", F.size(F.split(F.lower("text"), " ")).cast("long").alias("dl")
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    postings = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .join(dl, "doc_id")
+        .withColumn("tbucket", F.pmod(F.xxhash64("term"), F.lit(BM25_TERM_BUCKETS)))
+    )
+    postings.write.mode("overwrite").partitionBy("tbucket").parquet(
+        os.path.join(path, "postings")
+    )
+    dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+    ).write.mode("overwrite").parquet(os.path.join(path, "stats"))
+
+
+def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once-if-absent with atomic publish + stale prune — the
+    same hardened lifecycle as the IVF index (indexcache.ensure_index,
+    pinned by tests/test_ivf_index_lifecycle.py)."""
+    from .indexcache import ensure_index
+
+    return ensure_index(
+        "bm25", sf_dir, "documents", lambda tmp: write_bm25_index(spark, sf_dir, tmp)
+    )
+
+
+@register(
+    "bm25_query_topk_indexed",
+    oracle=_BM25_ORACLE,
+    doc=f"BM25 top-{BM25_TOP_K} against the MATERIALIZED inverted index: "
+    "postings live as a term-bucket-partitioned parquet table "
+    f"({BM25_TERM_BUCKETS} buckets — bounded directory count at any "
+    "vocabulary) plus a one-row stats table, built once per fixture "
+    "content and atomically published (ensure_bm25_index — the same "
+    "hardened lifecycle as the IVF index). The probe filters on the "
+    "LITERAL buckets the query terms hash into, so the scan prunes "
+    "every other partition and never touches the corpus text "
+    "(PartitionFilters plan-tested); df comes from the pruned postings "
+    "themselves. Same oracle as bm25_query_topk — the layout must not "
+    "change a single score or rank.",
+    tags=("text", "join", "warehouse"),
+)
+def bm25_query_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    idx = ensure_bm25_index(spark, sf_dir)
+    # literal bucket ids: |query| values, computed WITHOUT Spark — the
+    # same xxhash64 the writer used, via a 1-row local frame
+    buckets = sorted(
+        {
+            r.b
+            for r in spark.range(1)
+            .select(
+                *[
+                    F.pmod(F.xxhash64(F.lit(t)), F.lit(BM25_TERM_BUCKETS)).alias(f"b{i}")
+                    for i, t in enumerate(BM25_QUERY)
+                ]
+            )
+            .selectExpr(f"stack({len(BM25_QUERY)}, " + ", ".join(f"b{i}" for i in range(len(BM25_QUERY))) + ") AS b")
+            .collect()
+        }
+    )
+    postings = (
+        spark.read.parquet(os.path.join(idx, "postings"))
+        .where(F.col("tbucket").isin(buckets))
+        .where(F.col("term").isin(*BM25_QUERY))
+    )
+    df = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    stats = spark.read.parquet(os.path.join(idx, "stats"))
+    contrib = (
+        postings.join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", "term", F.expr(_BM25_CONTRIB).alias("c"))
     )

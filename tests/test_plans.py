@@ -135,6 +135,8 @@ BNLJ_OK = {
     "tfidf_top_terms",
     # one-row (avgdl, N) scalar-stats broadcast into the BM25 score
     "bm25_query_topk",
+    # same one-row stats broadcast, read from the index's stats table
+    "bm25_query_topk_indexed",
     # one-row bloom-bitset array broadcast to every task (16 KB build
     # side; the probe is a scan-side filter, not a join predicate)
     "decontaminate_bloom_prefilter",
@@ -479,3 +481,38 @@ def test_bm25_prunes_postings_before_aggregation(spark):
     assert "BroadcastExchange" in plan, plan
     # global top-k is distributed TakeOrdered, not a 1-partition window
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bm25_index_probe_prunes_partitions(spark, scratch):
+    """The materialized BM25 postings index must behave like an index:
+    postings live in tbucket= partition directories and the probe's
+    literal bucket filter reaches the scan as PartitionFilters — a
+    query touches only the buckets its terms hash into, never the
+    corpus text. The registered indexed query's own plan carries the
+    same filters."""
+    import os
+
+    from flink_fraud_detection_rocks_db_app_spark.operators.text import (
+        write_bm25_index,
+    )
+
+    idx = os.path.join(scratch, "bm25_idx")
+    write_bm25_index(spark, SF_SMALL, idx)
+    buckets = sorted(
+        d for d in os.listdir(os.path.join(idx, "postings")) if d.startswith("tbucket=")
+    )
+    assert buckets, "no partition directories written"
+
+    from pyspark.sql import functions as F
+
+    probe = spark.read.parquet(os.path.join(idx, "postings")).where(
+        F.col("tbucket").isin([0, 1])
+    )
+    plan = explain_str(probe)
+    assert "PartitionFilters" in plan and "tbucket" in plan, plan
+
+    reg = all_queries()["bm25_query_topk_indexed"].fn(spark, SF_SMALL)
+    plan = explain_str(reg, "formatted")
+    assert "PartitionFilters" in plan and "tbucket" in plan, plan
+    # no corpus scan: the only sources are the index's postings/stats
+    assert "documents.parquet" not in plan, plan
