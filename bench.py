@@ -108,6 +108,7 @@ HEADLINE = [
     # inverted-index form (partition-pruned probe, no corpus scan)
     "bm25_query_topk",
     "bm25_query_topk_indexed",
+    "bm25_incremental_index_topk",
 ]
 
 

@@ -51,24 +51,35 @@ def content_fingerprint(sf_dir: str, table: str) -> str:
     return hashlib.md5("|".join(stat_sig).encode()).hexdigest()[:12]
 
 
-def index_path(kind: str, sf_dir: str, table: str) -> tuple[str, str]:
+def index_path(
+    kind: str, sf_dir: str, table: str, version: int = 1
+) -> tuple[str, str]:
     """(parent_dir, index_dir) for a materialized index of `kind` over
     `table` in `sf_dir` — content-keyed as described in the module
-    docstring."""
+    docstring. `version` is the index FORMAT version: bump it when the
+    on-disk layout or schema changes, so a published index in the old
+    format reads as stale (and is pruned) instead of breaking the new
+    probe."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    fp = content_fingerprint(sf_dir, table)
+    fp = hashlib.md5(
+        f"{content_fingerprint(sf_dir, table)}:v{version}".encode()
+    ).hexdigest()[:12]
     parent = os.path.join(_SCRATCH, f"{kind}_index")
     return parent, os.path.join(parent, f"{key}-{fp}")
 
 
 def ensure_index(
-    kind: str, sf_dir: str, table: str, build: Callable[[str], None]
+    kind: str,
+    sf_dir: str,
+    table: str,
+    build: Callable[[str], None],
+    version: int = 1,
 ) -> str:
     """Build-once-if-absent with the atomic publish + stale prune
     described in the module docstring. `build(tmp_path)` materializes
     the index into tmp_path; it must be deterministic for the same
     source content (the race loser's copy is discarded unverified)."""
-    parent, idx = index_path(kind, sf_dir, table)
+    parent, idx = index_path(kind, sf_dir, table, version)
     if not os.path.isdir(idx):
         tmp = f"{idx}.tmp-{uuid.uuid4().hex[:8]}"
         build(tmp)

@@ -715,15 +715,13 @@ def bm25_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 BM25_TERM_BUCKETS = 64
 
 
-def write_bm25_index(spark: SparkSession, sf_dir: str, path: str) -> None:
-    """Materialize the BM25 inverted index: a term-bucket-PARTITIONED
-    postings table (term, doc_id, tf, dl) plus a one-row stats table
-    (avgdl, n_docs) — the lexical twin of the IVF inverted lists
-    (similarity.write_ivf_index). At 100 TB this is the asset a
-    retrieval deployment keeps next to the corpus: queries read only
-    the partitions their terms hash into instead of re-scanning and
-    re-tokenizing the corpus per query."""
-    docs = load(spark, sf_dir, "documents")
+def _write_bm25_segment(docs: DataFrame, path: str, mode: str) -> None:
+    """One segment of the BM25 index: term-bucket-partitioned postings
+    (term, doc_id, tf, dl) plus ONE stats row of EXACT INTEGER sums
+    (sum_dl, n_docs). Storing integer sums instead of a precomputed
+    average is what makes the index appendable: the probe aggregates
+    the stats rows and derives avgdl from exact totals, so any
+    segmentation of the corpus yields bit-identical scores."""
     dl = docs.select(
         "doc_id", F.size(F.split(F.lower("text"), " ")).cast("long").alias("dl")
     )
@@ -736,13 +734,34 @@ def write_bm25_index(spark: SparkSession, sf_dir: str, path: str) -> None:
         .join(dl, "doc_id")
         .withColumn("tbucket", F.pmod(F.xxhash64("term"), F.lit(BM25_TERM_BUCKETS)))
     )
-    postings.write.mode("overwrite").partitionBy("tbucket").parquet(
+    postings.write.mode(mode).partitionBy("tbucket").parquet(
         os.path.join(path, "postings")
     )
     dl.agg(
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-        F.count("*").alias("n_docs"),
-    ).write.mode("overwrite").parquet(os.path.join(path, "stats"))
+        F.sum("dl").alias("sum_dl"), F.count("*").alias("n_docs")
+    ).write.mode(mode).parquet(os.path.join(path, "stats"))
+
+
+def write_bm25_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the BM25 inverted index: a term-bucket-PARTITIONED
+    postings table (term, doc_id, tf, dl) plus an exact-integer stats
+    table — the lexical twin of the IVF inverted lists
+    (similarity.write_ivf_index). At 100 TB this is the asset a
+    retrieval deployment keeps next to the corpus: queries read only
+    the partitions their terms hash into instead of re-scanning and
+    re-tokenizing the corpus per query."""
+    _write_bm25_segment(load(spark, sf_dir, "documents"), path, "overwrite")
+
+
+def append_to_bm25_index(docs: DataFrame, index_path: str) -> None:
+    """Append a batch of NEW documents to an existing BM25 index:
+    postings land in their term buckets, one more exact-sum stats row
+    is added — cost ∝ batch, never corpus (the appending-corpus
+    contract dedup_incremental_lsh established for signatures). The
+    caller guarantees the batch's doc_ids are new; a probe over the
+    appended index is bit-identical to rebuilding from scratch
+    (oracle-gated by bm25_incremental_index_topk)."""
+    _write_bm25_segment(docs, index_path, "append")
 
 
 def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
@@ -773,11 +792,14 @@ def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
     tags=("text", "join", "warehouse"),
 )
 def bm25_query_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _probe_bm25_index(spark, ensure_bm25_index(spark, sf_dir))
+
+
+def _probe_bm25_index(spark: SparkSession, idx: str) -> DataFrame:
     from pyspark.sql import Window
 
-    idx = ensure_bm25_index(spark, sf_dir)
-    # literal bucket ids: |query| values, computed WITHOUT Spark — the
-    # same xxhash64 the writer used, via a 1-row local frame
+    # literal bucket ids: |query| values, computed with the same
+    # xxhash64 the writer used, via a 1-row local frame
     buckets = sorted(
         {
             r.b
@@ -798,7 +820,17 @@ def bm25_query_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("term").isin(*BM25_QUERY))
     )
     df = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    stats = spark.read.parquet(os.path.join(idx, "stats"))
+    # stats rows are exact integer sums, one per segment: aggregate
+    # them and derive avgdl from the totals — bit-identical however
+    # the corpus was segmented (the append-path contract)
+    stats = (
+        spark.read.parquet(os.path.join(idx, "stats"))
+        .agg(F.sum("sum_dl").alias("sum_dl"), F.sum("n_docs").alias("n_docs"))
+        .select(
+            (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+            "n_docs",
+        )
+    )
     contrib = (
         postings.join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(stats))
@@ -817,3 +849,30 @@ def bm25_query_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOP_K)
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     return topk.withColumn("rk", F.row_number().over(w))
+
+
+@register(
+    "bm25_incremental_index_topk",
+    oracle=_BM25_ORACLE,
+    doc="The APPENDING-CORPUS form of the BM25 index (the contract "
+    "dedup_incremental_lsh established for signatures): the index is "
+    "built over ~7/8 of the corpus, the remaining ~1/8 arrives as a "
+    "new-document batch appended segment-wise (postings land in their "
+    "term buckets, one more exact-integer stats row) — cost ∝ batch, "
+    "never corpus. The probe over the appended index must hash-match "
+    "the FULL-corpus oracle score for score and rank for rank, which "
+    "is only possible because stats are exact integer sums aggregated "
+    "at probe time (a stored average could not be updated exactly).",
+    tags=("text", "join", "warehouse", "incremental"),
+)
+def bm25_incremental_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .indexcache import ensure_index
+
+    def build(tmp: str) -> None:
+        docs = load(spark, sf_dir, "documents")
+        is_batch = F.pmod(F.xxhash64("doc_id"), F.lit(8)) == 0
+        _write_bm25_segment(docs.where(~is_batch), tmp, "overwrite")
+        append_to_bm25_index(docs.where(is_batch), tmp)
+
+    idx = ensure_index("bm25incr", sf_dir, "documents", build)
+    return _probe_bm25_index(spark, idx)

@@ -137,6 +137,7 @@ BNLJ_OK = {
     "bm25_query_topk",
     # same one-row stats broadcast, read from the index's stats table
     "bm25_query_topk_indexed",
+    "bm25_incremental_index_topk",
     # one-row bloom-bitset array broadcast to every task (16 KB build
     # side; the probe is a scan-side filter, not a join predicate)
     "decontaminate_bloom_prefilter",
