@@ -96,3 +96,30 @@ def test_rename_real_failure_raises_at_cause(spark, monkeypatch):
     # recovery: a clean call rebuilds normally
     assert ensure_ivf_index(spark, SF_SMALL) == idx
     assert os.path.isdir(idx)
+
+
+def test_bm25_append_matches_full_build(spark, scratch):
+    """Append-path contract: a base segment plus an appended batch must
+    probe bit-identically to a monolithic full-corpus build — the
+    exact-integer stats rows (one per segment) are what make the
+    derived avgdl independent of segmentation."""
+    from pyspark.sql import functions as F
+
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+    from flink_fraud_detection_rocks_db_app_spark.operators.text import (
+        _probe_bm25_index,
+        _write_bm25_segment,
+        append_to_bm25_index,
+    )
+
+    full = os.path.join(scratch, "full")
+    seg = os.path.join(scratch, "seg")
+    docs = load(spark, SF_SMALL, "documents")
+    _write_bm25_segment(docs, full, "overwrite")
+    half = F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0
+    _write_bm25_segment(docs.where(~half), seg, "overwrite")
+    append_to_bm25_index(docs.where(half), seg)
+    assert spark.read.parquet(os.path.join(seg, "stats")).count() == 2
+    got = sorted(tuple(r) for r in _probe_bm25_index(spark, seg).collect())
+    want = sorted(tuple(r) for r in _probe_bm25_index(spark, full).collect())
+    assert got and got == want
