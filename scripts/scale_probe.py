@@ -75,6 +75,8 @@ PROBED = [
     # the pruned-postings BM25 scorer
     "dedup_keep_best_per_cluster",
     "bm25_query_topk",
+    "dedup_containment_pairs",
+    "bm25_incremental_index_topk",
 ]
 
 DOC_STRIDE = 1_000_000  # minimum doc_id / vec_id / event_id offset per copy
