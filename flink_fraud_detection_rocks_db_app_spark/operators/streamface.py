@@ -534,6 +534,53 @@ def stream_running_sum_alerts_replay(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "stream_paned_slide_sum_replay",
+    oracle=sql_slide(50_000, 10_000, "SUM(value) AS sum_amount"),
+    doc="WA3's pane optimization as CHAINED STATEFUL OPERATORS under "
+    "the oracle gate: a tumbling gcd-pane SUM feeds a second sliding "
+    "aggregate over the pane rows (state writes ∝ |panes|, not "
+    "|rows|×overlap — the rewrite that makes sliding windows survive "
+    "scale), and the final sums must hash-match the same batch "
+    "window-enumeration SQL as the naive sliding face. This is the "
+    "one face whose WATERMARK must propagate through two stateful "
+    "stages — aggregate-on-aggregate closure is the riskiest "
+    "multi-stateful path Spark supports. Sits past the driver window, "
+    "full-suite oracle-verified every round.",
+    tags=("streaming", "window", "sliding", "parity"),
+)
+def stream_paned_slide_sum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import transactions
+    from ..streaming import (
+        SENTINEL_ACCOUNT,
+        append_sentinel_chunk,
+        paned_sliding_stream,
+        read_replay_stream,
+        run_to_memory,
+        write_replay_chunks,
+    )
+
+    name = f"streampaned_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        max_us = (
+            transactions(spark, sf_dir)
+            .agg(F.max(F.unix_micros("event_time")))
+            .collect()[0][0]
+        )
+        append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
+        agg = paned_sliding_stream(
+            read_replay_stream(spark, chunks), 50 * MS["s"], 10 * MS["s"]
+        )
+        with _bounded_state_partitions(spark):
+            run_to_memory(agg, name)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)
+
+
+@register(
     "stream_running_mean_alerts_replay",
     oracle=sql_running_alerts(90.0, mean=True),
     doc="F3 through the real streaming engine under the oracle gate: "
