@@ -534,6 +534,87 @@ def stream_running_sum_alerts_replay(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "stream_union_max_by_replay",
+    # identical contract to the batch union_max_by row
+    oracle=f"""
+WITH a AS ({sql_slide(5 * 60_000, 60_000, "AVG(value) AS mean_amount")}),
+b AS ({sql_tumble(5 * 60_000, "AVG(value) AS mean_amount")}),
+u AS (
+  SELECT *, 'slide' AS src FROM a
+  UNION ALL
+  SELECT *, 'tumble' AS src FROM b
+)
+SELECT account_id, w_start, round(mean_amount, 6) AS mean_r, src
+FROM u
+QUALIFY row_number() OVER (
+  PARTITION BY account_id
+  ORDER BY round(mean_amount, 6) DESC, w_start ASC, src ASC
+) = 1
+""",
+    doc="M1 + A7 through the real streaming engine: TWO independently "
+    "watermarked windowed aggregates (5m/1m sliding mean and 5m "
+    "tumbling mean) over the same replay are UNIONED in one streaming "
+    "query — Spark's multi-watermark union, the M1 machinery — and "
+    "every closed window lands in the sink; the reference's keyed "
+    "max-by reduce is then the deterministic argmax over the "
+    "materialized windows (rounded 6dp, (w_start, src) tiebreak — the "
+    "same final answer the continuous reduce converges to). "
+    "Hash-gated against the batch union_max_by oracle. Sits past the "
+    "driver window, full-suite verified every round.",
+    tags=("streaming", "union", "max_by", "parity"),
+)
+def stream_union_max_by_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..fixtures import transactions
+    from ..streaming import (
+        SENTINEL_ACCOUNT,
+        append_sentinel_chunk,
+        read_replay_stream,
+        run_to_memory,
+        windowed_agg_stream,
+        write_replay_chunks,
+    )
+
+    name = f"streamunion_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        max_us = (
+            transactions(spark, sf_dir)
+            .agg(F.max(F.unix_micros("event_time")))
+            .collect()[0][0]
+        )
+        append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
+        mean = [F.avg("amount").alias("mean_amount")]
+        a = windowed_agg_stream(
+            read_replay_stream(spark, chunks), 5 * MS["m"], slide_ms=MS["m"],
+            watermark="0 seconds", aggs=mean,
+        ).withColumn("src", F.lit("slide"))
+        b = windowed_agg_stream(
+            read_replay_stream(spark, chunks), 5 * MS["m"],
+            watermark="0 seconds", aggs=mean,
+        ).withColumn("src", F.lit("tumble"))
+        with _bounded_state_partitions(spark):
+            run_to_memory(a.unionByName(b), name)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    u = spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)
+    w = Window.partitionBy("account_id").orderBy(
+        F.round("mean_amount", 6).desc(), F.col("w_start").asc(), F.col("src").asc()
+    )
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "account_id", "w_start",
+            F.round("mean_amount", 6).alias("mean_r"), "src",
+        )
+    )
+
+
+@register(
     "stream_paned_slide_sum_replay",
     oracle=sql_slide(50_000, 10_000, "SUM(value) AS sum_amount"),
     doc="WA3's pane optimization as CHAINED STATEFUL OPERATORS under "

@@ -282,7 +282,13 @@ def test_round7_stream_faces_timezone_free(spark, duck):
     prev = spark.conf.get("spark.sql.session.timeZone")
     try:
         spark.conf.set("spark.sql.session.timeZone", "Australia/Eucla")
-        for name in ("stream_recordbuffer_tumble_sum_1h_replay", "stream_ewma_replay"):
+        for name in (
+            "stream_recordbuffer_tumble_sum_1h_replay",
+            "stream_ewma_replay",
+            # r7b: two-stage paned sliding — window math in BOTH
+            # stateful stages must be session-zone-free
+            "stream_paned_slide_sum_replay",
+        ):
             spec = qs[name]
             df = spec.fn(spark, SF_SMALL)
             cols = sorted(df.columns)
