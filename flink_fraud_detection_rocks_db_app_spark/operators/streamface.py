@@ -445,6 +445,105 @@ def stream_ooo_tumble_sum_1h_replay(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "stream_ooo_slide_mean_50s_10s_replay",
+    oracle=sql_slide(50_000, 10_000, "AVG(value) AS mean_amount"),
+    doc="W2 x WA2: bounded out-of-orderness on the SLIDING window — the "
+    "replay defers a deterministic half of each chunk's final 6 h of "
+    "event time into the next micro-batch (times intact) and the job "
+    "runs withWatermark('6 hours'); every deferred row's overlapping "
+    "windows all end strictly above the watermark (end > t > wm), so "
+    "every one of its size/slide window assignments must still be "
+    "admitted and the streamed means hash-match plain batch SQL. "
+    "Extends the disorder contract from the tumbling face to the "
+    "multi-assignment window family. Sits past the driver window, "
+    "full-suite verified every round.",
+    tags=("streaming", "window", "sliding", "watermark", "parity"),
+)
+def stream_ooo_slide_mean_50s_10s_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import transactions
+    from ..streaming import (
+        SENTINEL_ACCOUNT,
+        append_sentinel_chunk,
+        read_replay_stream,
+        run_to_memory,
+        windowed_agg_stream,
+        write_replay_chunks,
+    )
+
+    name = f"streamooosl_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        chunks = write_replay_chunks(
+            spark, sf_dir, scratch, n_chunks=6, defer_tail_ms=6 * MS["h"]
+        )
+        max_us = (
+            transactions(spark, sf_dir)
+            .agg(F.max(F.unix_micros("event_time")))
+            .collect()[0][0]
+        )
+        append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
+        agg = windowed_agg_stream(
+            read_replay_stream(spark, chunks),
+            50 * MS["s"],
+            slide_ms=10 * MS["s"],
+            watermark="6 hours",
+            aggs=[F.avg("amount").alias("mean_amount")],
+        )
+        with _bounded_state_partitions(spark):
+            run_to_memory(agg, name)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)
+
+
+@register(
+    "stream_ooo_session_sum_replay",
+    oracle=sql_session(6 * MS["h"]),
+    doc="W2 x session: bounded out-of-orderness on MERGING session "
+    "state — deferred rows arrive a micro-batch late (inside the 6 h "
+    "watermark) and may bridge two open sessions, forcing genuine "
+    "state merges on late arrival; the final sessions must still "
+    "hash-match the batch gaps-and-islands SQL, which is "
+    "order-independent by construction. Sits past the driver window, "
+    "full-suite verified every round.",
+    tags=("streaming", "session", "watermark", "parity"),
+)
+def stream_ooo_session_sum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import transactions
+    from ..streaming import (
+        SENTINEL_ACCOUNT,
+        append_sentinel_chunk,
+        read_replay_stream,
+        run_to_memory,
+        session_agg_stream,
+        write_replay_chunks,
+    )
+
+    name = f"streamoooss_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        chunks = write_replay_chunks(
+            spark, sf_dir, scratch, n_chunks=6, defer_tail_ms=6 * MS["h"]
+        )
+        max_us = (
+            transactions(spark, sf_dir)
+            .agg(F.max(F.unix_micros("event_time")))
+            .collect()[0][0]
+        )
+        append_sentinel_chunk(chunks, max_us + 30 * MS["d"] * 1000)
+        agg = session_agg_stream(
+            read_replay_stream(spark, chunks), 6 * MS["h"], watermark="6 hours"
+        )
+        with _bounded_state_partitions(spark):
+            run_to_memory(agg, name)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)
+
+
+@register(
     "stream_slide_mean_50s_10s_replay",
     oracle=sql_slide(50_000, 10_000, "AVG(value) AS mean_amount"),
     doc="EP2 — the reference's OTHER half — as a driver row: the 50s/10s "
