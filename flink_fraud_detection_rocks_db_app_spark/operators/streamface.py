@@ -633,6 +633,52 @@ def stream_running_sum_alerts_replay(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "stream_continuous_rollup_replay",
+    oracle="""
+SELECT epoch_ms(ts) // 86400000 AS day, user_id AS account_id,
+       SUM(value) AS sum_amount, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+""",
+    doc="The continuous-aggregate (materialized-view) pattern under "
+    "the oracle gate: the daily rollup runs in UPDATE output mode "
+    "through foreachBatch's idempotent merge sink (read-back + "
+    "anti-join + dynamic partition overwrite — only touched day "
+    "partitions rewritten), and the FINAL TABLE must hash-match the "
+    "plain batch GROUP BY. This is the one face exercising update "
+    "mode and a custom sink rather than append + memory; a red row "
+    "means the per-batch upsert merge lost or duplicated an update. "
+    "Returns the bounded (days x accounts) table materialized off the "
+    "scratch dir. Sits past the driver window, full-suite verified "
+    "every round.",
+    tags=("streaming", "rollup", "sink", "parity"),
+)
+def stream_continuous_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import read_replay_stream, write_replay_chunks
+    from ..streaming.rollup import read_rollup, run_continuous_rollup
+
+    name = f"streamrollup_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        table_dir = os.path.join(scratch, "rollup")
+        with _bounded_state_partitions(spark):
+            run_continuous_rollup(
+                spark,
+                read_replay_stream(spark, chunks),
+                table_dir,
+                os.path.join(scratch, "ckpt"),
+            )
+        final = read_rollup(spark, table_dir)
+        # the scratch table is deleted on return: materialize the
+        # bounded (days x accounts) result via the driver — the same
+        # bounded-collect contract as the replay faces' memory sinks
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
     "stream_union_max_by_replay",
     # identical contract to the batch union_max_by row
     oracle=f"""

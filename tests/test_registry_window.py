@@ -57,6 +57,9 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "setop": "EXCEPT lowers to the same physical left-anti join the "
     "driver-gated tpch_q21 NOT EXISTS half plans (r7 rotation "
     "rationale); the EXCEPT spelling stays full-suite verified",
+    "sink": "the update-mode idempotent foreachBatch merge is "
+    "oracle-gated by stream_continuous_rollup_replay (full-suite "
+    "parity every round) and restart-tested in test_sources_sinks",
 }
 # r7: "warehouse" and "chunking" left the allowlist — ann_ivf_topk_indexed
 # and doc_chunk_windows rotated INTO the window (registry.py comments).
