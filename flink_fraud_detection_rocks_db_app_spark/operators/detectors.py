@@ -225,9 +225,8 @@ def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- CEP-style pattern detection
 
 
-@register(
-    "pattern_rising_3",
-    oracle="""
+# shared by the batch lag-window form and the streaming replay face
+_RISING_ORACLE = """
 WITH e AS (
   SELECT user_id AS account_id, epoch_ms(ts) AS t_ms,
          CAST(value AS DOUBLE) AS amount,
@@ -239,7 +238,12 @@ WITH e AS (
 SELECT account_id, t_ms, a1, a2, amount AS a3
 FROM e
 WHERE amount > a2 AND a2 > a1
-""",
+"""
+
+
+@register(
+    "pattern_rising_3",
+    oracle=_RISING_ORACLE,
     doc="CEP-style sequence pattern (the Flink-CEP capability expressed "
     "relationally): per account, three consecutive strictly-rising "
     "amounts in (event_time, event_id) order; emits at the third event "

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from .detectors import _RISING_ORACLE
 from .stateful import EWMA_ORACLE, sql_count_or_time, sql_running_alerts
 from .windows import MS, sql_session, sql_slide, sql_tumble
 
@@ -627,6 +628,39 @@ def stream_running_sum_alerts_replay(spark: SparkSession, sf_dir: str) -> DataFr
         alerts = running_sum_alerts_stream(read_replay_stream(spark, chunks), 500.0)
         with _bounded_state_partitions(spark):
             run_to_memory(alerts, name)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(name)
+
+
+@register(
+    "stream_pattern_rising_replay",
+    # identical contract to the batch pattern_rising_3 row
+    oracle=_RISING_ORACLE,
+    doc="CEP through the real streaming engine: the rising-triple "
+    "pattern runs as a per-account stateful fold whose entire state is "
+    "the LAST TWO amounts (the minimal sequence-pattern window, "
+    "carried across micro-batches) and must emit exactly the batch "
+    "lag-window's match set — bit-exact, because the comparisons are "
+    "raw fixture doubles with no arithmetic. The Flink-CEP capability "
+    "under the hash gate via the engine, not just the relational "
+    "rewrite. Sits past the driver window, full-suite verified every "
+    "round.",
+    tags=("streaming", "detector", "pattern", "parity"),
+)
+def stream_pattern_rising_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import read_replay_stream, run_to_memory, write_replay_chunks
+    from ..streaming.stateful import pattern_rising_stream
+
+    name = f"streamcep_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        # No sentinel: NoTimeout, matches emit in the batch they complete.
+        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        out = pattern_rising_stream(read_replay_stream(spark, chunks))
+        with _bounded_state_partitions(spark):
+            run_to_memory(out, name)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(name)

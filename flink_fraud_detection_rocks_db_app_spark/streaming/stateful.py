@@ -709,3 +709,63 @@ def ewma_stream(stream: DataFrame, alpha: float = 0.2) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+RISING_SCHEMA = T.StructType(
+    [
+        T.StructField("account_id", T.LongType()),
+        T.StructField("t_ms", T.LongType()),
+        T.StructField("a1", T.DoubleType()),
+        T.StructField("a2", T.DoubleType()),
+        T.StructField("a3", T.DoubleType()),
+    ]
+)
+
+
+def pattern_rising_stream(stream: DataFrame) -> DataFrame:
+    """Streaming CEP rising-triple pattern: per-account state is the
+    LAST TWO amounts (the smallest possible sequence-pattern window),
+    carried across micro-batches; a match emits at the third event
+    with the full triple — identical rows to the batch lag-window form
+    (pattern_rising_3) on the in-order replay, bit-exact because the
+    comparisons are raw fixture doubles with no arithmetic. Bucketed
+    grouping and (account, t_us, event_id) fold order as in the other
+    folds."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        st: dict[int, list] = (
+            {int(k): v for k, v in json.loads(state.get[0]).items()}
+            if state.exists
+            else {}
+        )
+        rows = []
+        pdf = _group_frame(pdf_iter, ["account_id", "t_us", "event_id"])
+        if pdf is None:
+            pdf = pd.DataFrame(columns=["account_id", "t_us", "amount"])
+        for k, t_us, a in zip(
+            pdf["account_id"].to_numpy(),
+            pdf["t_us"].to_numpy(),
+            pdf["amount"].to_numpy(),
+        ):
+            k, a = int(k), float(a)
+            prev = st.get(k, [])
+            if len(prev) == 2 and prev[0] < prev[1] < a:
+                rows.append((k, int(t_us) // 1000, prev[0], prev[1], a))
+            st[k] = (prev + [a])[-2:]
+        state.update((json.dumps(st),))
+        if rows:
+            yield pd.DataFrame(rows, columns=["account_id", "t_ms", "a1", "a2", "a3"])
+
+    return (
+        _with_epoch(stream)
+        .withColumn("_bucket", F.pmod(F.xxhash64("account_id"), F.lit(N_FOLD_BUCKETS)))
+        .groupBy("_bucket")
+        .applyInPandasWithState(
+            fn,
+            RISING_SCHEMA,
+            T.StructType([T.StructField("state_json", T.StringType())]),
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
