@@ -120,7 +120,11 @@ def _err_summary(exc: Exception) -> str:
 
 
 def _stream_benches(
-    spark, sf_dir: str, errors: dict[str, str], throughput: dict[str, dict]
+    spark,
+    sf_dir: str,
+    errors: dict[str, str],
+    throughput: dict[str, dict],
+    workload: dict[str, dict],
 ) -> dict[str, float]:
     """Seven micro-batched streams over the replayed fixture, timed end
     to end (replay materialization excluded — it's the generator, not
@@ -270,6 +274,18 @@ def _stream_benches(
             ).select("account_id", "click_id", "purchase_id", "purchase_value")
 
         jobs["stream_interval_join_7d"] = _interval_join
+        # Workload-config fingerprint per streaming row (ADVICE r7):
+        # micro-batch count and state partitioning ARE the workload for
+        # these jobs (per-batch state open/commit dominates at replay
+        # scale), so a knob change — like r7 halving the interval-join
+        # replay from 6 to 3 chunks — must be mechanically visible in
+        # the per-round JSON, not just in a comment, for cross-round
+        # trend comparisons to detect the discontinuity.
+        for name in jobs:
+            workload[name] = {
+                "n_chunks": 3 if name == "stream_interval_join_7d" else 6,
+                "state_partitions": 4,
+            }
         for name, job in jobs.items():
             # Failure isolation (round-2 lesson: one broken query must
             # not black out every other measurement — BENCH_r02 was
@@ -352,8 +368,9 @@ def main() -> None:
             errors[name] = _err_summary(exc)
     batch_total = round(sum(t for t in timings.values() if t >= 0), 3)
     throughput: dict[str, dict] = {}
+    workload: dict[str, dict] = {}
     try:
-        timings.update(_stream_benches(spark, sf_dir, errors, throughput))
+        timings.update(_stream_benches(spark, sf_dir, errors, throughput, workload))
     except Exception as exc:  # noqa: BLE001
         print(f"bench: stream harness FAILED: {exc!r}", file=sys.stderr)
         errors["_stream_harness"] = _err_summary(exc)
@@ -375,6 +392,10 @@ def main() -> None:
         # input rows / summed triggerExecution) — the
         # reference's numEvents/duration metric definition
         "stream_throughput": throughput,
+        # per-stream workload config (micro-batch count, state
+        # partitions): a knob change makes the row incomparable to
+        # prior rounds, and this field is where that is detectable
+        "stream_workload": workload,
         # batch queries: best of 2 back-to-back runs (noise
         # hygiene); since r4 streams are min-of-2 as well
         # (single-shot stream numbers false-flagged a +45%
@@ -382,6 +403,25 @@ def main() -> None:
         "agg": "min_of_2",
         **({"errors": errors} if errors else {}),
     }
+    # Short flat summary (no nested dicts, < ~400 bytes): printed FIRST
+    # and LAST (r8 hardening — VERDICT r7 #7), so whichever end of
+    # stdout a bounded capture keeps, it contains one complete
+    # parseable summary object. The detail line sits between them.
+    summary = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "sf": float(sf),
+            "batch_total": batch_total,
+            "stream_total": round(total - batch_total, 3),
+            "agg": "min_of_2",
+            "n_queries": len(timings),
+            "n_errors": len(errors),
+            "detail": "BENCH_DETAIL.json + detail stdout line",
+        }
+    )
+    print(summary, flush=True)
     # Full per-query record: one stdout line (humans / logs) AND a file
     # next to the script, so the detail survives any capture limit.
     detail_path = os.path.join(
@@ -394,27 +434,11 @@ def main() -> None:
             fh.write("\n")
     except OSError as exc:
         print(f"bench: could not write {detail_path}: {exc!r}", file=sys.stderr)
-    # LAST line: short flat summary (no nested dicts, < ~400 bytes) —
-    # the driver's bounded tail capture truncated the HEAD of round 5's
-    # single 3 KB line and recorded parsed:null, so the parse target is
-    # now this line, which cannot outgrow the capture window.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "sf": float(sf),
-                "batch_total": batch_total,
-                "stream_total": round(total - batch_total, 3),
-                "agg": "min_of_2",
-                "n_queries": len(timings),
-                "n_errors": len(errors),
-                "detail": "BENCH_DETAIL.json + prior stdout line",
-            }
-        ),
-        flush=True,
-    )
+    # LAST line: the same flat summary — the driver's bounded tail
+    # capture truncated the HEAD of round 5's single 3 KB line and
+    # recorded parsed:null, so the primary parse target stays the final
+    # line, which cannot outgrow the capture window.
+    print(summary, flush=True)
     spark.stop()
 
 

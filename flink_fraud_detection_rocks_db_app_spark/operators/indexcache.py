@@ -39,15 +39,32 @@ _SCRATCH = os.path.join(
 
 def content_fingerprint(sf_dir: str, table: str) -> str:
     """Fingerprint of a fixture table's parquet file(s): name, size,
-    mtime of the file or every part inside a directory-style table."""
+    mtime of the file or every part (recursively, so nested partition
+    subdirectories refresh it) inside a directory-style table.
+
+    Raises FileNotFoundError when the glob matches nothing: a missing
+    or renamed source must fail loudly here, not produce a
+    valid-looking content key that ensure_index would happily build and
+    publish an (empty) index under."""
+    matches = sorted(glob.glob(os.path.join(sf_dir, f"{table}.parquet*")))
+    if not matches:
+        raise FileNotFoundError(
+            f"content_fingerprint: no parquet source for table {table!r} "
+            f"under {sf_dir!r} — refusing to fingerprint a missing source"
+        )
     stat_sig = []
-    for f in sorted(glob.glob(os.path.join(sf_dir, f"{table}.parquet*"))):
+    for f in matches:
         st = os.stat(f)
         stat_sig.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
         if os.path.isdir(f):
-            for part in sorted(os.listdir(f)):
-                pst = os.stat(os.path.join(f, part))
-                stat_sig.append(f"{part}:{pst.st_size}:{pst.st_mtime_ns}")
+            for root, dirs, files in os.walk(f):
+                dirs.sort()
+                rel_root = os.path.relpath(root, f)
+                for part in sorted(files):
+                    pst = os.stat(os.path.join(root, part))
+                    stat_sig.append(
+                        f"{rel_root}/{part}:{pst.st_size}:{pst.st_mtime_ns}"
+                    )
     return hashlib.md5("|".join(stat_sig).encode()).hexdigest()[:12]
 
 

@@ -757,10 +757,35 @@ def append_to_bm25_index(docs: DataFrame, index_path: str) -> None:
     """Append a batch of NEW documents to an existing BM25 index:
     postings land in their term buckets, one more exact-sum stats row
     is added — cost ∝ batch, never corpus (the appending-corpus
-    contract dedup_incremental_lsh established for signatures). The
-    caller guarantees the batch's doc_ids are new; a probe over the
-    appended index is bit-identical to rebuilding from scratch
-    (oracle-gated by bm25_incremental_index_topk)."""
+    contract dedup_incremental_lsh established for signatures). A probe
+    over the appended index is bit-identical to rebuilding from scratch
+    (oracle-gated by bm25_incremental_index_topk).
+
+    The batch's doc_ids MUST be new — a duplicate append would silently
+    double-count postings tf/dl and inflate n_docs/sum_dl, producing
+    plausible-but-wrong scores with no error anywhere downstream. So
+    the contract is ENFORCED here: the (small, broadcast) batch ids are
+    semi-joined against the existing postings' doc_id column — a
+    column-pruned scan with a take(1) early-out — and any overlap
+    raises before a byte is written. At warehouse scale the same guard
+    would probe a per-segment doc_id bloom instead of the raw column;
+    the fail-loudly semantics are what the lifecycle tests pin."""
+    existing = os.path.join(index_path, "postings")
+    if os.path.isdir(existing):
+        spark = docs.sparkSession
+        batch_ids = docs.select("doc_id").distinct()
+        dup = (
+            spark.read.parquet(existing)
+            .select("doc_id")
+            .join(F.broadcast(batch_ids), "doc_id", "left_semi")
+            .take(1)
+        )
+        if dup:
+            raise ValueError(
+                "append_to_bm25_index: batch contains doc_id(s) already in "
+                f"the index (e.g. {dup[0].doc_id!r}) — appending would "
+                "double-count postings and corrupt BM25 stats"
+            )
     _write_bm25_segment(docs, index_path, "append")
 
 

@@ -106,6 +106,14 @@ def _sorted_arrays(pdf_iter: Iterator[pd.DataFrame]):
 # the parallelism knob and stays skew-free for hashed keys.
 N_FOLD_BUCKETS = 64
 
+# record_buffer_tumbling_stream state-format version: bump whenever the
+# grouping key or serialized state shape changes, so a checkpoint
+# written under the old format is rejected on restore instead of being
+# silently reinterpreted (the on-disk analogue of indexcache's
+# index-format version). v2 = bucket-keyed nested {account: {window:
+# sum}} (the r7 shape; v1 was the account-keyed flat {window: sum}).
+RECORD_BUFFER_STATE_V = 2
+
 
 def _bucketed_fold(df: DataFrame, fold_rows) -> DataFrame:
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -351,18 +359,32 @@ def record_buffer_tumbling_stream(stream: DataFrame, size_ms: int) -> DataFrame:
     replay at 1500 accounts). The registered timeout is the earliest
     open window end across the bucket; per-(account, window) emission
     semantics are unchanged because windowed sums are commutative.
+
+    The serialized state carries an explicit format version (the
+    index-format-version pattern from indexcache.index_path): this
+    operator changed both its grouping key and its state shape in one
+    step once already, and a checkpoint written under the old shape
+    must fail LOUDLY on restore, not be silently reinterpreted.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        wins: dict[int, dict[int, float]] = (
-            {
+        if state.exists:
+            blob = json.loads(state.get[0])
+            if not isinstance(blob, dict) or blob.get("v") != RECORD_BUFFER_STATE_V:
+                raise ValueError(
+                    "record_buffer_tumbling_stream: checkpoint state format "
+                    f"{blob.get('v') if isinstance(blob, dict) else '?'!r} != "
+                    f"expected v{RECORD_BUFFER_STATE_V} — the checkpoint "
+                    "predates a state-shape change; start from a fresh "
+                    "checkpoint dir"
+                )
+            wins: dict[int, dict[int, float]] = {
                 int(a): {int(w): v for w, v in d.items()}
-                for a, d in json.loads(state.get[0]).items()
+                for a, d in blob["wins"].items()
             }
-            if state.exists
-            else {}
-        )
+        else:
+            wins = {}
         pdf = _group_frame(pdf_iter, ["account_id", "t_us", "event_id"])
         if pdf is not None:
             for a, t_us, amt in zip(
@@ -383,7 +405,7 @@ def record_buffer_tumbling_stream(stream: DataFrame, size_ms: int) -> DataFrame:
             if not d:
                 del wins[a]
         if wins:
-            state.update((json.dumps(wins),))
+            state.update((json.dumps({"v": RECORD_BUFFER_STATE_V, "wins": wins}),))
             state.setTimeoutTimestamp(
                 min(min(d) for d in wins.values()) + size_ms
             )

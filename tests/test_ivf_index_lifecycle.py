@@ -123,3 +123,36 @@ def test_bm25_append_matches_full_build(spark, scratch):
     got = sorted(tuple(r) for r in _probe_bm25_index(spark, seg).collect())
     want = sorted(tuple(r) for r in _probe_bm25_index(spark, full).collect())
     assert got and got == want
+
+
+def test_bm25_append_rejects_duplicate_doc_ids(spark, scratch):
+    """ADVICE r7: a duplicate append would silently double-count
+    postings tf/dl and inflate n_docs/sum_dl — the new-doc_ids contract
+    is enforced at append time, failing loudly before a byte lands."""
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+    from flink_fraud_detection_rocks_db_app_spark.operators.text import (
+        _write_bm25_segment,
+        append_to_bm25_index,
+    )
+
+    idx = os.path.join(scratch, "dupidx")
+    docs = load(spark, SF_SMALL, "documents")
+    _write_bm25_segment(docs, idx, "overwrite")
+    before = spark.read.parquet(os.path.join(idx, "postings")).count()
+    with pytest.raises(ValueError, match="already in"):
+        append_to_bm25_index(docs.limit(3), idx)
+    # nothing was written by the rejected append
+    assert spark.read.parquet(os.path.join(idx, "postings")).count() == before
+    assert spark.read.parquet(os.path.join(idx, "stats")).count() == 1
+
+
+def test_content_fingerprint_missing_source_raises():
+    """ADVICE r7: a glob that matches nothing must not hash to a
+    valid-looking (empty-string) content key — ensure_index would
+    happily build and publish an empty index under it."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.indexcache import (
+        content_fingerprint,
+    )
+
+    with pytest.raises(FileNotFoundError, match="no parquet source"):
+        content_fingerprint(SF_SMALL, "no_such_table")
