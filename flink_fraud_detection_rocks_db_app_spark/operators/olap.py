@@ -116,6 +116,46 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_distinct_users_bounded",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY 1
+""",
+    doc="The HASH-GATEABLE face of the HLL sketch path: raw "
+    "approx_count_distinct values cannot be oracle-compared (sketches "
+    "differ across engines by design — approx_distinct_users' r1 "
+    "driver row recorded no_oracle for exactly that reason), so this "
+    "face emits the exact distinct count (hash-compared against DuckDB "
+    "value for value) PLUS a boolean asserting the HLL estimate "
+    "(rsd=0.01) landed within 5% of it, which the oracle pins to TRUE. "
+    "A drifting sketch implementation now flips a driver hash, not "
+    "just a suite tolerance test. Both aggregates ride one shuffle "
+    "(single groupBy); at 100 TB you'd drop the exact twin and keep "
+    "the mergeable sketch — this face exists to certify the sketch "
+    "against the exact path while both are affordable.",
+    tags=("batch", "approx"),
+)
+def approx_distinct_users_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_bound"),
+        )
+    )
+
+
+@register(
     "value_quantiles_by_type",
     oracle="""
 SELECT event_type,

@@ -22,18 +22,42 @@ from flink_fraud_detection_rocks_db_app_spark.registry import (
 # Tags whose queries all sit past the driver window ON PURPOSE.
 # Each entry must say WHY suite evidence suffices for the family.
 SUITE_ONLY_TAGS: dict[str, str] = {
-    "approx": "sketch twins (HLL/GK/approx_top_k/approx-heavy-hitters) are "
-    "envelope-gated against their exact driver-gated twins in tests",
+    "alert": "the daily-keyed-sum + threshold gate (P6/F2) machinery is "
+    "driver-gated via stream_continuous_rollup_replay's continuous "
+    "daily sums and dynamic_rules_alerts' rule gates (r8 rotation); "
+    "the literal-threshold variants stay full-suite verified",
+    "analytics": "cohort_retention_daily's join-then-histogram shape is "
+    "driver-gated via tpch_q13's outer-join count-of-counts (r8)",
+    "anomaly": "zscore's per-key sort-window fold machinery is "
+    "driver-gated via the bit-exact stream_ewma_replay twin (r8); "
+    "zscore + its Welford streaming twin stay differential-tested",
+    "cep": "the CEP family's driver row is stream_pattern_rising_replay "
+    "(tag 'pattern', r8): carry-across-batches sequence state is "
+    "strictly more surface than the batch lag-window/funnel folds",
+    "funnel": "same rationale as cep — the sorted-array funnel fold "
+    "stays full-suite verified",
+    "fingerprint": "winnowing rides the same tokenized scan as the "
+    "driver-gated dedup/text rows and was driver-green r5-r7 (r8)",
+    "global": "non-keyed windowAll is the keyed window machinery with a "
+    "single global group (no key exchange); keyed sliding/session "
+    "faces keep driver rows and windowAll was driver-green r3-r7 (r8)",
+    "perf": "the pane-partial rewrite is driver-gated through its "
+    "CHAINED stateful streaming form stream_paned_slide_sum_replay "
+    "(r8); the batch paned row stays full-suite verified",
+    "retention": "same rationale as analytics",
+    "simhash": "scan-local signature family, driver-green r5-r7; the "
+    "dedup pillar keeps four driver rows (pruned-jaccard, containment, "
+    "keep-best, incremental-LSH) (r8)",
+    "window_function": "row-frame/rank window machinery is driver-gated "
+    "via window_heavy_hitters_1h (WindowGroupLimit) and "
+    "resample_daily_gapfill's gap windows (r8)",
     "cube": "OLAP reshaping variant; the pivot row drives the same "
     "multi-grouping machinery in the window",
     "grouping_sets": "same rationale as cube",
-    "rollup": "same rationale as cube",
     "distinct": "exact windowed distinct is the oracle twin of the "
     "driver-gated median/heavy-hitter window rows; HLL twin is approx",
     "filter": "P7 pushdown filters run inside every detector driver row's "
     "plan and are plan-tested (established r4b rotation rationale)",
-    "projection": "P1/P2 projections run inside every driver row's plan "
-    "(established r4 rotation rationale)",
     "histogram": "describe/summary aggregate over the same groupBy "
     "machinery as the driver-gated stats rows",
     "stats": "same rationale as histogram",
@@ -47,22 +71,23 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "quality/gopher/tfidf rows (established r4b rotation rationale)",
     "limit": "order-by-limit is the simplest relational shape; subsumed "
     "by driver-gated top-k window rows (established r4 rationale)",
-    "pattern": "pattern_rising_3's lag-window fold is subsumed by the "
-    "richer driver-gated funnel fold (established r4b rationale)",
     "unpivot": "inverse of the driver-gated pivot row, same reshaping "
     "machinery",
-    "iterative": "the connected_components min-label iteration runs "
-    "VERBATIM inside the driver-gated dedup_keep_best_per_cluster row "
-    "(same pruned pairs -> same CC call; r7 rotation rationale)",
+    "iterative": "the connected_components min-label iteration builds "
+    "the materialized ensure_cc_labels asset the driver-gated "
+    "dedup_keep_best_per_cluster row reads (same pruned pairs -> same "
+    "CC fixpoint, oracle-checked through the recursive-CTE transitive "
+    "closure; r7 rationale updated for the r8 asset form)",
     "setop": "EXCEPT lowers to the same physical left-anti join the "
     "driver-gated tpch_q21 NOT EXISTS half plans (r7 rotation "
     "rationale); the EXCEPT spelling stays full-suite verified",
-    "sink": "the update-mode idempotent foreachBatch merge is "
-    "oracle-gated by stream_continuous_rollup_replay (full-suite "
-    "parity every round) and restart-tested in test_sources_sinks",
 }
 # r7: "warehouse" and "chunking" left the allowlist — ann_ivf_topk_indexed
 # and doc_chunk_windows rotated INTO the window (registry.py comments).
+# r8: "approx", "pattern", "sink", "projection" and "rollup" left the
+# allowlist — approx_distinct_users_bounded,
+# stream_pattern_rising_replay, stream_continuous_rollup_replay and
+# project_account_amount_ts rotated INTO the window.
 
 
 def test_driver_window_is_exactly_50_unique_registered_names():
