@@ -109,6 +109,13 @@ HEADLINE = [
     "bm25_query_topk",
     "bm25_query_topk_indexed",
     "bm25_incremental_index_topk",
+    # round 8 (extend-only): the newly driver-gated TPC-H subquery
+    # shapes (EXISTS histogram, outer-join count-of-counts,
+    # scalar-subquery + anti-join) and the hash-gateable HLL-bound face
+    "tpch_q4_order_priority",
+    "tpch_q13_customer_order_distribution",
+    "tpch_q22_dormant_high_balance",
+    "approx_distinct_users_bounded",
 ]
 
 
