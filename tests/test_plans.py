@@ -517,3 +517,25 @@ def test_bm25_index_probe_prunes_partitions(spark, scratch):
     assert "PartitionFilters" in plan and "tbucket" in plan, plan
     # no corpus scan: the only sources are the index's postings/stats
     assert "documents.parquet" not in plan, plan
+
+
+def test_bounded_distinct_dedup_shuffle_is_narrow(spark):
+    """approx_distinct_users_bounded: the dedup exchange must carry only
+    (event_type, user_id) — NOT a partial HLL sketch per user. Mixing
+    countDistinct with approx_count_distinct in one groupBy makes
+    Catalyst's distinct-rewrite attach the rsd=0.01 sketch (1,641 long
+    registers, ~13 KB) to every deduped row; at corpus scale that
+    shuffle is sketch-bytes x n_users. The query dedups first, so the
+    sketch partials exist only per (partition x event_type) after the
+    first exchange."""
+    import re
+
+    df = all_queries()["approx_distinct_users_bounded"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    exchanges = re.findall(r"^\(\d+\) Exchange\n(?:.*\n)*?Input \[(\d+)\]", plan, re.M)
+    assert len(exchanges) == 2, plan
+    # first (dedup) exchange: exactly the two grouping columns
+    assert int(exchanges[0]) == 2, plan
+    # the sketch registers appear only in the post-dedup aggregate
+    first_exchange_pos = plan.index("Exchange")
+    assert "MS[0]" not in plan[:first_exchange_pos], plan[:first_exchange_pos]
