@@ -116,6 +116,9 @@ HEADLINE = [
     "tpch_q13_customer_order_distribution",
     "tpch_q22_dormant_high_balance",
     "approx_distinct_users_bounded",
+    # round 8: appending-corpus IVF (frozen quantizer persisted in the
+    # index asset, batch appended to cell partitions)
+    "ann_ivf_incremental_topk",
 ]
 
 

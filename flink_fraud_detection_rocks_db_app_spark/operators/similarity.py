@@ -484,6 +484,116 @@ def ann_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_rerank(inv, probes)
 
 
+# --------------------------------------------- incremental (appending) IVF
+
+IVF_BATCH_MOD = 8  # ~1/8 of the corpus arrives as the appended batch
+
+
+def write_ivf_incremental_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the APPENDABLE IVF index layout: `centroids/` (the
+    frozen coarse quantizer — part of the index asset, so appends
+    assign against the SAME quantizer the base build used, never a
+    retrained one) and `lists/` (the cell-partitioned inverted lists).
+    The base segment covers ~7/8 of the corpus; the remaining ~1/8 is
+    then appended through append_to_ivf_index, exercising the real
+    appending-corpus path inside the build so the published asset is
+    base+batch. Seed vectors (vec_id < IVF_CELLS) are pinned to the
+    base segment by construction — a deployment trains its quantizer
+    before any appends exist."""
+    import os
+
+    e = _vectors(spark, sf_dir)
+    cents = _ivf_centroids(e)
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    is_batch = (F.pmod(F.xxhash64("vec_id"), F.lit(IVF_BATCH_MOD)) == 0) & (
+        F.col("vec_id") >= IVF_CELLS
+    )
+    _ivf_assigned(e.where(~is_batch), cents).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(os.path.join(path, "lists"))
+    append_to_ivf_index(e.where(is_batch), path)
+
+
+def append_to_ivf_index(vectors: DataFrame, index_path: str) -> None:
+    """Append a batch of NEW vectors to an existing incremental IVF
+    index: each vector is assigned to its nearest cell under the
+    index's FROZEN quantizer (read back from `centroids/` — never
+    retrained, so the probe's cell routing stays valid for every
+    previously indexed vector) and the rows land in their cell
+    partitions — cost ∝ batch, never corpus. A probe over the appended
+    index is bit-identical to a monolithic rebuild (oracle-gated by
+    ann_ivf_incremental_topk), because per-vector assignment against a
+    fixed centroid set is order- and segmentation-independent.
+
+    The batch's vec_ids MUST be new — a duplicate append would emit
+    the same neighbor twice and corrupt top-k ranks downstream. As
+    with append_to_bm25_index, the contract is ENFORCED here: the
+    (small, broadcast) batch ids are semi-joined against the existing
+    lists' vec_id column — a column-pruned scan with a take(1)
+    early-out — and any overlap raises before a byte is written."""
+    import os
+
+    spark = vectors.sparkSession
+    lists = os.path.join(index_path, "lists")
+    if os.path.isdir(lists):
+        batch_ids = vectors.select("vec_id").distinct()
+        dup = (
+            spark.read.parquet(lists)
+            .select("vec_id")
+            .join(F.broadcast(batch_ids), "vec_id", "left_semi")
+            .take(1)
+        )
+        if dup:
+            raise ValueError(
+                "append_to_ivf_index: batch contains vec_id(s) already in "
+                f"the index (e.g. {dup[0].vec_id!r}) — appending would "
+                "duplicate inverted-list entries and corrupt top-k results"
+            )
+    cents = spark.read.parquet(os.path.join(index_path, "centroids"))
+    _ivf_assigned(vectors, cents).write.mode("append").partitionBy("cell").parquet(
+        lists
+    )
+
+
+@register(
+    "ann_ivf_incremental_topk",
+    oracle=_IVF_ORACLE,
+    doc="The APPENDING-CORPUS form of the IVF index (the contract "
+    "dedup_incremental_lsh established for signatures and "
+    "bm25_incremental_index_topk for postings): the index is built "
+    "over ~7/8 of the corpus, the remaining ~1/8 arrives as a "
+    "new-vector batch assigned under the FROZEN coarse quantizer "
+    "persisted inside the index asset and appended to its cell "
+    "partitions — cost ∝ batch, never corpus, no retraining. The "
+    "probe over the appended index must match the monolithic-build "
+    "oracle neighbor for neighbor, which holds because per-vector "
+    "assignment against a fixed centroid set is segmentation-"
+    "independent. Probed cells still collect to literal partition "
+    "filters, so the scan prunes unprobed inverted lists exactly as "
+    "the monolithic index does (plan-tested).",
+    tags=("similarity", "ann", "ivf", "warehouse", "incremental"),
+)
+def ann_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .indexcache import ensure_index
+
+    idx = ensure_index(
+        "ivfincr",
+        sf_dir,
+        "embeddings",
+        lambda tmp: write_ivf_incremental_index(spark, sf_dir, tmp),
+    )
+    e = _vectors(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    probes = _ivf_probes(e, cents)
+    cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    inv = spark.read.parquet(os.path.join(idx, "lists")).where(
+        F.col("cell").isin(cells)
+    )
+    return _ivf_rerank(inv, probes)
+
+
 _ANN_TOPK_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,

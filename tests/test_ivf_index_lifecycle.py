@@ -156,3 +156,59 @@ def test_content_fingerprint_missing_source_raises():
 
     with pytest.raises(FileNotFoundError, match="no parquet source"):
         content_fingerprint(SF_SMALL, "no_such_table")
+
+
+def test_ivf_append_matches_monolithic_assignment(spark, scratch):
+    """Appending-IVF contract: base segment + appended batch must hold
+    exactly the rows a monolithic full-corpus assignment produces —
+    per-vector assignment against the FROZEN quantizer is segmentation-
+    independent, so the union of segments IS the full index."""
+    from pyspark.sql import functions as F
+
+    from flink_fraud_detection_rocks_db_app_spark.operators.similarity import (
+        _ivf_assigned,
+        _ivf_centroids,
+        _vectors,
+        write_ivf_incremental_index,
+    )
+
+    idx = os.path.join(scratch, "ivfincr")
+    write_ivf_incremental_index(spark, SF_SMALL, idx)
+    e = _vectors(spark, SF_SMALL)
+    want = sorted(
+        (r.vec_id, r.cell)
+        for r in _ivf_assigned(e, _ivf_centroids(e)).select("vec_id", "cell").collect()
+    )
+    got = sorted(
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(os.path.join(idx, "lists"))
+        .select("vec_id", "cell")
+        .collect()
+    )
+    assert got and got == want
+    # the appended batch really is a separate ~1/8 slice, not empty
+    n_batch = (
+        spark.read.parquet(os.path.join(idx, "lists"))
+        .where((F.pmod(F.xxhash64("vec_id"), F.lit(8)) == 0) & (F.col("vec_id") >= 8))
+        .count()
+    )
+    assert n_batch > 0
+
+
+def test_ivf_append_rejects_duplicate_vec_ids(spark, scratch):
+    """Same fail-loudly contract as the BM25 append: a duplicate
+    vec_id would put the same vector in an inverted list twice and
+    corrupt downstream top-k ranks; the guard raises before writing."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.similarity import (
+        _vectors,
+        append_to_ivf_index,
+        write_ivf_incremental_index,
+    )
+
+    idx = os.path.join(scratch, "ivfdup")
+    write_ivf_incremental_index(spark, SF_SMALL, idx)
+    lists = os.path.join(idx, "lists")
+    before = spark.read.parquet(lists).count()
+    with pytest.raises(ValueError, match="already in"):
+        append_to_ivf_index(_vectors(spark, SF_SMALL).limit(3), idx)
+    assert spark.read.parquet(lists).count() == before

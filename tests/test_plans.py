@@ -128,6 +128,9 @@ BNLJ_OK = {
     # same bounded centroid cross-broadcast as ann_ivf_topk (IVF_CELLS
     # rows) in the probe stage; the index side itself is an equi join
     "ann_ivf_topk_indexed",
+    # same IVF_CELLS-row quantizer cross-broadcast, read back from the
+    # index's centroids table; the lists side is an equi join
+    "ann_ivf_incremental_topk",
     "tpch_q22_dormant_high_balance",
     # one-row scalar-aggregate gate broadcast into the HAVING filter
     "tpch_q11_important_stock",
@@ -539,3 +542,36 @@ def test_bounded_distinct_dedup_shuffle_is_narrow(spark):
     # the sketch registers appear only in the post-dedup aggregate
     first_exchange_pos = plan.index("Exchange")
     assert "MS[0]" not in plan[:first_exchange_pos], plan[:first_exchange_pos]
+
+
+def test_ivf_incremental_probe_prunes_partitions(spark, scratch):
+    """The appendable IVF layout must keep the index property after an
+    append: lists/ stays cell-partitioned across segments, the probe's
+    literal cell filter reaches the scan as PartitionFilters, and the
+    registered incremental query's plan carries the same filters."""
+    import os
+
+    from flink_fraud_detection_rocks_db_app_spark.operators.similarity import (
+        IVF_CELLS,
+        write_ivf_incremental_index,
+    )
+
+    idx = os.path.join(scratch, "ivfincr_idx")
+    write_ivf_incremental_index(spark, SF_SMALL, idx)
+    lists = os.path.join(idx, "lists")
+    cells = sorted(d for d in os.listdir(lists) if d.startswith("cell="))
+    assert len(cells) == IVF_CELLS, cells
+
+    from pyspark.sql import functions as F
+
+    probe = spark.read.parquet(lists).where(F.col("cell").isin([0, 1]))
+    plan = explain_str(probe)
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    files = probe.select(F.input_file_name()).distinct().collect()
+    assert files, "probe read no files"
+    for (f,) in files:
+        assert "cell=0" in f or "cell=1" in f, f
+
+    q = all_queries()["ann_ivf_incremental_topk"].fn(spark, SF_SMALL)
+    qplan = explain_str(q)
+    assert "PartitionFilters: [cell" in qplan, qplan
