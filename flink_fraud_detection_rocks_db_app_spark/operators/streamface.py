@@ -346,6 +346,107 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join_left_replay",
+    oracle="""
+WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT c.user_id AS account_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_ms(p.ts) - epoch_ms(c.ts) AS lag_ms, p.value AS purchase_value
+FROM c LEFT JOIN p
+  ON c.user_id = p.user_id AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 7 DAY
+""",
+    doc="LEFT OUTER stream-stream interval join under the oracle gate — "
+    "the watermark-forced-NULL semantics the inner face cannot "
+    "exercise: a click with no purchase inside its 7-day range must "
+    "still emit, but only once the watermark proves no match can "
+    "arrive (state eviction IS the null emission — at 100 TB the "
+    "outer side's unmatched state is what the watermark bounds). "
+    "Mechanically this needs TWO sentinel chunks: the first advances "
+    "both watermarks past every click's expiry, and the second is the "
+    "later micro-batch DURING which the engine evicts-and-emits the "
+    "null-joined rows — relying on the trailing no-data batch instead "
+    "is a race against processAllAvailable returning. The emitted set "
+    "must hash-equal the batch LEFT JOIN row for row, nulls included.",
+    tags=("streaming", "join", "interval", "outer", "parity"),
+)
+def stream_interval_join_left_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import load
+    from ..streaming import (
+        SENTINEL_ACCOUNT,
+        append_sentinel_chunk,
+        read_replay_stream,
+        run_to_memory,
+        write_replay_chunks,
+    )
+
+    name = f"streamlivj_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=3)
+        ev = load(spark, sf_dir, "events")
+        max_us = ev.agg(F.max(F.expr("ts div 1000"))).collect()[0][0]
+        # sentinel pair per batch, one id per join side (see docstring)
+        append_sentinel_chunk(
+            chunks, max_us + 30 * 86_400_000_000, event_ids=(-1, -2), seq=0
+        )
+        append_sentinel_chunk(
+            chunks, max_us + 60 * 86_400_000_000, event_ids=(-3, -4), seq=1
+        )
+        types = ev.select("event_id", "event_type")
+
+        def typed(side_sentinels: tuple[int, int], sentinel_type: str):
+            s = read_replay_stream(spark, chunks)
+            return s.join(F.broadcast(types), "event_id", "left").withColumn(
+                "etype",
+                F.coalesce(
+                    "event_type",
+                    F.when(F.col("event_id").isin(*side_sentinels), sentinel_type),
+                ),
+            )
+
+        c = (
+            typed((-1, -3), "click")
+            .where(F.col("etype") == "click")
+            .select(
+                "account_id",
+                F.col("event_time").alias("c_time"),
+                F.col("event_id").alias("click_id"),
+            )
+            .withWatermark("c_time", "0 seconds")
+        )
+        p = (
+            typed((-2, -4), "purchase")
+            .where(F.col("etype") == "purchase")
+            .select(
+                F.col("account_id").alias("p_user"),
+                F.col("event_time").alias("p_time"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("amount").alias("purchase_value"),
+            )
+            .withWatermark("p_time", "0 seconds")
+        )
+        joined = c.join(
+            p,
+            (F.col("account_id") == F.col("p_user"))
+            & (F.col("p_time") > F.col("c_time"))
+            & (F.col("p_time") <= F.col("c_time") + F.expr("INTERVAL 7 DAYS")),
+            "left_outer",
+        ).select(
+            "account_id",
+            "click_id",
+            "purchase_id",
+            (F.unix_millis("p_time") - F.unix_millis("c_time")).alias("lag_ms"),
+            "purchase_value",
+        )
+        with _bounded_state_partitions(spark):
+            run_to_memory(joined, name)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)
+
+
+@register(
     "stream_tumble_median_1h_replay",
     oracle=sql_tumble(MS["h"], "quantile_cont(value, 0.5) AS median_amount"),
     doc="DESIGN.md:27's holistic median as a STREAMING driver row: "

@@ -278,7 +278,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # full-suite verified — gave its slot to frame sampling, the one
     # multimodal stage that had no driver row)
     "multimodal_frame_sample",
-    "multimodal_features",
+    # r8: multimodal_features (driver-green r6/r7; its Arrow-batched
+    # mapInPandas machinery stays driver-gated via frame_sample above,
+    # and the full feature column set stays suite-verified) gives its
+    # slot to the LEFT-OUTER stream-stream interval join — the
+    # watermark-forced-null eviction semantics no other face exercises
+    "stream_interval_join_left_replay",
     # r3: multimodal_feature_agg (features + a groupBy; the pillar keeps
     # two driver slots) gave its slot to the decontamination capability.
     # r4: the bloom-prefilter variant takes the decontamination slot —
@@ -298,8 +303,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the MATERIALIZED cell-partitioned index (ensure_ivf_index:
     # build-once, atomic publish, partition-pruned probe) — the
     # warehouse-asset form that is the 100 TB path; the per-call form
-    # stays full-suite verified with the identical oracle
-    "ann_ivf_topk_indexed",
+    # stays full-suite verified with the identical oracle.
+    # r8: ann_ivf_topk_indexed (driver-green r7) hands the slot to the
+    # APPENDING-corpus form: the same materialized index + pruned
+    # probe + oracle, PLUS the frozen-quantizer append path (batch
+    # assigned under the persisted centroids, duplicate-id guard) —
+    # strictly more machinery under the same hash gate
+    "ann_ivf_incremental_topk",
     # r5: embed_neardup_pairs — the other deliberate-weak exact
     # baseline — rotated out like ann_cosine_topk above (both stay
     # suite-verified every round as the envelopes the approximate

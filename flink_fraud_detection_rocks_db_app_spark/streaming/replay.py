@@ -230,7 +230,7 @@ SENTINEL_ACCOUNT = -1
 
 
 def append_sentinel_chunk(
-    chunks_dir: str, t_us: int, event_ids: tuple[int, ...] = (-1,)
+    chunks_dir: str, t_us: int, event_ids: tuple[int, ...] = (-1,), seq: int = 0
 ) -> None:
     """One far-future row in its own FINAL chunk. Append mode only
     emits a window once the watermark passes its end, so the windows
@@ -245,7 +245,16 @@ def append_sentinel_chunk(
     `event_ids` lets multi-input jobs (e.g. a stream-stream join whose
     two sides filter disjoint slices) receive one sentinel PER side —
     each side's watermark only advances on rows that survive its own
-    filters."""
+    filters.
+
+    `seq` appends ADDITIONAL sentinel chunks as separate later
+    micro-batches (seq=1 lands after seq=0, ...). One sentinel only
+    ADVANCES the watermark; state whose eviction that advance unlocks
+    (outer-join nulls, timer finals) is emitted while EXECUTING a
+    subsequent batch, so a job that must flush watermark-evicted state
+    deterministically needs a second, later sentinel to BE that batch
+    — relying on the trailing no-data micro-batch is a race against
+    processAllAvailable returning."""
     import pandas as pd
 
     n = len(event_ids)
@@ -257,12 +266,13 @@ def append_sentinel_chunk(
             "event_id": pd.array(list(event_ids), dtype="int64"),
         }
     )
-    path = os.path.join(chunks_dir, "chunk_9999_sentinel.parquet")
+    fname = f"chunk_{9999 + seq}_sentinel.parquet"
+    path = os.path.join(chunks_dir, fname)
     rows.to_parquet(path, index=False)
     last = max(
         os.stat(os.path.join(chunks_dir, f)).st_mtime
         for f in os.listdir(chunks_dir)
-        if f != "chunk_9999_sentinel.parquet"
+        if f != fname
     )
     os.utime(path, (last + 1, last + 1))
 

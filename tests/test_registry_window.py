@@ -41,6 +41,10 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "global": "non-keyed windowAll is the keyed window machinery with a "
     "single global group (no key exchange); keyed sliding/session "
     "faces keep driver rows and windowAll was driver-green r3-r7 (r8)",
+    "udf": "the Arrow-batched mapInPandas machinery keeps its driver "
+    "row via multimodal_frame_sample; multimodal_features (driver-"
+    "green r6/r7) gave its r8 slot to the left-outer join face and "
+    "stays full-suite verified",
     "perf": "the pane-partial rewrite is driver-gated through its "
     "CHAINED stateful streaming form stream_paned_slide_sum_replay "
     "(r8); the batch paned row stays full-suite verified",
@@ -61,9 +65,6 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "histogram": "describe/summary aggregate over the same groupBy "
     "machinery as the driver-gated stats rows",
     "stats": "same rationale as histogram",
-    "interval": "stream_interval_join_replay + interval_join_click_purchase "
-    "share keyed-range-join machinery with the driver-gated asof row "
-    "(established r4 rotation rationale)",
     "range": "same keyed-range-join machinery as asof_latest_order",
     "langid": "rides the same tokenized corpus scan as the driver-gated "
     "text rows (established r4 rotation rationale)",

@@ -556,3 +556,32 @@ def test_record_buffer_timer_state_checkpoint_restart(spark, scratch):
     assert set(got) == set(want), (len(got), len(want))
     for k, v in got.items():
         assert abs(v - want[k]) < 1e-9, k
+
+
+def test_sentinel_chunks_keep_strictly_ascending_mtimes(spark, scratch):
+    """Multi-sentinel replays (seq=0, seq=1, ...) must preserve the
+    FileStreamSource ordering invariant: every sentinel's mtime sits
+    strictly after every real chunk AND after all earlier sentinels —
+    same-mtime files are delivered in arbitrary order, which under
+    tight watermarks silently drops whole chunks. The left-outer join
+    face depends on seq=1 arriving as a LATER micro-batch (it is the
+    batch during which watermark-evicted nulls emit)."""
+    import os
+
+    from flink_fraud_detection_rocks_db_app_spark.streaming import (
+        append_sentinel_chunk,
+        write_replay_chunks,
+    )
+
+    chunks = os.path.join(scratch, "multisent")
+    write_replay_chunks(spark, SF_SMALL, chunks, n_chunks=3)
+    real = sorted(
+        os.path.getmtime(os.path.join(chunks, f))
+        for f in os.listdir(chunks)
+        if "sentinel" not in f
+    )
+    append_sentinel_chunk(chunks, 10**18, event_ids=(-1, -2), seq=0)
+    append_sentinel_chunk(chunks, 2 * 10**18, event_ids=(-3, -4), seq=1)
+    s0 = os.path.getmtime(os.path.join(chunks, "chunk_9999_sentinel.parquet"))
+    s1 = os.path.getmtime(os.path.join(chunks, "chunk_10000_sentinel.parquet"))
+    assert real[-1] < s0 < s1
