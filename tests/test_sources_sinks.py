@@ -573,8 +573,9 @@ def test_sentinel_chunks_keep_strictly_ascending_mtimes(spark, scratch):
         write_replay_chunks,
     )
 
-    chunks = os.path.join(scratch, "multisent")
-    write_replay_chunks(spark, SF_SMALL, chunks, n_chunks=3)
+    chunks = write_replay_chunks(
+        spark, SF_SMALL, os.path.join(scratch, "multisent"), n_chunks=3
+    )
     real = sorted(
         os.path.getmtime(os.path.join(chunks, f))
         for f in os.listdir(chunks)
@@ -585,3 +586,114 @@ def test_sentinel_chunks_keep_strictly_ascending_mtimes(spark, scratch):
     s0 = os.path.getmtime(os.path.join(chunks, "chunk_9999_sentinel.parquet"))
     s1 = os.path.getmtime(os.path.join(chunks, "chunk_10000_sentinel.parquet"))
     assert real[-1] < s0 < s1
+
+
+def test_stream_stream_join_checkpoint_restart(spark, scratch):
+    """Stream-stream JOIN state must round-trip the checkpoint across a
+    crash: buffered click/purchase rows from before the stop have to
+    pair with rows delivered after the restart, and the left-outer
+    null emission (watermark-forced eviction of unmatched clicks) must
+    still produce exactly the batch LEFT JOIN — no lost state, no
+    duplicate emission."""
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+    from flink_fraud_detection_rocks_db_app_spark.streaming import (
+        SENTINEL_ACCOUNT,
+        append_sentinel_chunk,
+        write_replay_chunks,
+        read_replay_stream,
+    )
+
+    chunks = write_replay_chunks(spark, SF_SMALL, os.path.join(scratch, "src"), n_chunks=6)
+    ev = load(spark, SF_SMALL, "events")
+    max_us = ev.agg(F.max(F.expr("ts div 1000"))).collect()[0][0]
+    append_sentinel_chunk(chunks, max_us + 30 * 86_400_000_000, event_ids=(-1, -2), seq=0)
+    append_sentinel_chunk(chunks, max_us + 60 * 86_400_000_000, event_ids=(-3, -4), seq=1)
+    files = sorted(
+        glob.glob(os.path.join(chunks, "*.parquet")), key=os.path.getmtime
+    )
+    live = os.path.join(scratch, "live")
+    out = os.path.join(scratch, "out")
+    ckpt = os.path.join(scratch, "ckpt")
+    os.makedirs(live)
+    types = ev.select("event_id", "event_type")
+
+    def run_once():
+        def typed(side_sentinels, sentinel_type):
+            s = read_replay_stream(spark, live)
+            return s.join(F.broadcast(types), "event_id", "left").withColumn(
+                "etype",
+                F.coalesce(
+                    "event_type",
+                    F.when(F.col("event_id").isin(*side_sentinels), sentinel_type),
+                ),
+            )
+
+        c = (
+            typed((-1, -3), "click")
+            .where(F.col("etype") == "click")
+            .select(
+                "account_id",
+                F.col("event_time").alias("c_time"),
+                F.col("event_id").alias("click_id"),
+            )
+            .withWatermark("c_time", "0 seconds")
+        )
+        p = (
+            typed((-2, -4), "purchase")
+            .where(F.col("etype") == "purchase")
+            .select(
+                F.col("account_id").alias("p_user"),
+                F.col("event_time").alias("p_time"),
+                F.col("event_id").alias("purchase_id"),
+            )
+            .withWatermark("p_time", "0 seconds")
+        )
+        joined = c.join(
+            p,
+            (F.col("account_id") == F.col("p_user"))
+            & (F.col("p_time") > F.col("c_time"))
+            & (F.col("p_time") <= F.col("c_time") + F.expr("INTERVAL 7 DAYS")),
+            "left_outer",
+        ).select("account_id", "click_id", "purchase_id")
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    # crash mid-stream: clicks buffered now must join purchases later
+    for f in files[:3]:
+        shutil.copy2(f, live)
+    run_once()
+    for f in files[3:]:
+        shutil.copy2(f, live)
+    run_once()
+
+    got = sorted(
+        (r.account_id, r.click_id, r.purchase_id)
+        for r in spark.read.parquet(out).collect()
+        if r.account_id != SENTINEL_ACCOUNT
+    )
+    cb = ev.where(F.col("event_type") == "click").selectExpr(
+        "user_id AS account_id", "event_id AS click_id", "ts AS c_ts"
+    )
+    pb = ev.where(F.col("event_type") == "purchase").selectExpr(
+        "user_id AS p_user", "event_id AS purchase_id", "ts AS p_ts"
+    )
+    want = sorted(
+        (r.account_id, r.click_id, r.purchase_id)
+        for r in cb.join(
+            pb,
+            (F.col("account_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.lit(7 * 86_400_000_000_000)),
+            "left_outer",
+        ).collect()
+    )
+    assert got == want
+    assert any(p is None for _, _, p in got), "null-eviction rows must survive restart"
