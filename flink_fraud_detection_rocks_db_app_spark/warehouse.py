@@ -176,3 +176,76 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ------------------------------------------------------------ compaction
+
+def compact_date_partitions(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 << 20,
+    partition_prefix: str = "ds=",
+) -> dict:
+    """Small-files compaction for a date-partitioned lake table — the
+    maintenance pass every streaming/appending ingest needs at scale:
+    micro-batch sinks and incremental appends accrete many small files
+    per partition, and at 100 TB the resulting scan-task explosion and
+    NameNode/listing pressure dominate read cost long before data size
+    does.
+
+    Scale posture:
+    - INCREMENTAL: a partition is rewritten only when it has more files
+      than its bytes justify (> ceil(bytes / target_bytes)); healthy
+      partitions are not touched, so steady-state maintenance cost is
+      proportional to the freshly-dirtied partitions (typically just
+      the newest day), never the table.
+    - NO SHUFFLE: the rewrite is coalesce(n_out) — a narrow union of
+      input splits; rows never repartition by key. Row content,
+      ordering within files aside, is bit-preserved (tested).
+    - ATOMIC PER PARTITION: the compacted partition is written to a
+      `.tmp-compact-*` sibling, the old directory is moved aside, the
+      new one renamed into place, then the old is deleted. A crash
+      leaves either the old layout (tmp ignored by readers: dotted
+      prefix) or the completed swap plus a `.trash-*` leftover — never
+      a partial partition. (Directory-rename publish mirrors
+      operators/indexcache.py; on object stores you'd stage a manifest
+      instead — same contract, different rename primitive.)
+
+    Local file listing stands in for the catalog/manifest a real
+    deployment consults. Returns {"compacted": {ds_dir: (n_before,
+    n_after)}, "skipped": [ds_dir, ...]} for observability.
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    compacted: dict[str, tuple[int, int]] = {}
+    skipped: list[str] = []
+    for d in sorted(os.listdir(path)):
+        part_dir = os.path.join(path, d)
+        if not d.startswith(partition_prefix) or not os.path.isdir(part_dir):
+            continue
+        files = [
+            f
+            for f in os.listdir(part_dir)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+        n_bytes = sum(os.path.getsize(os.path.join(part_dir, f)) for f in files)
+        n_target = max(1, math.ceil(n_bytes / target_bytes))
+        if len(files) <= n_target:
+            skipped.append(d)
+            continue
+        tmp = os.path.join(path, f".tmp-compact-{d}-{uuid.uuid4().hex[:8]}")
+        trash = os.path.join(path, f".trash-{d}-{uuid.uuid4().hex[:8]}")
+        (
+            spark.read.parquet(part_dir)
+            .coalesce(n_target)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        os.rename(part_dir, trash)
+        os.rename(tmp, part_dir)
+        shutil.rmtree(trash)
+        compacted[d] = (len(files), n_target)
+    return {"compacted": compacted, "skipped": skipped}

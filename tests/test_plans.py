@@ -575,3 +575,70 @@ def test_ivf_incremental_probe_prunes_partitions(spark, scratch):
     q = all_queries()["ann_ivf_incremental_topk"].fn(spark, SF_SMALL)
     qplan = explain_str(q)
     assert "PartitionFilters: [cell" in qplan, qplan
+
+
+def test_compaction_is_incremental_content_preserving_and_idempotent(spark, scratch):
+    """compact_date_partitions: (a) only partitions with more files
+    than their bytes justify are rewritten — cost ∝ dirty partitions;
+    (b) row content is exactly preserved; (c) the file count drops to
+    the computed target; (d) a second pass is a no-op (idempotent);
+    (e) partition pruning still works on the compacted layout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_fraud_detection_rocks_db_app_spark.warehouse import (
+        compact_date_partitions,
+        read_events_for_day,
+        write_date_partitioned_events,
+    )
+
+    path = write_date_partitioned_events(
+        spark, SF_SMALL, os.path.join(scratch, "compact_me")
+    )
+    # fragment one partition into many small files (a streaming sink's
+    # accretion pattern); leave the others healthy
+    parts = sorted(d for d in os.listdir(path) if d.startswith("ds="))
+    assert len(parts) > 1
+    victim = os.path.join(path, parts[0])
+    frag = spark.read.parquet(victim)
+    frag.repartition(16).write.mode("overwrite").parquet(victim + ".frag")
+    import shutil
+
+    shutil.rmtree(victim)
+    os.rename(victim + ".frag", victim)
+
+    def n_files(d):
+        return len(
+            [f for f in os.listdir(d) if f.endswith(".parquet") and not f.startswith((".", "_"))]
+        )
+
+    assert n_files(victim) >= 16
+    before = sorted(
+        map(tuple, spark.read.parquet(path).select("account_id", "t_ns", "amount", "event_id", "ds").collect())
+    )
+    healthy_mtimes = {
+        d: os.path.getmtime(os.path.join(path, d)) for d in parts[1:]
+    }
+
+    res = compact_date_partitions(spark, path, target_bytes=1 << 30)
+    assert parts[0] in res["compacted"], res
+    n_before, n_after = res["compacted"][parts[0]]
+    assert n_before >= 16 and n_after == 1
+    assert n_files(victim) == 1
+    # healthy partitions untouched (same dir mtime => no rewrite)
+    for d, m in healthy_mtimes.items():
+        assert os.path.getmtime(os.path.join(path, d)) == m, d
+
+    after = sorted(
+        map(tuple, spark.read.parquet(path).select("account_id", "t_ns", "amount", "event_id", "ds").collect())
+    )
+    assert after == before
+
+    res2 = compact_date_partitions(spark, path, target_bytes=1 << 30)
+    assert not res2["compacted"], res2
+
+    # the compacted layout is still a partitioned lake: pruning holds
+    day = parts[0].split("=", 1)[1]
+    plan = explain_str(read_events_for_day(spark, path, day))
+    assert "PartitionFilters" in plan and "ds" in plan.split("PartitionFilters", 1)[1][:200], plan
