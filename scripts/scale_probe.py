@@ -82,6 +82,11 @@ PROBED = [
     "bm25_query_topk",
     "dedup_containment_pairs",
     "bm25_incremental_index_topk",
+    # r8: the appending-corpus IVF — same convention as the BM25
+    # incremental row: the first timed run at each scale pays the
+    # content-keyed index build, min-of-2 keeps the warm probe (the
+    # production per-query cost of the published asset)
+    "ann_ivf_incremental_topk",
 ]
 
 
