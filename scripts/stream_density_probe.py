@@ -43,7 +43,7 @@ from flink_fraud_detection_rocks_db_app_spark.streaming import (
 )
 
 
-def interval_join_job(spark, typed_chunks: str):
+def interval_join_job(spark, typed_chunks: str, how: str = "inner"):
     def side(etype, cols):
         return (
             read_replay_stream(spark, typed_chunks, with_event_type=True)
@@ -72,6 +72,7 @@ def interval_join_job(spark, typed_chunks: str):
         (F.col("account_id") == F.col("p_user"))
         & (F.col("p_time") > F.col("c_time"))
         & (F.col("p_time") <= F.col("c_time") + F.expr("INTERVAL 7 DAYS")),
+        how,
     ).select("account_id", "click_id", "purchase_id")
 
 
@@ -110,6 +111,16 @@ def main() -> None:
                     watermark="0 seconds",
                 ),
                 "stream_interval_join_7d": lambda: interval_join_job(spark, typed),
+                # r8: the LEFT OUTER form — same fresh-key axis; its
+                # extra work over the inner row is the unmatched-click
+                # eviction (null emission). No sentinels here: the
+                # probe measures processing rate over the replay, and
+                # mid-stream watermark advance already drives eviction
+                # for all but the final window's state (the correctness
+                # face stream_interval_join_left_replay flushes fully).
+                "stream_interval_join_left_7d": lambda: interval_join_job(
+                    spark, typed, "left_outer"
+                ),
             }
             for name, job in jobs.items():
                 best = None
