@@ -309,3 +309,38 @@ def test_round7_stream_faces_timezone_free(spark, duck):
             assert got == want, name
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_round8_left_outer_join_face_timezone_free(spark, duck):
+    """Non-UTC probe for the r8 left-outer interval join: the join's
+    range predicate (INTERVAL arithmetic on timestamp_micros columns),
+    the watermark-forced null eviction, and the lag_ms derivation
+    (unix_millis) must all be session-zone-free — under a +08:45 zone
+    the streamed rows, nulls included, still match the batch LEFT JOIN
+    oracle value for value."""
+    from flink_fraud_detection_rocks_db_app_spark.registry import all_queries
+
+    spec = all_queries()["stream_interval_join_left_replay"]
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Australia/Eucla")
+        df = spec.fn(spark, SF_SMALL)
+        cols = sorted(df.columns)
+        got = sorted(
+            (tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+             for r in df.select(*cols).collect()),
+            key=repr,
+        )
+        cur = duck.execute(spec.oracle)
+        names = [d[0] for d in cur.description]
+        idx = [names.index(c) for c in cols]
+        want = sorted(
+            (tuple(round(row[i], 6) if isinstance(row[i], float) else row[i]
+                   for i in idx)
+             for row in cur.fetchall()),
+            key=repr,
+        )
+        assert got == want
+        assert any(r[cols.index("purchase_id")] is None for r in got)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
