@@ -642,3 +642,29 @@ def test_compaction_is_incremental_content_preserving_and_idempotent(spark, scra
     day = parts[0].split("=", 1)[1]
     plan = explain_str(read_events_for_day(spark, path, day))
     assert "PartitionFilters" in plan and "ds" in plan.split("PartitionFilters", 1)[1][:200], plan
+
+
+def test_runtime_bloom_filter_injection_available(spark):
+    """At 100 TB, Catalyst's runtime bloom-filter join (semi-join
+    reduction: build a bloom over the selective side's join keys,
+    filter the big fact scan with might_contain before the shuffle) is
+    a free win — IF the query shape qualifies. The size thresholds
+    that gate it (10 GB application-side scan by default) are
+    deliberately untouched in production code; this test scales them
+    to fixture size to pin that our declarative join shapes DO qualify
+    once scans are big enough: q17 and q9 must plan a might_contain
+    runtime filter on the lineitem scan with no query change."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10KB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        for name in ("tpch_q17_small_quantity_revenue", "tpch_q9_product_type_profit"):
+            plan = explain_str(all_queries()[name].fn(spark, SF_SMALL))
+            assert "might_contain" in plan.lower(), (name, plan[:800])
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
