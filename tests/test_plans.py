@@ -668,3 +668,41 @@ def test_runtime_bloom_filter_injection_available(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_split_available(spark):
+    """SCALE.md's skew posture leans on AQE skew-join splitting for hot
+    join keys (salting covers aggregates). Like the bloom test above,
+    the size thresholds are deliberately untouched in production code;
+    this pins that with thresholds scaled to fixture size, a join with
+    a hot key actually executes as SortMergeJoin(skew=true) — the
+    skewed partition split into advisory-size chunks at runtime."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(500_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(2000).select(
+            (F.col("id") % 1000).alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        j.collect()  # AQE decides skew splits at runtime, post-shuffle
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:500]
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
