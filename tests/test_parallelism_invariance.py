@@ -54,6 +54,11 @@ REPRESENTATIVES = (
     # rank membership must not depend on which schedule summed the
     # per-term contributions or ran the TakeOrdered
     "bm25_query_topk",
+    # r8: appending-index probe — the coalesce()'d append segments and
+    # the cell-partitioned read must give schedule-independent top-k
+    # (cosine DESC, neighbor ASC tiebreak); the index is built once per
+    # content, so both schedules read the SAME published asset
+    "ann_ivf_incremental_topk",
 )
 
 
