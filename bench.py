@@ -117,8 +117,10 @@ HEADLINE = [
     "tpch_q22_dormant_high_balance",
     "approx_distinct_users_bounded",
     # round 8: appending-corpus IVF (frozen quantizer persisted in the
-    # index asset, batch appended to cell partitions)
+    # index asset, batch appended to cell partitions) and the
+    # persisted-sketch weekly rollup (daily HLL partials unioned)
     "ann_ivf_incremental_topk",
+    "weekly_users_sketch_rollup",
 ]
 
 

@@ -165,6 +165,62 @@ def approx_distinct_users_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "weekly_users_sketch_rollup",
+    oracle="""
+SELECT CAST(epoch_ms(ts) // 86400000 // 7 AS BIGINT) AS week_no,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY 1
+""",
+    doc="The PERSISTED-SKETCH cardinality pattern (Datasketches HLL via "
+    "hll_sketch_agg/hll_union_agg): per-day user sketches are built "
+    "first, then UNIONed into per-week estimates — two aggregation "
+    "levels with a mergeable binary sketch crossing the boundary, "
+    "exactly how a 100 TB warehouse answers 'distinct users last "
+    "month' without ever recounting raw events (daily sketch rows are "
+    "the stored rollup; any horizon is a union over O(days) "
+    "KB-sized sketches). The sketch path's shuffles carry only "
+    "O(days x partitions) sketch partials — never per-user rows; the "
+    "exact twin (computed as its own dedup-first aggregation, joined "
+    "on the tiny week frame — NOT mixed into the sketch groupBy, per "
+    "the approx_distinct_users_bounded hazard) exists to certify the "
+    "estimate: the oracle pins a within-5% boolean to TRUE and "
+    "hash-compares the exact counts. Binary round-trip through "
+    "parquet is pinned by tests/test_extensions.py — the sketches "
+    "really are storable assets.",
+    tags=("batch", "approx", "sketch", "rollup"),
+)
+def weekly_users_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("CAST(ts div 86400000000000 AS BIGINT)").alias("day_no"), "user_id"
+    )
+    daily = ev.groupBy("day_no").agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    weekly = (
+        daily.withColumn("week_no", F.expr("day_no div 7"))
+        .groupBy("week_no")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx"))
+    )
+    exact = (
+        ev.withColumn("week_no", F.expr("day_no div 7"))
+        .select("week_no", "user_id")
+        .distinct()
+        .groupBy("week_no")
+        .agg(F.count(F.lit(1)).alias("exact_users"))
+    )
+    return (
+        exact.join(F.broadcast(weekly), "week_no")
+        .select(
+            "week_no",
+            "exact_users",
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_bound"),
+        )
+    )
+
+
+@register(
     "value_quantiles_by_type",
     oracle="""
 SELECT event_type,

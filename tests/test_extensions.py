@@ -542,3 +542,46 @@ def test_ngram_persist_knob_identical_and_scoped(spark):
         kept.unpersist(blocking=True)
     assert got == want
     assert not kept.is_cached
+
+
+def test_hll_sketches_survive_parquet_roundtrip(spark, scratch):
+    """The sketch-rollup pattern only works at 100 TB if the daily
+    sketches are genuinely STORABLE: write the per-day binary sketches
+    to parquet, read them back, union across the storage boundary —
+    the weekly estimates must be identical to the all-in-plan merge,
+    and a sketch union must equal the sketch of the union (merge
+    associativity across persistence)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+
+    ev = load(spark, SF_SMALL, "events").select(
+        F.expr("CAST(ts div 86400000000000 AS BIGINT)").alias("day_no"), "user_id"
+    )
+    daily = ev.groupBy("day_no").agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    path = os.path.join(scratch, "daily_sketches")
+    daily.write.mode("overwrite").parquet(path)
+
+    def weekly_estimates(d):
+        return {
+            r.week_no: r.est
+            for r in d.withColumn("week_no", F.expr("day_no div 7"))
+            .groupBy("week_no")
+            .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+            .collect()
+        }
+
+    in_plan = weekly_estimates(daily)
+    from_disk = weekly_estimates(spark.read.parquet(path))
+    assert from_disk == in_plan and in_plan
+
+    # union-of-sketches == sketch-of-union (one whole-corpus sketch)
+    whole = ev.agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))")).collect()[0][0]
+    merged = (
+        spark.read.parquet(path)
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))"))
+        .collect()[0][0]
+    )
+    assert merged == whole
