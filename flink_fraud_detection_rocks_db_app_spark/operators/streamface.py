@@ -811,6 +811,74 @@ def stream_continuous_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "stream_users_sketch_rollup_replay",
+    oracle="""
+SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day_no,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY 1
+""",
+    doc="The persisted-sketch cardinality rollup as a CONTINUOUS "
+    "aggregate (weekly_users_sketch_rollup's streaming twin): the "
+    "streaming engine maintains one HLL sketch per day as aggregate "
+    "state (TypedImperativeAggregate — the same holistic-state "
+    "machinery as the streaming median), update mode re-emits each "
+    "touched day's complete sketch, and the idempotent foreachBatch "
+    "merge keeps a queryable day->sketch parquet table at every point "
+    "in the stream's life. At-least-once delivery is absorbed twice "
+    "over: redelivered events are set-semantics no-ops inside the "
+    "sketch, redelivered batches rewrite the same row. The final "
+    "table's per-day estimates must land within 5% of the exact "
+    "distinct counts (oracle pins the boolean TRUE and hash-compares "
+    "the exact counts, computed dedup-first per the bounded-face "
+    "hazard).",
+    tags=("streaming", "rollup", "sketch", "approx", "parity"),
+)
+def stream_users_sketch_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import load
+    from ..streaming import read_replay_stream, write_replay_chunks
+    from ..streaming.rollup import read_sketch_rollup, run_users_sketch_rollup
+
+    name = f"streamsketch_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        table_dir = os.path.join(scratch, "sketches")
+        with _bounded_state_partitions(spark):
+            run_users_sketch_rollup(
+                spark,
+                read_replay_stream(spark, chunks),
+                table_dir,
+                os.path.join(scratch, "ckpt"),
+            )
+        est = read_sketch_rollup(spark, table_dir).select(
+            F.col("day").alias("day_no"),
+            F.expr("hll_sketch_estimate(sk)").alias("approx"),
+        )
+        ev = load(spark, sf_dir, "events").select(
+            F.expr("CAST(ts div 86400000000000 AS BIGINT)").alias("day_no"), "user_id"
+        )
+        exact = (
+            ev.distinct()
+            .groupBy("day_no")
+            .agg(F.count(F.lit(1)).alias("exact_users"))
+        )
+        out = exact.join(F.broadcast(est), "day_no").select(
+            "day_no",
+            "exact_users",
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_bound"),
+        )
+        # scratch table is deleted on return — materialize first
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
     "stream_union_max_by_replay",
     # identical contract to the batch union_max_by row
     oracle=f"""

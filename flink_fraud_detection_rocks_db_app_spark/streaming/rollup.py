@@ -61,10 +61,13 @@ def daily_rollup_stream(stream: DataFrame, watermark: str = "0 seconds") -> Data
     )
 
 
-def continuous_rollup_sink(spark: SparkSession, table_dir: str):
-    """foreachBatch merger: upsert the batch's updated (day, account)
-    rows into the day-partitioned rollup table, overwriting only the
-    touched day partitions."""
+def continuous_rollup_sink(
+    spark: SparkSession, table_dir: str, keys: tuple[str, ...] = ("day", "account_id")
+):
+    """foreachBatch merger: upsert the batch's updated rows (complete
+    new values per `keys`, update-mode contract) into the
+    day-partitioned rollup table, overwriting only the touched day
+    partitions. `keys` must include "day"."""
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -82,7 +85,7 @@ def continuous_rollup_sink(spark: SparkSession, table_dir: str):
                 .withColumn("day", F.col("day").cast("long"))
             )
             keep = existing.join(
-                batch_df.select("day", "account_id"), ["day", "account_id"], "left_anti"
+                batch_df.select(*keys), list(keys), "left_anti"
             )
             out = keep.unionByName(batch_df)
         # Materialize BEFORE the overwrite deletes the files `keep` reads.
@@ -127,4 +130,58 @@ def read_rollup(spark: SparkSession, table_dir: str) -> DataFrame:
         "account_id",
         "sum_amount",
         "n_events",
+    )
+
+
+# ------------------------------------------------- sketch rollup variant
+
+def daily_users_sketch_stream(stream: DataFrame, watermark: str = "0 seconds") -> DataFrame:
+    """Per-day DISTINCT-USER HLL sketch in update mode — the
+    continuous-aggregate form of the persisted-sketch cardinality
+    pattern (weekly_users_sketch_rollup's batch twin). The streaming
+    aggregate state IS the day's sketch (TypedImperativeAggregate,
+    same state machinery as the holistic-median face); update mode
+    re-emits each touched day's COMPLETE sketch per micro-batch, so
+    the sink merge stays a whole-row replace. At-least-once delivery
+    is absorbed TWICE over: redelivered raw events are set-semantics
+    no-ops inside the sketch, and a redelivered batch rewrites the
+    same final sketch row."""
+    out = (
+        stream.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", f"{DAY_MS} milliseconds").alias("w"))
+        .agg(F.expr("hll_sketch_agg(account_id)").alias("sk"))
+    )
+    return out.select(
+        (F.unix_millis(F.col("w.start")) / F.lit(DAY_MS)).cast("long").alias("day"),
+        "sk",
+    )
+
+
+def run_users_sketch_rollup(
+    spark: SparkSession,
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "0 seconds",
+) -> None:
+    """Drive the continuous sketch rollup over a (finite) replay to
+    completion; the day->sketch table is queryable at any point and
+    any horizon is a hll_union_agg over its O(days) rows."""
+    q = (
+        daily_users_sketch_stream(stream, watermark)
+        .writeStream.outputMode("update")
+        .foreachBatch(continuous_rollup_sink(spark, table_dir, keys=("day",)))
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+
+def read_sketch_rollup(spark: SparkSession, table_dir: str) -> DataFrame:
+    return spark.read.parquet(table_dir).select(
+        F.col("day").cast("long").alias("day"), "sk"
     )

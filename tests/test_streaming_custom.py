@@ -457,3 +457,48 @@ def test_ewma_stream_equals_batch_fold(spark, scratch):
         for r in all_queries()["ewma_amount_per_account"].fn(spark, SF_SMALL).collect()
     )
     assert got and got == want, (len(got), len(want))
+
+
+def test_sketch_rollup_absorbs_redelivery(spark, scratch):
+    """The continuous sketch rollup's at-least-once story: replay the
+    chunks with every row delivered TWICE (same account/event_time) —
+    HLL insertion is set-semantics, so the final day->sketch table must
+    carry bit-identical sketches (not merely close estimates) to the
+    duplicate-free run."""
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from flink_fraud_detection_rocks_db_app_spark.streaming.rollup import (
+        read_sketch_rollup,
+        run_users_sketch_rollup,
+    )
+
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=4)
+    dup_dir = os.path.join(scratch, "dupsketch")
+    os.makedirs(dup_dir)
+    for f in sorted(glob.glob(os.path.join(chunks, "*.parquet"))):
+        pdf = pd.read_parquet(f)
+        doubled = pd.concat([pdf, pdf], ignore_index=True)
+        out = os.path.join(dup_dir, os.path.basename(f))
+        doubled.to_parquet(out, index=False)
+        st = os.stat(f)
+        os.utime(out, (st.st_atime, st.st_mtime))
+
+    tables = {}
+    for tag, src in (("clean", chunks), ("dup", dup_dir)):
+        tdir = os.path.join(scratch, f"sk_{tag}")
+        run_users_sketch_rollup(
+            spark,
+            read_replay_stream(spark, src),
+            tdir,
+            os.path.join(scratch, f"ckpt_{tag}"),
+        )
+        tables[tag] = {
+            r.day: bytes(r.sk) for r in read_sketch_rollup(spark, tdir).collect()
+        }
+    assert tables["clean"] and tables["dup"] == tables["clean"]
