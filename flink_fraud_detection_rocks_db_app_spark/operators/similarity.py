@@ -738,10 +738,14 @@ def _kmeans_recompute(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_ctes(k: int = KMEANS_K, n_iters: int = KMEANS_ITERS) -> str:
+    """WITH-clause prefix replaying the Lloyd loop in DuckDB: seed c0 =
+    lowest-k vec_ids, then a{i} (argmin assignment) / c{i} (6dp-rounded
+    per-cell mean) per iteration. Shared by the kmeans_assign oracle and
+    the semdedup_keep oracle (which runs the same loop at a larger K)."""
     iters = []
     prev = "c0"
-    for i in range(1, KMEANS_ITERS + 1):
+    for i in range(1, n_iters + 1):
         iters.append(f"""
 a{i} AS (
   SELECT vec_id, v, cell
@@ -760,16 +764,18 @@ c{i} AS (
   GROUP BY cell
 )""")
         prev = f"c{i}"
-    final = f"a{KMEANS_ITERS}"
     return (
         f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {KMEANS_K}),"""
+c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {k}),"""
         + ",".join(iters)
-        + f"""
-SELECT vec_id, cell AS cluster FROM {final}
-"""
     )
+
+
+def _kmeans_oracle() -> str:
+    return _kmeans_ctes() + f"""
+SELECT vec_id, cell AS cluster FROM a{KMEANS_ITERS}
+"""
 
 
 @register(
@@ -798,3 +804,117 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         if i < KMEANS_ITERS - 1:  # the last iteration's output is the answer
             cents = _kmeans_recompute(assigned)
     return assigned.select("vec_id", F.col("cell").alias("cluster"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-space) deduplication, cluster-scoped.
+# Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication"): k-means the corpus embeddings, then
+# look for near-duplicate pairs ONLY within a cluster, and among each
+# set of semantic duplicates keep the member with the LOWEST cosine
+# similarity to its cluster centroid (the most "representative-but-
+# diverse" copy). The reference engine has no semantic dedup; this is
+# the embedding-space sibling of the lexical keep-best policy
+# (dedup.py::dedup_keep_best_per_cluster).
+
+SEMDEDUP_K = 16  # fixture-sized; production K grows with the corpus
+SEMDEDUP_TAU = 0.35  # duplicate threshold on 6dp-rounded cosine
+
+
+def _semdedup_oracle() -> str:
+    r = KMEANS_ROUND
+    return _kmeans_ctes(SEMDEDUP_K, KMEANS_ITERS) + f""",
+scored AS (
+  SELECT a.vec_id, a.cell, a.v,
+         sqrt(list_dot_product(a.v, a.v)) AS nv,
+         round(list_dot_product(a.v, c.cv)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(c.cv, c.cv))), {r}) AS cos_centroid
+  FROM a{KMEANS_ITERS} a JOIN c{KMEANS_ITERS - 1} c USING (cell)
+),
+losers AS (
+  SELECT DISTINCT CASE
+    WHEN (a.cos_centroid > b.cos_centroid)
+      OR (a.cos_centroid = b.cos_centroid AND a.vec_id > b.vec_id)
+    THEN a.vec_id ELSE b.vec_id END AS vec_id
+  FROM scored a JOIN scored b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v) / (a.nv * b.nv), {r}) >= {SEMDEDUP_TAU}
+)
+SELECT s.vec_id, s.cell AS cluster, s.cos_centroid,
+       (l.vec_id IS NULL) AS kept
+FROM scored s LEFT JOIN losers l ON s.vec_id = l.vec_id
+"""
+
+
+@register(
+    "semdedup_keep",
+    oracle=_semdedup_oracle(),
+    doc=f"SemDeDup semantic dedup keep/drop verdict per embedding: Lloyd "
+    f"k-means (K={SEMDEDUP_K}, {KMEANS_ITERS} iters, same deterministic "
+    "loop as kmeans_assign), then near-duplicate pairs (6dp cosine >= "
+    f"{SEMDEDUP_TAU}) searched ONLY within a cluster; each pair drops the "
+    "member MORE similar to its centroid (vec_id tiebreak), so every "
+    "duplicate group keeps exactly its most diverse copy and the "
+    "min-(cos_centroid, id) member of a cluster can never be dropped. "
+    "Full DuckDB replay oracle. 100 TB path: the quadratic neighbor "
+    "search is fenced per-cluster — the equi-join on cell shuffles "
+    "nothing but the cluster id, task size is bounded by cluster size, "
+    "and K scales with the corpus (K ~ n/target_cluster_size) so "
+    "per-task work stays constant as data grows; centroids stay "
+    "broadcast-sized. The global all-pairs form this replaces is the "
+    "documented quadratic envelope embed_neardup_pairs.",
+    tags=("similarity", "dedup", "clustering"),
+)
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vectors(spark, sf_dir).select("vec_id", "v")
+    cents = e.where(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    assigned = e
+    for i in range(KMEANS_ITERS):
+        assigned = _kmeans_assign(e, cents)
+        if i < KMEANS_ITERS - 1:
+            cents = _kmeans_recompute(assigned)
+    # after the loop `cents` is c{ITERS-1}: exactly the centroids the
+    # final assignment argmin'd against — the oracle joins the same pair
+    cnorm = cents.select("cell", "cv", F.sqrt(dot("cv", "cv")).alias("cn"))
+    scored = assigned.join(F.broadcast(cnorm), "cell").select(
+        "vec_id",
+        "cell",
+        "v",
+        F.sqrt(dot("v", "v")).alias("nv"),
+        F.round(
+            dot("v", "cv") / (F.sqrt(dot("v", "v")) * F.col("cn")), KMEANS_ROUND
+        ).alias("cos_centroid"),
+    )
+    a = scored.select(
+        F.col("vec_id").alias("id_a"), "cell", F.col("v").alias("va"),
+        F.col("nv").alias("na"), F.col("cos_centroid").alias("ca"),
+    )
+    b = scored.select(
+        F.col("vec_id").alias("id_b"), "cell", F.col("v").alias("vb"),
+        F.col("nv").alias("nb"), F.col("cos_centroid").alias("cb"),
+    )
+    cos_pair = F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), KMEANS_ROUND)
+    losers = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos_pair >= SEMDEDUP_TAU)
+        .select(
+            F.when(
+                (F.col("ca") > F.col("cb"))
+                | ((F.col("ca") == F.col("cb")) & (F.col("id_a") > F.col("id_b"))),
+                F.col("id_a"),
+            )
+            .otherwise(F.col("id_b"))
+            .alias("vec_id")
+        )
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return scored.join(F.broadcast(losers), "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").alias("cluster"),
+        "cos_centroid",
+        F.col("_drop").isNull().alias("kept"),
+    )

@@ -585,3 +585,54 @@ def test_hll_sketches_survive_parquet_roundtrip(spark, scratch):
         .collect()[0][0]
     )
     assert merged == whole
+
+
+def test_semdedup_keep_invariants(spark):
+    """SemDeDup keep/drop policy, checked independently of the oracle:
+    (a) the threshold actually fires on the fixture (non-trivial drops);
+    (b) no two KEPT members of a cluster are still near-duplicates —
+        every >=tau pair lost one side;
+    (c) every cluster keeps at least one member, and specifically its
+        min-(cos_centroid, vec_id) member (the pairwise-dominance
+        winner) is never dropped."""
+    import numpy as np
+
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+    from flink_fraud_detection_rocks_db_app_spark.operators.similarity import (
+        KMEANS_ROUND,
+        SEMDEDUP_TAU,
+    )
+
+    rows = all_queries()["semdedup_keep"].fn(spark, SF_SMALL).collect()
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load(spark, SF_SMALL, "embeddings").collect()
+    }
+    assert len(rows) == len(emb)
+    dropped = [r for r in rows if not r.kept]
+    assert dropped, "tau never fired — threshold is dead on the fixture"
+
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for cluster, members in by_cluster.items():
+        kept = [r for r in members if r.kept]
+        assert kept, f"cluster {cluster} lost every member"
+        champion = min(members, key=lambda r: (r.cos_centroid, r.vec_id))
+        assert champion.kept, (
+            f"cluster {cluster}: min-(cos_centroid, id) member "
+            f"{champion.vec_id} can never lose a pair, yet was dropped"
+        )
+        for i, a in enumerate(kept):
+            va = emb[a.vec_id]
+            for b in kept[i + 1:]:
+                vb = emb[b.vec_id]
+                cos = round(
+                    float(va @ vb)
+                    / (float(np.sqrt(va @ va)) * float(np.sqrt(vb @ vb))),
+                    KMEANS_ROUND,
+                )
+                assert cos < SEMDEDUP_TAU, (
+                    f"kept pair ({a.vec_id}, {b.vec_id}) in cluster "
+                    f"{cluster} still has cosine {cos} >= {SEMDEDUP_TAU}"
+                )

@@ -147,6 +147,9 @@ BNLJ_OK = {
     # one-row centroid-array broadcast per Lloyd iteration (O(K*dim)
     # build side; assignment is a scan-local array_min, not a join)
     "kmeans_assign",
+    # same Lloyd-loop centroid cross-broadcast (K=16); the duplicate
+    # pair search itself is a cell-keyed equi join, never a nested loop
+    "semdedup_keep",
     # one-row total-count and one-row O(V) unigram-model map broadcast;
     # scoring is a scan-local aggregate, not a join
     "doc_unigram_logprob",
