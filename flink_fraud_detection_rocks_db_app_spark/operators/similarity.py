@@ -33,9 +33,9 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", v.alias("v"), "label").withColumn("norm", l2_norm("v"))
 
 
-@register(
-    "ann_cosine_topk",
-    oracle=f"""
+# Shared by the ann_cosine_topk gate and (as the ground-truth CTE) the
+# ann_ivf_recall_at_k eval query.
+_EXACT_ANN_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
@@ -52,7 +52,12 @@ FROM p
 QUALIFY row_number() OVER (
   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
 ) <= {TOP_K}
-""",
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=_EXACT_ANN_ORACLE,
     doc=f"Brute-force cosine top-{TOP_K} for the first {N_QUERIES} vectors: "
     "broadcast queries x corpus scan, JVM dot products, window rank with "
     "deterministic (cosine DESC, neighbor ASC) order",
@@ -917,4 +922,60 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").alias("cluster"),
         "cos_centroid",
         F.col("_drop").isNull().alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality eval — recall@k of the approximate index against the
+# exact brute-force baseline. The monitoring query a production vector
+# index needs: run it after every (re)build or append to catch a
+# quantizer gone stale / an nprobe set too low, BEFORE bad neighbors
+# reach training. Pure composition of two already-gated queries, so at
+# 100 TB it costs one indexed probe + one (sampled) exact scan over the
+# SAME query sample, and the join is on the tiny (query, neighbor) set.
+
+_RECALL_ORACLE = f"""
+WITH approx AS ({_IVF_ORACLE}),
+exact AS ({_EXACT_ANN_ORACLE}),
+hits AS (
+  SELECT a.query_id, count(*) AS n_hits
+  FROM approx a JOIN exact e USING (query_id, neighbor_id)
+  GROUP BY a.query_id
+)
+SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.n_hits, 0) / {TOP_K}.0, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h USING (query_id)
+"""
+
+
+@register(
+    "ann_ivf_recall_at_k",
+    oracle=_RECALL_ORACLE,
+    doc=f"Recall@{TOP_K} of the IVF ANN path vs the exact cosine "
+    f"baseline, per query: |ivf_top{TOP_K} ∩ exact_top{TOP_K}| / "
+    f"{TOP_K}. Composes ann_ivf_topk and ann_cosine_topk unchanged "
+    "(both independently hash-gated, so the intersection is "
+    "deterministic), joins on the O(queries x k) result sets only. "
+    "The index-quality monitoring face: at corpus scale the exact arm "
+    "runs over a fixed query SAMPLE (here: the same deterministic "
+    "lowest-id query set both arms already use), so eval cost is "
+    "one indexed probe + one brute-force scan per sample query — "
+    "independent of corpus growth in the probe arm.",
+    tags=("similarity", "ann", "eval"),
+)
+def ann_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    approx = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qs = exact.select("query_id").distinct()
+    n = F.coalesce(F.col("n_hits"), F.lit(0))
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        n.alias("n_hits"),
+        F.round(n / F.lit(float(TOP_K)), 6).alias("recall"),
     )

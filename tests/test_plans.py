@@ -131,6 +131,9 @@ BNLJ_OK = {
     # same IVF_CELLS-row quantizer cross-broadcast, read back from the
     # index's centroids table; the lists side is an equi join
     "ann_ivf_incremental_topk",
+    # composes ann_cosine_topk + ann_ivf_topk verbatim, so it inherits
+    # both documented broadcast forms above
+    "ann_ivf_recall_at_k",
     "tpch_q22_dormant_high_balance",
     # one-row scalar-aggregate gate broadcast into the HAVING filter
     "tpch_q11_important_stock",
