@@ -121,6 +121,10 @@ HEADLINE = [
     # persisted-sketch weekly rollup (daily HLL partials unioned)
     "ann_ivf_incremental_topk",
     "weekly_users_sketch_rollup",
+    # round 8: cluster-scoped semantic dedup (Lloyd loop + per-cell
+    # near-dup policy) and the IVF recall@k quality-eval composition
+    "semdedup_keep",
+    "ann_ivf_recall_at_k",
 ]
 
 

@@ -871,8 +871,21 @@ FROM scored s LEFT JOIN losers l ON s.vec_id = l.vec_id
     tags=("similarity", "dedup", "clustering"),
 )
 def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semdedup_pipeline(spark, sf_dir, SEMDEDUP_K, SEMDEDUP_TAU)
+
+
+def semdedup_pipeline(
+    spark: SparkSession, sf_dir: str, k: int, tau: float
+) -> DataFrame:
+    """The SemDeDup plan at an explicit K — the registered query pins
+    K={SEMDEDUP_K} for its oracle; the scale probe grows K with the
+    corpus (K ~ n/target_cluster_size), which is how production holds
+    per-cluster pair volume constant as data grows."""
     e = _vectors(spark, sf_dir).select("vec_id", "v")
-    cents = e.where(F.col("vec_id") < SEMDEDUP_K).select(
+    # seed = the k lowest vec_ids (equals the oracle's `vec_id < k` on
+    # the dense fixture id space; rank-based so the scale probe's
+    # strided id space seeds correctly too)
+    cents = e.orderBy("vec_id").limit(k).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
     )
     assigned = e
@@ -904,7 +917,7 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = (
         a.join(b, "cell")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(cos_pair >= SEMDEDUP_TAU)
+        .where(cos_pair >= tau)
         .select(
             F.when(
                 (F.col("ca") > F.col("cb"))

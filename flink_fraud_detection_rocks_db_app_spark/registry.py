@@ -321,7 +321,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # machinery runs verbatim inside kmeans' recompute step, still
     # full-suite verified) gave its slot to kmeans_assign, the Lloyd
     # clustering/IVF-training stage with a full DuckDB replay oracle
-    "kmeans_assign",
+    # r8b: kmeans_assign (driver-green r4b-r7) — superseded by
+    # semdedup_keep: the IDENTICAL Lloyd loop (_kmeans_assign /
+    # _kmeans_recompute, K=16) plus the SemDeDup cluster-scoped
+    # near-dup search and keep-most-diverse policy on top, under a
+    # full DuckDB replay oracle — strictly more machinery; the K=4
+    # assignment form stays full-suite verified
+    "semdedup_keep",
     # text-analysis pillar (r4: doc_langid — n-gram heuristic over the
     # same tokenized scan as doc_quality_score, still full-suite
     # verified — gave its slot to doc_pii_flags, previously suite-only)

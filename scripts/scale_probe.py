@@ -87,6 +87,12 @@ PROBED = [
     # content-keyed index build, min-of-2 keeps the warm probe (the
     # production per-query cost of the published asset)
     "ann_ivf_incremental_topk",
+    # r8b: SemDeDup under its production K policy (K ~ n/31, the
+    # fixture's target cluster size) — the registered query pins K=16
+    # for its replay oracle, which at fixed K would trend quadratic by
+    # construction; the K-scaling knob is the design's scale path and
+    # is what gets probed
+    "semdedup_scaled_k",
 ]
 
 
@@ -105,8 +111,28 @@ def _cc_labels_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def _semdedup_scaled_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with K derived from the observed corpus size (target
+    cluster size = the fixture's 500/16 ≈ 31), i.e. the knob a
+    production deployment turns as the corpus grows. Expected pair
+    volume per cluster stays ~constant, so wall time should scale
+    ~linearly; probing the registered fixed-K form instead would just
+    re-measure that n²/K is quadratic in n."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.similarity import (
+        SEMDEDUP_TAU,
+        semdedup_pipeline,
+    )
+
+    n = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
+    k = max(16, round(n / 31))
+    return semdedup_pipeline(spark, sf_dir, k, SEMDEDUP_TAU)
+
+
 # probes that aren't registered queries: name -> (spark, sf_dir) -> DF
-EXTRA_PROBES = {"cc_labels_build": _cc_labels_build}
+EXTRA_PROBES = {
+    "cc_labels_build": _cc_labels_build,
+    "semdedup_scaled_k": _semdedup_scaled_k,
+}
 
 DOC_STRIDE = 1_000_000  # minimum doc_id / vec_id / event_id offset per copy
 
