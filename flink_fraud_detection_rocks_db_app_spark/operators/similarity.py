@@ -896,6 +896,10 @@ def semdedup_pipeline(
     # after the loop `cents` is c{ITERS-1}: exactly the centroids the
     # final assignment argmin'd against — the oracle joins the same pair
     cnorm = cents.select("cell", "cv", F.sqrt(dot("cv", "cv")).alias("cn"))
+    # `scored` (which embeds the whole Lloyd loop) feeds BOTH sides of
+    # the pair join AND the final keep/drop join — persist so the loop
+    # runs once, not three times (at corpus scale this is the cached
+    # cluster-assignment asset every SemDeDup stage shares)
     scored = assigned.join(F.broadcast(cnorm), "cell").select(
         "vec_id",
         "cell",
@@ -904,7 +908,7 @@ def semdedup_pipeline(
         F.round(
             dot("v", "cv") / (F.sqrt(dot("v", "v")) * F.col("cn")), KMEANS_ROUND
         ).alias("cos_centroid"),
-    )
+    ).persist()
     a = scored.select(
         F.col("vec_id").alias("id_a"), "cell", F.col("v").alias("va"),
         F.col("nv").alias("na"), F.col("cos_centroid").alias("ca"),
