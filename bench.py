@@ -122,9 +122,13 @@ HEADLINE = [
     "ann_ivf_incremental_topk",
     "weekly_users_sketch_rollup",
     # round 8: cluster-scoped semantic dedup (Lloyd loop + per-cell
-    # near-dup policy) and the IVF recall@k quality-eval composition
+    # near-dup policy), the IVF recall@k quality-eval composition, and
+    # the appending-corpus SemDeDup (frozen quantizer + precomputed
+    # base losers; min-of-2 keeps the warm probe of the published
+    # asset, same convention as the other incremental rows)
     "semdedup_keep",
     "ann_ivf_recall_at_k",
+    "semdedup_incremental_keep",
 ]
 
 

@@ -743,18 +743,23 @@ def _kmeans_recompute(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _kmeans_ctes(k: int = KMEANS_K, n_iters: int = KMEANS_ITERS) -> str:
-    """WITH-clause prefix replaying the Lloyd loop in DuckDB: seed c0 =
-    lowest-k vec_ids, then a{i} (argmin assignment) / c{i} (6dp-rounded
-    per-cell mean) per iteration. Shared by the kmeans_assign oracle and
-    the semdedup_keep oracle (which runs the same loop at a larger K)."""
+def _kmeans_ctes(
+    k: int = KMEANS_K, n_iters: int = KMEANS_ITERS, train_where: str = "TRUE"
+) -> str:
+    """WITH-clause prefix replaying the Lloyd loop in DuckDB: training
+    set `et` (= all of e unless `train_where` carves out a base split),
+    seed c0 = lowest-k vec_ids of et, then a{i} (argmin assignment) /
+    c{i} (6dp-rounded per-cell mean) per iteration. Shared by the
+    kmeans_assign oracle, the semdedup_keep oracle (same loop, larger
+    K) and the semdedup_incremental_keep oracle (trains on the base
+    split only — the frozen-quantizer replay)."""
     iters = []
     prev = "c0"
     for i in range(1, n_iters + 1):
         iters.append(f"""
 a{i} AS (
   SELECT vec_id, v, cell
-  FROM e CROSS JOIN {prev}
+  FROM et CROSS JOIN {prev}
   QUALIFY row_number() OVER (
     PARTITION BY vec_id ORDER BY list_distance(v, cv) ASC, cell ASC
   ) = 1
@@ -772,7 +777,8 @@ c{i} AS (
     return (
         f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {k}),"""
+et AS (SELECT * FROM e WHERE {train_where}),
+c0 AS (SELECT vec_id AS cell, v AS cv FROM et WHERE vec_id < {k}),"""
         + ",".join(iters)
     )
 
@@ -826,16 +832,19 @@ SEMDEDUP_K = 16  # fixture-sized; production K grows with the corpus
 SEMDEDUP_TAU = 0.35  # duplicate threshold on 6dp-rounded cosine
 
 
-def _semdedup_oracle() -> str:
+def _semdedup_verdict_sql(assign_cte: str, cents_cte: str) -> str:
+    """The scored / losers / verdict tail shared by the monolithic and
+    incremental SemDeDup oracles — only the assignment CTE (a{N} vs the
+    assign-all-under-frozen-centroids af) differs."""
     r = KMEANS_ROUND
-    return _kmeans_ctes(SEMDEDUP_K, KMEANS_ITERS) + f""",
+    return f""",
 scored AS (
   SELECT a.vec_id, a.cell, a.v,
          sqrt(list_dot_product(a.v, a.v)) AS nv,
          round(list_dot_product(a.v, c.cv)
                / (sqrt(list_dot_product(a.v, a.v))
                   * sqrt(list_dot_product(c.cv, c.cv))), {r}) AS cos_centroid
-  FROM a{KMEANS_ITERS} a JOIN c{KMEANS_ITERS - 1} c USING (cell)
+  FROM {assign_cte} a JOIN {cents_cte} c USING (cell)
 ),
 losers AS (
   SELECT DISTINCT CASE
@@ -849,6 +858,12 @@ SELECT s.vec_id, s.cell AS cluster, s.cos_centroid,
        (l.vec_id IS NULL) AS kept
 FROM scored s LEFT JOIN losers l ON s.vec_id = l.vec_id
 """
+
+
+def _semdedup_oracle() -> str:
+    return _kmeans_ctes(SEMDEDUP_K, KMEANS_ITERS) + _semdedup_verdict_sql(
+        f"a{KMEANS_ITERS}", f"c{KMEANS_ITERS - 1}"
+    )
 
 
 @register(
@@ -995,4 +1010,199 @@ def ann_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         n.alias("n_hits"),
         F.round(n / F.lit(float(TOP_K)), 6).alias("recall"),
+    )
+
+
+# --- appending-corpus SemDeDup -------------------------------------------
+# The same contract dedup_incremental_lsh established for signatures,
+# bm25_incremental_index_topk for postings and ann_ivf_incremental_topk
+# for inverted lists: the expensive corpus-wide work is a persisted,
+# content-keyed asset; a new-vector batch costs ∝ batch, never corpus.
+# Asset layout: centroids/ (the FROZEN quantizer — batch vectors are
+# assigned under the same centroids the base build trained, never
+# retrained), scored/ (the base corpus' cluster assignment +
+# centroid-similarity frame, cell-partitioned so batch probes prune to
+# touched clusters), losers/ (the base×base dominance verdicts,
+# precomputed once). A batch query then: assigns the batch under the
+# frozen quantizer, pairs it against ONLY the touched cells' existing
+# members (partition-pruned read) plus itself, unions the new losers
+# with the precomputed ones, and emits the full corpus verdict.
+# Verdicts are pure pairwise dominance (no arrival-order dependence),
+# so incremental == one-shot replay under the same frozen centroids —
+# which is exactly what the oracle computes.
+
+SEMDEDUP_BATCH_MOD = 8  # batch = vec_id % MOD == MOD-1 (seeds excluded)
+
+
+def _semdedup_batch_mask():
+    return (F.col("vec_id") % SEMDEDUP_BATCH_MOD == SEMDEDUP_BATCH_MOD - 1) & (
+        F.col("vec_id") >= SEMDEDUP_K
+    )
+
+
+def _semdedup_score(assigned: DataFrame, cnorm: DataFrame) -> DataFrame:
+    """(vec_id, cell, v, nv, cos_centroid) — the SemDeDup scored frame."""
+    return assigned.join(F.broadcast(cnorm), "cell").select(
+        "vec_id",
+        "cell",
+        "v",
+        F.sqrt(dot("v", "v")).alias("nv"),
+        F.round(
+            dot("v", "cv") / (F.sqrt(dot("v", "v")) * F.col("cn")), KMEANS_ROUND
+        ).alias("cos_centroid"),
+    )
+
+
+def _semdedup_pair_losers(pairs: DataFrame) -> DataFrame:
+    """Dominance rule over (id_a < id_b) scored pairs: the member MORE
+    similar to its centroid loses (vec_id tiebreak)."""
+    cos_pair = F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), KMEANS_ROUND)
+    return (
+        pairs.where(cos_pair >= SEMDEDUP_TAU)
+        .select(
+            F.when(
+                (F.col("ca") > F.col("cb"))
+                | ((F.col("ca") == F.col("cb")) & (F.col("id_a") > F.col("id_b"))),
+                F.col("id_a"),
+            )
+            .otherwise(F.col("id_b"))
+            .alias("vec_id")
+        )
+        .distinct()
+    )
+
+
+def _scored_sides(cand: DataFrame) -> tuple[DataFrame, DataFrame]:
+    a = cand.select(
+        F.col("vec_id").alias("id_a"), "cell", F.col("v").alias("va"),
+        F.col("nv").alias("na"), F.col("cos_centroid").alias("ca"),
+        *(["is_new"] if "is_new" in cand.columns else []),
+    )
+    if "is_new" in cand.columns:
+        a = a.withColumnRenamed("is_new", "new_a")
+    b = cand.select(
+        F.col("vec_id").alias("id_b"), "cell", F.col("v").alias("vb"),
+        F.col("nv").alias("nb"), F.col("cos_centroid").alias("cb"),
+        *(["is_new"] if "is_new" in cand.columns else []),
+    )
+    if "is_new" in cand.columns:
+        b = b.withColumnRenamed("is_new", "new_b")
+    return a, b
+
+
+def write_semdedup_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the appendable SemDeDup asset from the base (~7/8)
+    split: frozen centroids, the cell-partitioned scored frame, and the
+    precomputed base×base dominance losers."""
+    import os
+
+    e = _vectors(spark, sf_dir).select("vec_id", "v")
+    base = e.where(~_semdedup_batch_mask())
+    cents = base.orderBy("vec_id").limit(SEMDEDUP_K).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    assigned = base
+    for i in range(KMEANS_ITERS):
+        assigned = _kmeans_assign(base, cents)
+        if i < KMEANS_ITERS - 1:
+            cents = _kmeans_recompute(assigned)
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    cnorm = cents.select("cell", "cv", F.sqrt(dot("cv", "cv")).alias("cn"))
+    scored = _semdedup_score(assigned, cnorm).persist()
+    scored.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "scored")
+    )
+    a, b = _scored_sides(scored)
+    _semdedup_pair_losers(
+        a.join(b, "cell").where(F.col("id_a") < F.col("id_b"))
+    ).write.mode("overwrite").parquet(os.path.join(path, "losers"))
+    scored.unpersist()
+
+
+def _semdedup_incr_oracle() -> str:
+    batch = (
+        f"(vec_id % {SEMDEDUP_BATCH_MOD} = {SEMDEDUP_BATCH_MOD - 1}"
+        f" AND vec_id >= {SEMDEDUP_K})"
+    )
+    return (
+        _kmeans_ctes(SEMDEDUP_K, KMEANS_ITERS, train_where=f"NOT {batch}")
+        + f""",
+af AS (
+  SELECT e.vec_id, e.v, cell
+  FROM e CROSS JOIN c{KMEANS_ITERS - 1}
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY list_distance(v, cv) ASC, cell ASC
+  ) = 1
+)"""
+        + _semdedup_verdict_sql("af", f"c{KMEANS_ITERS - 1}")
+    )
+
+
+@register(
+    "semdedup_incremental_keep",
+    oracle=_semdedup_incr_oracle(),
+    doc="APPENDING-corpus SemDeDup: base split trained/scored/judged "
+    "once into a content-keyed asset (frozen centroids + "
+    "cell-partitioned scored frame + precomputed base losers); the "
+    "new-vector batch is assigned under the FROZEN quantizer, paired "
+    "only against its touched cells' existing members (partition-"
+    "pruned read) and itself, and the union of old + new losers "
+    "yields the full-corpus verdict. Dominance verdicts have no "
+    "arrival-order dependence, so the result equals the one-shot "
+    "replay under the same frozen centroids — which is what the "
+    "oracle computes (Lloyd on the base split, assign ALL under c1, "
+    "full dominance). Cost ∝ batch × cluster density, never corpus².",
+    tags=("similarity", "dedup", "clustering", "incremental", "warehouse"),
+)
+def semdedup_incremental_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .indexcache import ensure_index
+
+    idx = ensure_index(
+        "semdedupincr",
+        sf_dir,
+        "embeddings",
+        lambda tmp: write_semdedup_index(spark, sf_dir, tmp),
+    )
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    cnorm = cents.select("cell", "cv", F.sqrt(dot("cv", "cv")).alias("cn"))
+    e = _vectors(spark, sf_dir).select("vec_id", "v")
+    bscored = _semdedup_score(
+        _kmeans_assign(e.where(_semdedup_batch_mask()), cents), cnorm
+    ).persist()
+    # bounded collect (<= K cells) that ENABLES partition pruning on the
+    # scored asset — same contract as the IVF / BM25 index probes
+    cells = sorted(r["cell"] for r in bscored.select("cell").distinct().collect())
+    existing = (
+        spark.read.parquet(os.path.join(idx, "scored"))
+        .withColumn("cell", F.col("cell").cast("long"))
+        .select("vec_id", "cell", "v", "nv", "cos_centroid")
+    )
+    cand = (
+        existing.where(F.col("cell").isin(cells))
+        .withColumn("is_new", F.lit(False))
+        .unionByName(bscored.withColumn("is_new", F.lit(True)))
+    )
+    a, b = _scored_sides(cand)
+    new_losers = _semdedup_pair_losers(
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.col("new_a") | F.col("new_b"))
+    )
+    all_losers = (
+        spark.read.parquet(os.path.join(idx, "losers"))
+        .unionByName(new_losers)
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return (
+        existing.unionByName(bscored)
+        .join(F.broadcast(all_losers), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").alias("cluster"),
+            "cos_centroid",
+            F.col("_drop").isNull().alias("kept"),
+        )
     )

@@ -153,6 +153,9 @@ BNLJ_OK = {
     # same Lloyd-loop centroid cross-broadcast (K=16); the duplicate
     # pair search itself is a cell-keyed equi join, never a nested loop
     "semdedup_keep",
+    # same centroid cross-broadcast, read back frozen from the asset;
+    # pair search and verdict joins are equi joins
+    "semdedup_incremental_keep",
     # one-row total-count and one-row O(V) unigram-model map broadcast;
     # scoring is a scan-local aggregate, not a join
     "doc_unigram_logprob",
@@ -712,3 +715,37 @@ def test_aqe_skew_join_split_available(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_semdedup_incremental_prunes_partitions(spark, scratch):
+    """The appendable SemDeDup asset keeps its index properties: scored/
+    is cell-partitioned, a touched-cells probe reaches the scan as
+    PartitionFilters (reading only those cells' files), and the
+    registered incremental query's plan carries the same pruned scan
+    for its pair search (its full-corpus verdict read is a second,
+    legitimately unpruned scan of the same asset)."""
+    import os
+
+    from flink_fraud_detection_rocks_db_app_spark.operators.similarity import (
+        write_semdedup_index,
+    )
+
+    idx = os.path.join(scratch, "semdedup_idx")
+    write_semdedup_index(spark, SF_SMALL, idx)
+    scored = os.path.join(idx, "scored")
+    cells = sorted(d for d in os.listdir(scored) if d.startswith("cell="))
+    assert cells, os.listdir(scored)
+
+    from pyspark.sql import functions as F
+
+    probe = spark.read.parquet(scored).where(F.col("cell").isin([0, 1]))
+    plan = explain_str(probe)
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    files = probe.select(F.input_file_name()).distinct().collect()
+    assert files, "probe read no files"
+    for (f,) in files:
+        assert "cell=0" in f or "cell=1" in f, f
+
+    q = all_queries()["semdedup_incremental_keep"].fn(spark, SF_SMALL)
+    qplan = explain_str(q)
+    assert "PartitionFilters: [cell" in qplan, qplan
