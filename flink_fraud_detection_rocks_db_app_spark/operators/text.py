@@ -421,6 +421,59 @@ def doc_pii_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (pattern, mask) pairs applied IN ORDER — PII shapes first on the raw
+# text, the long-word proxy last (its mask text is <7 letters, so later
+# passes can't re-match earlier masks)
+_REDACTIONS = (
+    (_PII_EMAIL, "<EMAIL>"),
+    (_PII_PHONE, "<PHONE>"),
+    (_PII_SSN, "<SSN>"),
+    (_LONG_WORD, "<LW>"),
+)
+
+
+@register(
+    "doc_pii_redact",
+    oracle="""
+SELECT doc_id,
+       """
+    + "".join(
+        f"regexp_replace(" for _ in _REDACTIONS
+    )
+    + "lower(text)"
+    + "".join(f", '{pat}', '{mask}', 'g')" for pat, mask in _REDACTIONS)
+    + """ AS red_text,
+       CAST("""
+    + " + ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}'))" for pat, _ in _REDACTIONS
+    )
+    + """ AS BIGINT) AS n_redacted
+FROM documents
+""",
+    doc="PII REDACTION (the transform doc_pii_flags only counts for): "
+    "email / phone / SSN matches masked in place, scan-local, zero "
+    "shuffle — the text never leaves its input partition. Same "
+    "Java-regex ∩ RE2 patterns as the flags row; the synthetic corpus "
+    "is alphabetic-only so the three PII masks are structurally no-ops "
+    "there, and the long-word mask (applied last) is the value-bearing "
+    "pattern that proves the replace cascade end to end — exactly the "
+    "flags row's evidence convention. n_redacted makes silent "
+    "non-matching visible to the hash gate.",
+    tags=("text",),
+)
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    red = F.lower(F.col("text"))
+    for pat, mask in _REDACTIONS:
+        red = F.regexp_replace(red, F.lit(pat), F.lit(mask))
+    n = None
+    for pat, _ in _REDACTIONS:
+        c = F.size(F.regexp_extract_all(F.lower("text"), F.lit(pat), F.lit(0)))
+        n = c if n is None else n + c
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", red.alias("red_text"), n.cast("bigint").alias("n_redacted")
+    )
+
+
 # ------------------------------------------------- unigram LM scoring
 
 UNIGRAM_V = 30  # vocab cap: top-V tokens by corpus frequency

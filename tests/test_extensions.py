@@ -636,3 +636,19 @@ def test_semdedup_keep_invariants(spark):
                     f"kept pair ({a.vec_id}, {b.vec_id}) in cluster "
                     f"{cluster} still has cosine {cos} >= {SEMDEDUP_TAU}"
                 )
+
+
+def test_pii_redaction_masks_fire(spark):
+    """The redaction cascade is value-bearing on the fixture (the
+    long-word proxy fires) and complete: no unmasked 7+-letter word
+    survives in the redacted text."""
+    import re
+
+    rows = all_queries()["doc_pii_redact"].fn(spark, SF_SMALL).collect()
+    assert any(r.n_redacted > 0 for r in rows), "no mask ever fired"
+    leftovers = [
+        w
+        for r in rows
+        for w in re.findall(r"\b[a-z]{7,}\b", r.red_text)
+    ]
+    assert not leftovers, leftovers[:5]
