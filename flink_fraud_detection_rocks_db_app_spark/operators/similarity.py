@@ -896,7 +896,12 @@ def semdedup_pipeline(
     K={SEMDEDUP_K} for its oracle; the scale probe grows K with the
     corpus (K ~ n/target_cluster_size), which is how production holds
     per-cluster pair volume constant as data grows."""
-    e = _vectors(spark, sf_dir).select("vec_id", "v")
+    return semdedup_over(_vectors(spark, sf_dir).select("vec_id", "v"), k, tau)
+
+
+def semdedup_over(e: DataFrame, k: int, tau: float) -> DataFrame:
+    """SemDeDup over any (vec_id, v: array<double>) frame — the
+    planted-duplicates property test drives this directly."""
     # seed = the k lowest vec_ids (equals the oracle's `vec_id < k` on
     # the dense fixture id space; rank-based so the scale probe's
     # strided id space seeds correctly too)
@@ -915,40 +920,11 @@ def semdedup_pipeline(
     # the pair join AND the final keep/drop join — persist so the loop
     # runs once, not three times (at corpus scale this is the cached
     # cluster-assignment asset every SemDeDup stage shares)
-    scored = assigned.join(F.broadcast(cnorm), "cell").select(
-        "vec_id",
-        "cell",
-        "v",
-        F.sqrt(dot("v", "v")).alias("nv"),
-        F.round(
-            dot("v", "cv") / (F.sqrt(dot("v", "v")) * F.col("cn")), KMEANS_ROUND
-        ).alias("cos_centroid"),
-    ).persist()
-    a = scored.select(
-        F.col("vec_id").alias("id_a"), "cell", F.col("v").alias("va"),
-        F.col("nv").alias("na"), F.col("cos_centroid").alias("ca"),
-    )
-    b = scored.select(
-        F.col("vec_id").alias("id_b"), "cell", F.col("v").alias("vb"),
-        F.col("nv").alias("nb"), F.col("cos_centroid").alias("cb"),
-    )
-    cos_pair = F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), KMEANS_ROUND)
-    losers = (
-        a.join(b, "cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(cos_pair >= tau)
-        .select(
-            F.when(
-                (F.col("ca") > F.col("cb"))
-                | ((F.col("ca") == F.col("cb")) & (F.col("id_a") > F.col("id_b"))),
-                F.col("id_a"),
-            )
-            .otherwise(F.col("id_b"))
-            .alias("vec_id")
-        )
-        .distinct()
-        .withColumn("_drop", F.lit(1))
-    )
+    scored = _semdedup_score(assigned, cnorm).persist()
+    a, b = _scored_sides(scored)
+    losers = _semdedup_pair_losers(
+        a.join(b, "cell").where(F.col("id_a") < F.col("id_b")), tau
+    ).withColumn("_drop", F.lit(1))
     return scored.join(F.broadcast(losers), "vec_id", "left").select(
         "vec_id",
         F.col("cell").alias("cluster"),
@@ -1053,12 +1029,12 @@ def _semdedup_score(assigned: DataFrame, cnorm: DataFrame) -> DataFrame:
     )
 
 
-def _semdedup_pair_losers(pairs: DataFrame) -> DataFrame:
+def _semdedup_pair_losers(pairs: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
     """Dominance rule over (id_a < id_b) scored pairs: the member MORE
     similar to its centroid loses (vec_id tiebreak)."""
     cos_pair = F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), KMEANS_ROUND)
     return (
-        pairs.where(cos_pair >= SEMDEDUP_TAU)
+        pairs.where(cos_pair >= tau)
         .select(
             F.when(
                 (F.col("ca") > F.col("cb"))

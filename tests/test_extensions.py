@@ -652,3 +652,66 @@ def test_pii_redaction_masks_fire(spark):
         for w in re.findall(r"\b[a-z]{7,}\b", r.red_text)
     ]
     assert not leftovers, leftovers[:5]
+
+
+def test_semdedup_planted_duplicate_groups(spark):
+    """Drive semdedup_over on synthetic data where the policy REALLY
+    fires (the fixture only has a thin tail): 6 planted groups of 3
+    near-identical vectors plus 6 singletons, all on well-separated
+    directions. Every group must collapse to exactly ONE kept member —
+    specifically its least-centroid-similar one (vec_id tiebreak) —
+    and no singleton may ever be dropped."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.similarity import (
+        semdedup_over,
+    )
+
+    def h(*xs):  # tiny deterministic hash -> [-1, 1)
+        v = 0
+        for x in xs:
+            v = (v * 1000003 + x) % (2**31)
+        return (v / 2**30) - 1.0
+
+    dim = 16
+
+    def group_vec(g, m):
+        base = [1.0 if i == g else 0.05 * h(g, i) for i in range(dim)]
+        return [float(b + 0.001 * h(g, m, i)) for i, b in enumerate(base)]
+
+    def single_vec(s):
+        return [float(1.0 if i == 6 + s else 0.05 * h(99, s, i)) for i in range(dim)]
+
+    # id layout matters: seeds are the k LOWEST vec_ids, so ids 0..7
+    # must span DISTINCT directions (one rep per group + two
+    # singletons) — three co-seeded copies of one group would each
+    # anchor their own cluster and the group could never collapse
+    rows, groups, singles = [], {g: [] for g in range(6)}, []
+    vid = 0
+    for g in range(6):  # one representative per group first
+        rows.append((vid, group_vec(g, 0)))
+        groups[g].append(vid)
+        vid += 1
+    for s in range(6):  # then the singleton directions
+        rows.append((vid, single_vec(s)))
+        singles.append(vid)
+        vid += 1
+    for g in range(6):  # remaining two near-identical copies per group
+        for m in (1, 2):
+            rows.append((vid, group_vec(g, m)))
+            groups[g].append(vid)
+            vid += 1
+
+    df = spark.createDataFrame(rows, ["vec_id", "v"]).selectExpr(
+        "vec_id", "transform(v, x -> CAST(x AS DOUBLE)) AS v"
+    )
+    out = {r.vec_id: r for r in semdedup_over(df, k=8, tau=0.9).collect()}
+    assert len(out) == vid
+
+    for g, ids in groups.items():
+        cells = {out[i].cluster for i in ids}
+        assert len(cells) == 1, f"group {g} split across clusters {cells}"
+        kept = [i for i in ids if out[i].kept]
+        assert len(kept) == 1, f"group {g} kept {kept}"
+        champion = min(ids, key=lambda i: (out[i].cos_centroid, i))
+        assert kept == [champion], (g, kept, champion)
+    for s in singles:
+        assert out[s].kept, f"singleton {s} was dropped"
