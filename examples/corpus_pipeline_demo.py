@@ -74,6 +74,14 @@ STEPS = (
      "materialized inverted lists; unprobed partitions pruned"),
     ("IVF training", "kmeans_assign",
      "Lloyd iterations: centroids broadcast, corpus never shuffles"),
+    ("ANN quality eval", "ann_ivf_recall_at_k",
+     "recall@5 of the IVF path vs the exact baseline, per query"),
+    ("semantic dedup", "semdedup_keep",
+     "SemDeDup: per-cluster near-dup pairs, keep most-diverse copy"),
+    ("semantic dedup (appending)", "semdedup_incremental_keep",
+     "frozen quantizer + precomputed base losers; batch-cost update"),
+    ("PII redaction", "doc_pii_redact",
+     "regexp mask cascade, rides the corpus scan"),
 )
 
 
