@@ -82,6 +82,12 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "setop": "EXCEPT lowers to the same physical left-anti join the "
     "driver-gated tpch_q21 NOT EXISTS half plans (r7 rotation "
     "rationale); the EXCEPT spelling stays full-suite verified",
+    "eval": "r8: ann_ivf_recall_at_k COMPOSES two queries whose "
+    "machinery already holds driver evidence (the exact arm's "
+    "scoring runs verbatim inside the IVF rerank; the IVF arm's "
+    "family is driver-gated via ann_ivf_incremental_topk); the "
+    "composition itself is queued for the r9 window (COVERAGE.md "
+    "r9 rotation queue)",
 }
 # r7: "warehouse" and "chunking" left the allowlist — ann_ivf_topk_indexed
 # and doc_chunk_windows rotated INTO the window (registry.py comments).
