@@ -378,3 +378,98 @@ def temperature_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.expr(_HASH_SPARK) < thresh)
         .select("doc_id", "lang", rate_ppm.alias("rate_ppm"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture planning: target weights -> per-language token budgets.
+#
+# The standard pre-training move (GPT-3 / The Pile / data-constrained
+# scaling): the corpus owner declares a TARGET mixture over strata and a
+# total token budget; each stratum is then read for `epochs` passes,
+# where epochs = target_tokens / available_tokens, capped at ~4 repeats
+# (past that, repeated data stops helping — the data-constrained
+# scaling-law rule of thumb). This planner is the tiny O(strata)
+# aggregate that turns (corpus stats, weights, budget) into an explicit
+# per-language plan; temperature_resample_docs above is the IMPLICIT
+# alpha=0.5 version of the same decision.
+#
+# All integer math. The epochs ratio is emitted in parts-per-million via
+# SPLIT integer division ((q div a)*1e6 + ((q mod a)*1e6) div a) so no
+# intermediate exceeds max(avail, rem*1e6) — int64-safe for strata up to
+# ~9.2e12 tokens (comfortably past a 100 TB corpus's per-language text).
+_MIX_WEIGHTS = {"en": 40, "zh": 15, "es": 15, "de": 15, "fr": 15}  # pct
+_MIX_MAX_EPOCHS = 4
+_MIX_W_SQL = (
+    "CAST(CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items())
+    + " ELSE 0 END AS BIGINT)"
+)
+# budget = half the corpus's total tokens (self-normalizing across SFs);
+# target = budget * weight / 100; planned = min(target, 4 * available).
+_MIX_TMPL = {
+    "target_tokens": "((total_tokens {idiv} 2) * target_weight_pct) {idiv} 100",
+    "planned_tokens": f"LEAST(target_tokens, avail_tokens * {_MIX_MAX_EPOCHS})",
+    "epochs_ppm": (
+        "(planned_tokens {idiv} avail_tokens) * 1000000"
+        " + ((planned_tokens % avail_tokens) * 1000000) {idiv} avail_tokens"
+    ),
+}
+
+
+@register(
+    "mixture_plan_langs",
+    oracle=f"""
+WITH s AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         SUM(len(string_split(lower(text), ' '))) AS avail_tokens
+  FROM documents GROUP BY 1
+),
+t AS (
+  SELECT *, SUM(avail_tokens) OVER () AS total_tokens,
+         {_MIX_W_SQL} AS target_weight_pct
+  FROM s
+),
+p AS (
+  SELECT *, {_MIX_TMPL["target_tokens"].format(idiv="//")} AS target_tokens
+  FROM t
+),
+q AS (SELECT *, {_MIX_TMPL["planned_tokens"]} AS planned_tokens FROM p)
+SELECT lang, n_docs, avail_tokens, target_weight_pct, target_tokens,
+       planned_tokens,
+       {_MIX_TMPL["epochs_ppm"].format(idiv="//")} AS epochs_ppm
+FROM q
+""",
+    doc="Explicit data-mixture plan: declared target weights + a total "
+    "token budget -> per-language planned tokens and repeat factor "
+    "(ppm), with the data-constrained-scaling 4-epoch repeat cap. One "
+    "O(strata) aggregate over a single corpus scan; the whole plan is "
+    "integer arithmetic (split ppm division, overflow-safe to ~9.2e12 "
+    "tokens per stratum) so the oracle is bit-exact. Complements "
+    "temperature_resample_docs (the implicit alpha-sampling form of "
+    "the same mixture decision).",
+    tags=("sampling", "text"),
+)
+def mixture_plan_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.lower("text"), " ")).cast("bigint")).alias(
+            "avail_tokens"
+        ),
+    )
+    t = s.withColumn(
+        "total_tokens", F.sum("avail_tokens").over(Window.partitionBy())
+    ).withColumn("target_weight_pct", F.expr(_MIX_W_SQL))
+    p = t.withColumn(
+        "target_tokens", F.expr(_MIX_TMPL["target_tokens"].format(idiv="div"))
+    )
+    q = p.withColumn("planned_tokens", F.expr(_MIX_TMPL["planned_tokens"]))
+    return q.select(
+        "lang",
+        "n_docs",
+        "avail_tokens",
+        "target_weight_pct",
+        "target_tokens",
+        "planned_tokens",
+        F.expr(_MIX_TMPL["epochs_ppm"].format(idiv="div")).alias("epochs_ppm"),
+    )
