@@ -404,10 +404,14 @@ _MIX_W_SQL = (
     + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items())
     + " ELSE 0 END AS BIGINT)"
 )
-# budget = half the corpus's total tokens (self-normalizing across SFs);
-# target = budget * weight / 100; planned = min(target, 4 * available).
+# budget = the corpus's own total token count (self-normalizing across
+# SFs, and it makes epochs straddle 1.0: strata whose availability share
+# falls short of their target weight get whole-copy upsampling, the rest
+# fractional downsampling — both replication paths exercised at every
+# fixture SF); target = budget * weight / 100; planned = min(target,
+# 4 * available).
 _MIX_TMPL = {
-    "target_tokens": "((total_tokens {idiv} 2) * target_weight_pct) {idiv} 100",
+    "target_tokens": "(total_tokens * target_weight_pct) {idiv} 100",
     "planned_tokens": f"LEAST(target_tokens, avail_tokens * {_MIX_MAX_EPOCHS})",
     "epochs_ppm": (
         "(planned_tokens {idiv} avail_tokens) * 1000000"
@@ -415,11 +419,10 @@ _MIX_TMPL = {
     ),
 }
 
-
-@register(
-    "mixture_plan_langs",
-    oracle=f"""
-WITH s AS (
+# The shared plan relation (one O(strata) aggregate over a single corpus
+# scan), used by both the planner query and the apply gate below.
+_MIX_PLAN_CTE_TMPL = f"""
+s AS (
   SELECT lang, COUNT(*) AS n_docs,
          SUM(len(string_split(lower(text), ' '))) AS avail_tokens
   FROM documents GROUP BY 1
@@ -430,26 +433,19 @@ t AS (
   FROM s
 ),
 p AS (
-  SELECT *, {_MIX_TMPL["target_tokens"].format(idiv="//")} AS target_tokens
+  SELECT *, {_MIX_TMPL["target_tokens"]} AS target_tokens
   FROM t
 ),
-q AS (SELECT *, {_MIX_TMPL["planned_tokens"]} AS planned_tokens FROM p)
-SELECT lang, n_docs, avail_tokens, target_weight_pct, target_tokens,
-       planned_tokens,
-       {_MIX_TMPL["epochs_ppm"].format(idiv="//")} AS epochs_ppm
-FROM q
-""",
-    doc="Explicit data-mixture plan: declared target weights + a total "
-    "token budget -> per-language planned tokens and repeat factor "
-    "(ppm), with the data-constrained-scaling 4-epoch repeat cap. One "
-    "O(strata) aggregate over a single corpus scan; the whole plan is "
-    "integer arithmetic (split ppm division, overflow-safe to ~9.2e12 "
-    "tokens per stratum) so the oracle is bit-exact. Complements "
-    "temperature_resample_docs (the implicit alpha-sampling form of "
-    "the same mixture decision).",
-    tags=("sampling", "text"),
+q AS (SELECT *, {_MIX_TMPL["planned_tokens"]} AS planned_tokens FROM p),
+mix_plan AS (
+  SELECT *, {_MIX_TMPL["epochs_ppm"]} AS epochs_ppm FROM q
 )
-def mixture_plan_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _mixture_plan_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(strata) plan frame: lang, n_docs, avail_tokens,
+    target_weight_pct, target_tokens, planned_tokens, epochs_ppm."""
     docs = load(spark, sf_dir, "documents")
     s = docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -463,13 +459,94 @@ def mixture_plan_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t.withColumn(
         "target_tokens", F.expr(_MIX_TMPL["target_tokens"].format(idiv="div"))
     )
-    q = p.withColumn("planned_tokens", F.expr(_MIX_TMPL["planned_tokens"]))
-    return q.select(
+    return p.withColumn(
+        "planned_tokens", F.expr(_MIX_TMPL["planned_tokens"])
+    ).withColumn("epochs_ppm", F.expr(_MIX_TMPL["epochs_ppm"].format(idiv="div")))
+
+
+@register(
+    "mixture_plan_langs",
+    oracle=f"""
+WITH {_MIX_PLAN_CTE_TMPL}
+SELECT lang, n_docs, avail_tokens, target_weight_pct, target_tokens,
+       planned_tokens, epochs_ppm
+FROM mix_plan
+""".format(idiv="//"),
+    doc="Explicit data-mixture plan: declared target weights + a total "
+    "token budget -> per-language planned tokens and repeat factor "
+    "(ppm), with the data-constrained-scaling 4-epoch repeat cap. One "
+    "O(strata) aggregate over a single corpus scan; the whole plan is "
+    "integer arithmetic (split ppm division, overflow-safe to ~9.2e12 "
+    "tokens per stratum) so the oracle is bit-exact. Complements "
+    "temperature_resample_docs (the implicit alpha-sampling form of "
+    "the same mixture decision).",
+    tags=("sampling", "text"),
+)
+def mixture_plan_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mixture_plan_frame(spark, sf_dir).select(
         "lang",
         "n_docs",
         "avail_tokens",
         "target_weight_pct",
         "target_tokens",
         "planned_tokens",
-        F.expr(_MIX_TMPL["epochs_ppm"].format(idiv="div")).alias("epochs_ppm"),
+        "epochs_ppm",
+    )
+
+
+# Fractional-epoch admission gate: a SALTED Knuth hash (xxHash's odd
+# PRIME32_2 multiplier in the same overflow-free split form) so the
+# kept-remainder set is decorrelated from the stratified-sample /
+# train-val-test gates above — reusing one hash would make "the extra
+# epoch" systematically the same docs that land in 'train'.
+_MIX_K = 2246822519
+_MIX_HASH_TMPL = _HASH_TMPL.replace("2654435761", str(_MIX_K))
+# frac_ppm is compared against the 32-bit hash space scaled by
+# (2^32 div 1e6) = 4294 — pure integers, identical in both engines.
+_MIX_COPIES_TMPL = (
+    "epochs_ppm {idiv} 1000000"
+    " + CASE WHEN " + _MIX_HASH_TMPL + " <"
+    " (epochs_ppm % 1000000) * (4294967296 {idiv} 1000000)"
+    " THEN 1 ELSE 0 END"
+)
+
+
+@register(
+    "mixture_apply_docs",
+    oracle=f"""
+WITH {_MIX_PLAN_CTE_TMPL},
+g AS (
+  SELECT d.doc_id, d.lang,
+         CAST({_MIX_COPIES_TMPL} AS BIGINT) AS n_copies
+  FROM documents d JOIN mix_plan USING (lang)
+)
+SELECT doc_id, lang, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_id
+FROM g WHERE n_copies > 0
+""".format(idiv="//"),
+    doc="Materialize the mixture plan: every document is emitted "
+    "floor(epochs) times plus one more copy iff a salted Knuth hash "
+    "admits it into the fractional remainder — so each stratum's "
+    "output token mass converges to planned_tokens while staying "
+    "deterministic and engine-exact. The plan is an O(strata) "
+    "broadcast join; replication is a scan-local explode of "
+    "sequence(1, n_copies): zero shuffle on the corpus itself, which "
+    "is what makes epoch-upsampling viable at 100 TB (copies are "
+    "manufactured where the data lives, never moved).",
+    tags=("sampling", "text"),
+)
+def mixture_apply_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    plan = _mixture_plan_frame(spark, sf_dir).select("lang", "epochs_ppm")
+    g = docs.join(F.broadcast(plan), "lang").withColumn(
+        "n_copies", F.expr(_MIX_COPIES_TMPL.format(idiv="div"))
+    )
+    return (
+        g.where(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), F.col("n_copies").cast("bigint"))
+            ).alias("copy_id"),
+        )
     )
