@@ -129,6 +129,11 @@ HEADLINE = [
     "semdedup_keep",
     "ann_ivf_recall_at_k",
     "semdedup_incremental_keep",
+    # round 8: product quantization — the compressed-domain ANN scan
+    # (flat ADC) and the FAISS-style IVFPQ composition (cell pruning
+    # first, LUT lookups inside the probed lists)
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 

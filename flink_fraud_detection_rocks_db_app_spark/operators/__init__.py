@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     multimodal,
     olap,
     pipeline,
+    pq,
     relational,
     sampling,
     similarity,

@@ -715,3 +715,76 @@ def test_semdedup_planted_duplicate_groups(spark):
         assert kept == [champion], (g, kept, champion)
     for s in singles:
         assert out[s].kept, f"singleton {s} was dropped"
+
+
+def test_pq_mechanics(spark):
+    """PQ ADC: codebook TRAINING vectors must encode to their own code
+    in every subspace (their self-distance is exactly 0 — the argmin
+    has a bit-exact floor), adists are non-negative and ascending per
+    query, and at most top-k rows per query are returned."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.pq import (
+        PQ_KS,
+        PQ_M,
+        _codebook,
+        _encoded,
+    )
+
+    cb = _codebook(spark, SF_SMALL)
+    enc = {
+        r.vec_id: list(r.codes)
+        for r in _encoded(spark, SF_SMALL, cb).where(f"vec_id < {PQ_KS}").collect()
+    }
+    for c in range(PQ_KS):
+        assert enc[c] == [c] * PQ_M, (c, enc[c])
+
+    per_q: dict[int, list[float]] = {}
+    for r in _rows(spark, "ann_pq_topk"):
+        assert r.adist >= 0.0, r
+        per_q.setdefault(r.query_id, []).append(r.adist)
+    assert per_q, "PQ returned nothing"
+    for q, ds in per_q.items():
+        assert len(ds) <= 5
+        assert ds == sorted(ds)
+
+
+def test_ivfpq_restricted_to_probed_cells(spark):
+    """Every IVFPQ neighbor must live in one of its query's probed IVF
+    cells, and its adist must equal the flat-ADC adist for the same
+    (query, neighbor) pair — cell pruning changes the candidate set,
+    never a score."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.pq import (
+        _codebook,
+        _encoded,
+        _queries_with_luts,
+    )
+    from flink_fraud_detection_rocks_db_app_spark.operators.similarity import (
+        _ivf_assigned,
+        _ivf_centroids,
+        _ivf_probes,
+        _vectors,
+    )
+
+    e = _vectors(spark, SF_SMALL)
+    cents = _ivf_centroids(e)
+    cell_of = {
+        r.vec_id: r.cell
+        for r in _ivf_assigned(e, cents).select("vec_id", "cell").collect()
+    }
+    probed: dict[int, set[int]] = {}
+    for r in _ivf_probes(e, cents).select("query_id", "cell").collect():
+        probed.setdefault(r.query_id, set()).add(r.cell)
+
+    cb = _codebook(spark, SF_SMALL)
+    codes = {r.vec_id: tuple(r.codes) for r in _encoded(spark, SF_SMALL, cb).collect()}
+    luts = {
+        r.query_id: r.luts
+        for r in _queries_with_luts(spark, SF_SMALL, cb).collect()
+    }
+    rows = _rows(spark, "ann_ivfpq_topk")
+    assert rows, "IVFPQ returned nothing"
+    for r in rows:
+        assert cell_of[r.neighbor_id] in probed[r.query_id], r
+        flat = round(
+            sum(luts[r.query_id][m][c] for m, c in enumerate(codes[r.neighbor_id])), 6
+        )
+        assert abs(flat - r.adist) < 1e-9, (r, flat)

@@ -117,6 +117,23 @@ def test_ann_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
 
 
+def test_pq_encode_is_scan_local(spark):
+    """Flat PQ ADC: corpus encoding + scoring happen in the scan
+    pipeline — the ONLY data shuffle is the final per-query rank (one
+    hash exchange); the query/LUT side arrives by broadcast; and no
+    Python stage anywhere (the whole ADC path is codegen expressions)."""
+    import re
+
+    df = all_queries()["ann_pq_topk"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    # (formatted mode: shuffle nodes print as "(N) Exchange";
+    # BroadcastExchange spells differently and is the intended path)
+    shuffles = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(shuffles) == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan
+
+
 # Queries that legitimately use a broadcast nested-loop join: small
 # broadcast side with a non-equi predicate (documented exact baselines),
 # or a single-row scalar-subquery broadcast (q22's AVG threshold — a
@@ -134,6 +151,13 @@ BNLJ_OK = {
     # composes ann_cosine_topk + ann_ivf_topk verbatim, so it inherits
     # both documented broadcast forms above
     "ann_ivf_recall_at_k",
+    # ADC scoring: the bounded query frame (N_QUERIES rows of M×KS
+    # LUTs) cross-broadcasts against the ENCODED corpus (codes only —
+    # the compressed-domain scan is the design)
+    "ann_pq_topk",
+    # same bounded quantizer/LUT broadcasts; the candidate join itself
+    # is an equi join on the probed cell
+    "ann_ivfpq_topk",
     "tpch_q22_dormant_high_balance",
     # one-row scalar-aggregate gate broadcast into the HAVING filter
     "tpch_q11_important_stock",

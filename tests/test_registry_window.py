@@ -82,6 +82,11 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "setop": "EXCEPT lowers to the same physical left-anti join the "
     "driver-gated tpch_q21 NOT EXISTS half plans (r7 rotation "
     "rationale); the EXCEPT spelling stays full-suite verified",
+    "pq": "r8: product-quantization ADC is new this round (flat ADC + "
+    "IVFPQ, both with full DuckDB replay oracles, suite-gated every "
+    "round); the ANN family keeps three driver rows (lsh/ivf-indexed/"
+    "ivf-incremental) and ann_ivfpq_topk heads the COVERAGE.md r9 "
+    "rotation queue",
     "eval": "r8: ann_ivf_recall_at_k COMPOSES two queries whose "
     "machinery already holds driver evidence (the exact arm's "
     "scoring runs verbatim inside the IVF rerank; the IVF arm's "
