@@ -134,6 +134,10 @@ HEADLINE = [
     # first, LUT lookups inside the probed lists)
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    # round 8: the retrieval stack composed — MoreLikeThis lexical
+    # search and the RRF hybrid of the lexical + semantic arms
+    "mlt_bm25_topk",
+    "hybrid_rrf_topk",
 ]
 
 

@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     pipeline,
     pq,
     relational,
+    retrieval,
     sampling,
     similarity,
     stateful,

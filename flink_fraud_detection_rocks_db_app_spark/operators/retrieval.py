@@ -1,0 +1,337 @@
+"""Document-to-document retrieval: more-like-this (MLT) lexical
+search and hybrid lexical+semantic rank fusion — the two faces that
+turn the BM25 and ANN pillars into the retrieval stack a RAG /
+training-data-mining deployment actually runs.
+
+- `mlt_bm25_topk` is Lucene's MoreLikeThis shape: for each query
+  DOCUMENT, select its most "interesting" terms (top tf·idf within the
+  query doc — the bounded query surrogate that makes doc-to-doc search
+  affordable), then BM25-rank the corpus over just those terms. The
+  fixture's doc_id and vec_id spaces are aligned (both 0..N-1, one
+  embedding per document), which is what makes lexical and semantic
+  arms fusable per query.
+- `hybrid_rrf_topk` fuses the MLT arm with the exact-cosine semantic
+  arm by Reciprocal Rank Fusion (Cormack et al., SIGIR 2009):
+  score(d) = Σ_arms 1/(K + rank_arm(d)) with the standard K=60 —
+  rank-based, so no score-scale calibration between BM25 and cosine
+  is needed, and the arithmetic is identical in both engines (integer
+  ranks in, one fixed-order two-term double sum out).
+
+Scale design: every stage is the BM25/ANN machinery already proven at
+the pillar level — term postings prune to the (bounded) interesting-
+term set BEFORE any aggregate touches the corpus, per-query frames
+broadcast, the final top-k is a per-query WindowGroupLimit. The MLT
+term-selection adds one bounded semi-join (corpus tokens against the
+query docs' vocabulary) to compute df for candidate terms only — at
+100 TB that df frame is exactly what the materialized BM25 index
+already stores, so the indexed deployment skips the corpus scan
+entirely (documented, not duplicated here).
+
+Cross-engine determinism: gating scores (interesting-term rank, BM25
+sum, RRF sum) are 6dp-rounded in both engines; BM25 per-term
+contributions use text._BM25_CONTRIB verbatim and fold in sorted term
+order (the established libm convention); RRF adds its two reciprocal
+terms in fixed lex-then-sem order.
+
+Reference anchor: no retrieval exists in the reference (RocksDB fraud
+folds only); this is the brief's training-data-pipeline extension
+surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..fixtures import load
+from ..registry import register
+from .text import _BM25_CONTRIB
+
+MLT_QUERIES = 5  # query docs = doc_id < 5
+MLT_TERMS = 10  # "interesting terms" kept per query doc
+MLT_TOP_K = 10  # results per query
+RRF_K = 60  # the standard RRF constant
+
+# Lucene idf, the same formulation the BM25 pillar uses
+_IDF = "ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)"
+
+
+def _toks(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+
+
+def _mlt_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, mlt_bm25) for all candidates — shared by
+    the ranked MLT face and the hybrid fusion."""
+    docs = load(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id", F.size(F.split(F.lower("text"), " ")).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+    )
+    tok = _toks(docs)
+
+    # query-doc term frequencies (bounded: MLT_QUERIES docs' vocab)
+    qtf = (
+        tok.where(F.col("doc_id") < MLT_QUERIES)
+        .groupBy(F.col("doc_id").alias("query_id"), "term")
+        .agg(F.count("*").alias("qtf"))
+    )
+    cand_terms = qtf.select("term").distinct()
+    # df over the FULL corpus, but only for candidate terms: the
+    # semi-join prunes the token stream before the distinct-count
+    df = (
+        tok.join(F.broadcast(cand_terms), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    # interesting terms: top tf·idf within each query doc
+    interest = (
+        qtf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .withColumn("tscore", F.round(F.expr(f"qtf * {_IDF}"), 6))
+        .withColumn(
+            "trk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("tscore"), F.asc("term")
+                )
+            ),
+        )
+        .where(F.col("trk") <= MLT_TERMS)
+        .select("query_id", "term", "df")
+    )
+    # corpus term frequencies for the selected terms only
+    tf = (
+        tok.join(
+            F.broadcast(interest.select("term").distinct()), "term", "left_semi"
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    contrib = (
+        tf.join(F.broadcast(interest), "term")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", "term", F.expr(_BM25_CONTRIB).alias("c"))
+    )
+    return contrib.groupBy(
+        "query_id", F.col("doc_id").alias("neighbor_id")
+    ).agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ),
+            6,
+        ).alias("mlt_bm25")
+    )
+
+
+def _mlt_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("mlt_bm25"), F.asc("neighbor_id")
+    )
+    return (
+        _mlt_scored(spark, sf_dir)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= MLT_TOP_K)
+    )
+
+
+# ---- shared oracle CTEs: the full MLT replay --------------------------
+_MLT_CTES = f"""
+dl AS (
+  SELECT doc_id, len(string_split(lower(text), ' ')) AS dl FROM documents
+),
+stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n_docs
+  FROM dl
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+qtf AS (
+  SELECT doc_id AS query_id, term, COUNT(*) AS qtf
+  FROM tok WHERE doc_id < {MLT_QUERIES} GROUP BY 1, 2
+),
+cdf AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df
+  FROM tok WHERE term IN (SELECT DISTINCT term FROM qtf) GROUP BY 1
+),
+interest AS (
+  SELECT query_id, term, df
+  FROM qtf JOIN cdf USING (term) CROSS JOIN (SELECT n_docs FROM stats) s
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY round(qtf * {_IDF}, 6) DESC, term ASC
+  ) <= {MLT_TERMS}
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok WHERE term IN (SELECT DISTINCT term FROM interest) GROUP BY 1, 2
+),
+contrib AS (
+  SELECT query_id, tf.doc_id, tf.term, {_BM25_CONTRIB} AS c
+  FROM tf
+  JOIN interest USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.doc_id <> interest.query_id
+),
+mlt AS (
+  SELECT query_id, doc_id AS neighbor_id,
+         ROUND(SUM(c ORDER BY term), 6) AS mlt_bm25
+  FROM contrib GROUP BY 1, 2
+),
+mlt_ranked AS (
+  SELECT query_id, neighbor_id, mlt_bm25,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY mlt_bm25 DESC, neighbor_id ASC
+         ) AS rk
+  FROM mlt
+  QUALIFY rk <= {MLT_TOP_K}
+)
+"""
+
+_MLT_ORACLE = f"""
+WITH {_MLT_CTES}
+SELECT query_id, neighbor_id, mlt_bm25, CAST(rk AS BIGINT) AS rk
+FROM mlt_ranked
+"""
+
+
+@register(
+    "mlt_bm25_topk",
+    oracle=_MLT_ORACLE,
+    doc=f"More-like-this retrieval (the Lucene MLT shape): for each of "
+    f"the {MLT_QUERIES} query documents, keep its {MLT_TERMS} most "
+    "interesting terms (top tf·idf inside the query doc, Lucene idf) "
+    f"and BM25-rank the corpus over just those terms — top {MLT_TOP_K} "
+    "per query, self excluded. Scale shape: the corpus token stream is "
+    "pruned by a bounded broadcast semi-join (query vocab, then the "
+    "selected-term set) BEFORE any aggregate; per-query frames "
+    "broadcast; contributions fold in sorted term order, 6dp-rounded "
+    "(the BM25 convention). At 100 TB the candidate-term df comes "
+    "straight from the materialized BM25 index's postings instead of "
+    "a corpus scan.",
+    tags=("text", "retrieval", "join"),
+)
+def mlt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mlt_ranked(spark, sf_dir).select(
+        "query_id", "neighbor_id", "mlt_bm25", F.col("rk").cast("long").alias("rk")
+    )
+
+
+# ---- hybrid fusion ----------------------------------------------------
+
+_SEM_CTE = f"""
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+),
+sem_ranked AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_dot_product(q.v, e.v) / (q.norm * e.norm) DESC,
+                    e.vec_id ASC
+         ) AS rk
+  FROM (SELECT * FROM e WHERE vec_id < {MLT_QUERIES}) q
+  JOIN e ON q.vec_id <> e.vec_id
+  QUALIFY rk <= {MLT_TOP_K}
+)
+"""
+
+_HYBRID_ORACLE = f"""
+WITH {_MLT_CTES},
+{_SEM_CTE}
+SELECT
+  COALESCE(l.query_id, s.query_id) AS query_id,
+  COALESCE(l.neighbor_id, s.neighbor_id) AS neighbor_id,
+  round(COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + l.rk), 0.0)
+        + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + s.rk), 0.0), 6) AS rrf
+FROM mlt_ranked l
+FULL OUTER JOIN sem_ranked s
+  ON l.query_id = s.query_id AND l.neighbor_id = s.neighbor_id
+QUALIFY row_number() OVER (
+  PARTITION BY COALESCE(l.query_id, s.query_id)
+  ORDER BY rrf DESC, COALESCE(l.neighbor_id, s.neighbor_id) ASC
+) <= {MLT_TOP_K}
+"""
+
+
+def _sem_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-cosine semantic arm: top MLT_TOP_K per query over the
+    aligned embedding space (same machinery as ann_cosine_topk, fused
+    depth/queryset)."""
+    from ..functions import l2_norm
+    from .similarity import _vectors
+
+    e = _vectors(spark, sf_dir).select("vec_id", "v", "norm")
+    q = e.where(F.col("vec_id") < MLT_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    cos = F.expr(
+        "aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+        "(s, x) -> s + x)"
+    ) / (F.col("qnorm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= MLT_TOP_K)
+        .select("query_id", "neighbor_id", "rk")
+    )
+
+
+@register(
+    "hybrid_rrf_topk",
+    oracle=_HYBRID_ORACLE,
+    doc=f"Hybrid retrieval: Reciprocal Rank Fusion (K={RRF_K}) of the "
+    "MLT-BM25 lexical arm and the exact-cosine semantic arm over the "
+    "aligned doc_id/vec_id space — the standard RAG retrieval stack. "
+    "RRF is rank-based (1/(K+rank) per arm, missing arm contributes "
+    "0), so no score-scale calibration is needed and the fusion "
+    "arithmetic is two integer-derived reciprocals summed in fixed "
+    "lex-then-sem order, 6dp-rounded: bit-identical across engines. "
+    "Both arms are bounded per-query frames (top-k each), so the "
+    "fusion join is broadcast-sized at any corpus scale.",
+    tags=("text", "retrieval", "similarity", "join"),
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lex = _mlt_ranked(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rk").alias("rk_lex")
+    )
+    sem = _sem_ranked(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rk").alias("rk_sem")
+    )
+    fused = lex.join(sem, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rk_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rk_sem")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= MLT_TOP_K)
+        .drop("rk")
+    )

@@ -788,3 +788,40 @@ def test_ivfpq_restricted_to_probed_cells(spark):
             sum(luts[r.query_id][m][c] for m, c in enumerate(codes[r.neighbor_id])), 6
         )
         assert abs(flat - r.adist) < 1e-9, (r, flat)
+
+
+def test_hybrid_rrf_mechanics(spark):
+    """Hybrid fusion: every fused neighbor comes from at least one arm,
+    per-query output is capped at the fusion depth with rrf
+    non-increasing, and a neighbor present in BOTH arms outranks any
+    neighbor whose ranks are strictly worse in both."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.retrieval import (
+        MLT_TOP_K,
+        RRF_K,
+        _mlt_ranked,
+        _sem_ranked,
+    )
+
+    lex = {
+        (r.query_id, r.neighbor_id): r.rk
+        for r in _mlt_ranked(spark, SF_SMALL).collect()
+    }
+    sem = {
+        (r.query_id, r.neighbor_id): r.rk
+        for r in _sem_ranked(spark, SF_SMALL).collect()
+    }
+    per_q: dict[int, list] = {}
+    for r in _rows(spark, "hybrid_rrf_topk"):
+        key = (r.query_id, r.neighbor_id)
+        assert key in lex or key in sem, r
+        want = round(
+            (1.0 / (RRF_K + lex[key]) if key in lex else 0.0)
+            + (1.0 / (RRF_K + sem[key]) if key in sem else 0.0),
+            6,
+        )
+        assert abs(r.rrf - want) < 1e-9, (r, want)
+        per_q.setdefault(r.query_id, []).append(r.rrf)
+    assert per_q, "hybrid returned nothing"
+    for q, scores in per_q.items():
+        assert len(scores) <= MLT_TOP_K
+        assert scores == sorted(scores, reverse=True)

@@ -168,6 +168,11 @@ BNLJ_OK = {
     # same one-row stats broadcast, read from the index's stats table
     "bm25_query_topk_indexed",
     "bm25_incremental_index_topk",
+    # same one-row (avgdl, N) stats broadcast inside the MLT arm
+    "mlt_bm25_topk",
+    # inherits the MLT stats broadcast + the bounded exact-cosine
+    # query-frame cross-broadcast (the ann_cosine_topk form)
+    "hybrid_rrf_topk",
     # one-row bloom-bitset array broadcast to every task (16 KB build
     # side; the probe is a scan-side filter, not a join predicate)
     "decontaminate_bloom_prefilter",

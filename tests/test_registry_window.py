@@ -82,6 +82,11 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "setop": "EXCEPT lowers to the same physical left-anti join the "
     "driver-gated tpch_q21 NOT EXISTS half plans (r7 rotation "
     "rationale); the EXCEPT spelling stays full-suite verified",
+    "retrieval": "r8: the MLT + hybrid-RRF faces are new this round "
+    "(full DuckDB replay oracles, suite-gated every round); their "
+    "machinery is the driver-gated BM25/ANN pillars composed per "
+    "query, and hybrid_rrf_topk heads the COVERAGE.md r9 rotation "
+    "queue",
     "pq": "r8: product-quantization ADC is new this round (flat ADC + "
     "IVFPQ, both with full DuckDB replay oracles, suite-gated every "
     "round); the ANN family keeps three driver rows (lsh/ivf-indexed/"
