@@ -93,6 +93,18 @@ PROBED = [
     # construction; the K-scaling knob is the design's scale path and
     # is what gets probed
     "semdedup_scaled_k",
+    # r8c: product quantization — encoding is scan-local against the
+    # literal codebook and ADC scoring is O(M) per candidate, so both
+    # forms should ride the corpus scan ~linearly (IVFPQ sub-linearly:
+    # candidates prune to nprobe/cells of the k×corpus first)
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    # r8c: the retrieval stack — MLT's corpus work is the token scan +
+    # bounded semi-joins (the scaled copies' token spaces are disjoint
+    # from the query docs', so candidate postings stay fixed while the
+    # scan grows k×); the hybrid adds the linear exact-cosine arm
+    "mlt_bm25_topk",
+    "hybrid_rrf_topk",
 ]
 
 

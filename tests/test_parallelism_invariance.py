@@ -59,6 +59,14 @@ REPRESENTATIVES = (
     # (cosine DESC, neighbor ASC tiebreak); the index is built once per
     # content, so both schedules read the SAME published asset
     "ann_ivf_incremental_topk",
+    # r8c: PQ encode argmin (6dp-rounded, first-match tiebreak) and the
+    # ADC fixed-order fold both gate rank membership — codes and adists
+    # must not depend on the schedule that scanned the corpus
+    "ann_ivfpq_topk",
+    # r8c: two-arm rank fusion — each arm's 6dp-rounded scores + id
+    # tiebreaks decide ranks, and the fused reciprocal sum must be
+    # identical whichever schedule built either arm
+    "hybrid_rrf_topk",
 )
 
 
