@@ -138,6 +138,10 @@ HEADLINE = [
     # search and the RRF hybrid of the lexical + semantic arms
     "mlt_bm25_topk",
     "hybrid_rrf_topk",
+    # round 8: the FAISS on-disk shape — cell-partitioned PQ codes +
+    # frozen quantizers as one published asset (min-of-2 keeps the
+    # warm partition-pruned probe, the incremental-row convention)
+    "ann_ivfpq_topk_indexed",
 ]
 
 

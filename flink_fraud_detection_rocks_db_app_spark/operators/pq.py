@@ -309,3 +309,93 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _adc_rank(scored)
+
+
+# ---------------------------------------------- materialized IVFPQ index
+
+def write_ivfpq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the IVFPQ index — the FAISS on-disk shape: `codes/`
+    (vec_id, codes) PARTITIONED BY the coarse cell (each directory is
+    one compressed inverted list), `centroids/` (the frozen coarse
+    quantizer) and `codebook/` (the frozen PQ sub-centroids, M×KS
+    rows). Both quantizers live INSIDE the asset, so a probe needs the
+    corpus only for its query vectors — at 100 TB the raw embeddings
+    are read once at build time and never again."""
+    import os
+
+    cb = _codebook(spark, sf_dir)
+    e = _vectors(spark, sf_dir)
+    cents = _ivf_centroids(e)
+    assigned = _ivf_assigned(e, cents).select("vec_id", "cell")
+    enc = _encoded(spark, sf_dir, cb).join(assigned, "vec_id")
+    enc.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "codes")
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    rows = [(m, c, cb[m][c]) for m in range(PQ_M) for c in range(PQ_KS)]
+    spark.createDataFrame(
+        rows, "m INT, code INT, cv ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+
+
+def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once-if-absent with atomic publish + stale prune — the
+    shared hardened lifecycle (indexcache.ensure_index, pinned by
+    tests/test_ivf_index_lifecycle.py)."""
+    from .indexcache import ensure_index
+
+    return ensure_index(
+        "ivfpq", sf_dir, "embeddings", lambda tmp: write_ivfpq_index(spark, sf_dir, tmp)
+    )
+
+
+def _codebook_from_index(spark: SparkSession, idx: str) -> list[list[list[float]]]:
+    import os
+
+    rows = spark.read.parquet(os.path.join(idx, "codebook")).collect()
+    cb: list[list[list[float] | None]] = [[None] * PQ_KS for _ in range(PQ_M)]
+    for r in rows:
+        cb[r.m][r.code] = list(r.cv)
+    return cb  # type: ignore[return-value]
+
+
+@register(
+    "ann_ivfpq_topk_indexed",
+    oracle=_IVFPQ_ORACLE,
+    doc="IVFPQ against the MATERIALIZED index: compressed inverted "
+    "lists live as a cell-partitioned parquet table of PQ codes, with "
+    "BOTH frozen quantizers (coarse centroids + PQ codebook) persisted "
+    "inside the asset (ensure_ivfpq_index — the shared atomic-publish "
+    "lifecycle). The probe reads the quantizers, turns its probed "
+    "cells into LITERAL partition filters (PartitionFilters "
+    "plan-tested) and ADC-ranks only those lists — the corpus's raw "
+    "vectors are never touched after build. Same oracle as "
+    "ann_ivfpq_topk: the layout must not change a single neighbor.",
+    tags=("similarity", "ann", "pq", "ivf", "warehouse"),
+)
+def ann_ivfpq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    idx = ensure_ivfpq_index(spark, sf_dir)
+    cb = _codebook_from_index(spark, idx)
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    e = _vectors(spark, sf_dir)
+    probes = _ivf_probes(e, cents).select("query_id", "cell")
+    # contract-bounded driver collect (≤ N_QUERIES × IVF_NPROBE ids):
+    # literal cells are what let the parquet source prune the other
+    # compressed inverted lists at planning time
+    cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    enc = spark.read.parquet(os.path.join(idx, "codes")).where(
+        F.col("cell").isin(cells)
+    )
+    q = _queries_with_luts(spark, sf_dir, cb).join(probes, "query_id")
+    scored = (
+        enc.join(F.broadcast(q), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_ADC_SUM).alias("adist"),
+        )
+    )
+    return _adc_rank(scored)

@@ -158,6 +158,8 @@ BNLJ_OK = {
     # same bounded quantizer/LUT broadcasts; the candidate join itself
     # is an equi join on the probed cell
     "ann_ivfpq_topk",
+    # identical probe shape reading the materialized codes/quantizers
+    "ann_ivfpq_topk_indexed",
     "tpch_q22_dormant_high_balance",
     # one-row scalar-aggregate gate broadcast into the HAVING filter
     "tpch_q11_important_stock",
@@ -502,6 +504,34 @@ def test_ivf_index_probe_prunes_partitions(spark, scratch):
         assert "cell=0" in f or "cell=1" in f, f
 
     q = all_queries()["ann_ivf_topk_indexed"].fn(spark, SF_SMALL)
+    qplan = explain_str(q)
+    assert "PartitionFilters: [cell" in qplan, qplan
+
+
+def test_ivfpq_index_probe_prunes_partitions(spark, scratch):
+    """The materialized IVFPQ index: compressed inverted lists are
+    cell= partition directories of PQ codes, both quantizers live
+    inside the asset, and the registered probe's literal cell filter
+    reaches the codes scan as PartitionFilters."""
+    import os
+
+    from flink_fraud_detection_rocks_db_app_spark.operators.pq import (
+        write_ivfpq_index,
+    )
+    from flink_fraud_detection_rocks_db_app_spark.operators.similarity import (
+        IVF_CELLS,
+    )
+
+    idx = os.path.join(scratch, "ivfpq_idx")
+    write_ivfpq_index(spark, SF_SMALL, idx)
+    cells = sorted(
+        d for d in os.listdir(os.path.join(idx, "codes")) if d.startswith("cell=")
+    )
+    assert len(cells) == IVF_CELLS, cells
+    assert os.path.isdir(os.path.join(idx, "centroids"))
+    assert os.path.isdir(os.path.join(idx, "codebook"))
+
+    q = all_queries()["ann_ivfpq_topk_indexed"].fn(spark, SF_SMALL)
     qplan = explain_str(q)
     assert "PartitionFilters: [cell" in qplan, qplan
 
