@@ -142,6 +142,9 @@ HEADLINE = [
     # frozen quantizers as one published asset (min-of-2 keeps the
     # warm partition-pruned probe, the incremental-row convention)
     "ann_ivfpq_topk_indexed",
+    # round 8: passage-level exact dedup with document reassembly (the
+    # C4/CCNet transform twin of span_dup_stats' signal)
+    "dedup_passages_keep_first",
 ]
 
 

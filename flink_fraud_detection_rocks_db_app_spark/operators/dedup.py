@@ -1058,3 +1058,89 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rn = F.row_number().over(W.partitionBy("new_id").orderBy(F.asc("matched_id")))
     return oriented.withColumn("rn", rn).where(F.col("rn") == 1).drop("rn")
+
+
+# ------------------------------------------- passage-level dedup (C4-style)
+
+PASSAGE_TOKENS = 8  # disjoint 8-token passages (span_dup_stats' granularity)
+
+
+@register(
+    "dedup_passages_keep_first",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id, w,
+         unnest(range(0, greatest(len(w) - 1, 0) + 1, {PASSAGE_TOKENS})) AS st
+  FROM t
+),
+p AS (
+  SELECT doc_id, CAST(st // {PASSAGE_TOKENS} AS BIGINT) AS pos,
+         array_to_string(list_slice(w, st + 1, st + {PASSAGE_TOKENS}), ' ') AS ptxt
+  FROM s
+),
+k AS (
+  SELECT doc_id, pos, ptxt,
+         row_number() OVER (PARTITION BY ptxt ORDER BY doc_id, pos) = 1 AS keep
+  FROM p
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_passages,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN keep THEN ptxt END, ' ' ORDER BY pos), '')
+         AS clean_text
+FROM k GROUP BY 1
+""",
+    doc=f"Passage-level exact dedup with document REASSEMBLY — the "
+    "C4/CCNet line-dedup stage adapted to the fixture's unpunctuated "
+    f"text: documents split into disjoint {PASSAGE_TOKENS}-token "
+    "passages, every passage that already occurred anywhere in the "
+    "corpus (keep-first: lexicographic min (doc_id, pos) wins, "
+    "including self-repeats within a document) is DROPPED, and each "
+    "document is rebuilt from its surviving passages in order — the "
+    "corpus TRANSFORM twin of span_dup_stats' signal. Scale shape: "
+    "passage fan-out is scan-local array arithmetic (the "
+    "doc_chunk_windows machinery at stride=size); the keep decision "
+    "is ONE shuffle keyed by passage content (at 100 TB the key "
+    "becomes a 128-bit fingerprint and only (fp, doc_id, pos) "
+    "shuffles — dedup_exact's md5 convention); reassembly is one "
+    "doc-keyed sorted fold. Nothing quadratic anywhere: cost is "
+    "O(passages), independent of how duplicated the corpus is.",
+    tags=("dedup", "text"),
+)
+def dedup_passages_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return passages_keep_first_over(load(spark, sf_dir, "documents"))
+
+
+def passages_keep_first_over(docs: DataFrame) -> DataFrame:
+    """The passage-dedup transform over any (doc_id, text) frame —
+    planted-duplicate tests drive this directly."""
+    from pyspark.sql import Window as W
+
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    starts = F.expr(f"sequence(0, greatest(size(w) - 1, 0), {PASSAGE_TOKENS})")
+    p = w.select("doc_id", "w", F.explode(starts).alias("st")).select(
+        "doc_id",
+        (F.col("st") / PASSAGE_TOKENS).cast("bigint").alias("pos"),
+        F.array_join(F.slice("w", F.col("st") + 1, PASSAGE_TOKENS), " ").alias("ptxt"),
+    )
+    keep = (
+        F.row_number().over(W.partitionBy("ptxt").orderBy("doc_id", "pos")) == 1
+    )
+    flagged = p.withColumn("keep", keep)
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_passages"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                # when() without otherwise() yields NULL for dropped
+                # passages and collect_list skips NULLs — only kept
+                # passages enter the sorted fold
+                F.sort_array(
+                    F.collect_list(F.when(F.col("keep"), F.struct("pos", "ptxt")))
+                ),
+                lambda s: s["ptxt"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

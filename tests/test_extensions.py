@@ -825,3 +825,34 @@ def test_hybrid_rrf_mechanics(spark):
     for q, scores in per_q.items():
         assert len(scores) <= MLT_TOP_K
         assert scores == sorted(scores, reverse=True)
+
+
+def test_passage_dedup_planted(spark):
+    """Planted passages: a doc that repeats another doc's passage loses
+    its copy (keep-first by (doc_id, pos)); a self-repeat within one
+    doc keeps only the first occurrence; reassembly preserves the
+    surviving passages' order and a fully-duplicated doc reassembles
+    to the empty string."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.dedup import (
+        PASSAGE_TOKENS,
+        passages_keep_first_over,
+    )
+
+    p0 = " ".join(f"a{i}" for i in range(PASSAGE_TOKENS))  # doc0's passage
+    p1 = " ".join(f"b{i}" for i in range(PASSAGE_TOKENS))
+    p2 = " ".join(f"c{i}" for i in range(PASSAGE_TOKENS))
+    docs = spark.createDataFrame(
+        [
+            (0, f"{p0} {p1}"),  # both novel
+            (1, f"{p2} {p0}"),  # p0 stolen from doc0 -> dropped
+            (2, f"{p2} {p2}"),  # cross-doc dup + self-repeat -> empty
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in passages_keep_first_over(docs).collect()}
+    assert out[0].clean_text == f"{p0} {p1}"
+    assert (out[0].n_passages, out[0].n_kept) == (2, 2)
+    assert out[1].clean_text == p2  # keeps its novel passage only
+    assert (out[1].n_passages, out[1].n_kept) == (2, 1)
+    assert out[2].clean_text == ""  # p2 was doc1's (lower doc_id) first
+    assert (out[2].n_passages, out[2].n_kept) == (2, 0)
