@@ -145,6 +145,9 @@ HEADLINE = [
     # round 8: passage-level exact dedup with document reassembly (the
     # C4/CCNet transform twin of span_dup_stats' signal)
     "dedup_passages_keep_first",
+    # round 8: per-language quality tertiles (the curriculum/pruning
+    # data-ordering stage; exact-rank face of the approx-threshold twin)
+    "curriculum_quality_buckets",
 ]
 
 

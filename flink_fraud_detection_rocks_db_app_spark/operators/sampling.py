@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 
 from ..fixtures import load
 from ..registry import register
+from .text import _STOP_SQL
 
 # Knuth's multiplicative constant (golden-ratio reciprocal * 2^32).
 _KNUTH = 2654435761
@@ -549,4 +550,65 @@ def mixture_apply_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.lit(1).cast("bigint"), F.col("n_copies").cast("bigint"))
             ).alias("copy_id"),
         )
+    )
+
+
+# --------------------------------------------------- curriculum buckets
+
+CURRICULUM_BUCKETS = 3  # high / mid / low quality tiers
+
+
+@register(
+    "curriculum_quality_buckets",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+         len(w) AS n_tokens,
+         len(list_distinct(w))::DOUBLE / len(w) AS distinct_ratio,
+         len(list_filter(w, x -> x IN ('{_STOP_SQL}')))::DOUBLE / len(w) AS stop_ratio
+  FROM t
+),
+q AS (
+  SELECT doc_id, lang,
+         round(0.4 * LEAST(n_tokens / 100.0, 1.0)
+             + 0.4 * distinct_ratio
+             + 0.2 * (1.0 - ABS(stop_ratio - 0.4)), 6) AS quality
+  FROM m
+)
+SELECT doc_id, lang, quality,
+       CAST(ntile({CURRICULUM_BUCKETS}) OVER (
+         PARTITION BY lang ORDER BY quality DESC, doc_id ASC
+       ) AS BIGINT) AS bucket
+FROM q
+""",
+    doc=f"Curriculum bucketing: per-language quality {CURRICULUM_BUCKETS}"
+    "-tiles (1 = highest) over the doc_quality_score signal — the "
+    "data-ordering stage a curriculum-trained run consumes (feed "
+    "bucket 1 first, anneal toward 3), and the inverse knob for "
+    "quality-pruned pretraining (drop bucket 3). ntile is pure rank "
+    "arithmetic over a 6dp-rounded score with a doc_id tiebreak, so "
+    "bucket membership is bit-exact across engines. Scale shape: ONE "
+    "hash exchange on lang + an in-partition sort; a language is a "
+    "coarse partition at 100 TB, so the production twin computes "
+    "approx-quantile thresholds per language (one tiny broadcast) and "
+    "assigns buckets scan-locally — the stratified_sample_docs "
+    "pattern; this exact-rank face is the oracle-gateable form the "
+    "twin is validated against (the tumble_median / approx-median "
+    "pairing, applied to curriculum).",
+    tags=("sampling", "text"),
+)
+def curriculum_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import doc_quality_score
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    q = doc_quality_score(spark, sf_dir).join(docs, "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return q.select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.ntile(CURRICULUM_BUCKETS).over(w).cast("long").alias("bucket"),
     )

@@ -105,6 +105,14 @@ PROBED = [
     # scan grows k×); the hybrid adds the linear exact-cosine arm
     "mlt_bm25_topk",
     "hybrid_rrf_topk",
+    # r8c: the materialized IVFPQ probe (warm partition-pruned read of
+    # the published asset — min-of-2, the incremental-row convention)
+    # and the passage dedup (O(passages) content-keyed shuffle + one
+    # doc-keyed reassembly fold; the disjoint-copy construction means
+    # cross-copy passage dups cannot exist, so the keep-first window
+    # scales on volume, not duplication structure)
+    "ann_ivfpq_topk_indexed",
+    "dedup_passages_keep_first",
 ]
 
 
