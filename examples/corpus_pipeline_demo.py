@@ -82,6 +82,22 @@ STEPS = (
      "frozen quantizer + precomputed base losers; batch-cost update"),
     ("PII redaction", "doc_pii_redact",
      "regexp mask cascade, rides the corpus scan"),
+    ("passage dedup + rebuild", "dedup_passages_keep_first",
+     "corpus-wide keep-first on 8-token passages; docs reassembled"),
+    ("mixture plan", "mixture_plan_langs",
+     "declared weights + token budget -> per-lang epochs, O(strata)"),
+    ("mixture apply", "mixture_apply_docs",
+     "floor-epochs + salted fractional admission; scan-local explode"),
+    ("curriculum buckets", "curriculum_quality_buckets",
+     "per-lang quality tertiles by exact rank (6dp + id tiebreak)"),
+    ("ANN (PQ, flat ADC)", "ann_pq_topk",
+     "corpus searched as 4 codes/vector; LUT broadcast per query"),
+    ("ANN (IVFPQ, indexed)", "ann_ivfpq_topk_indexed",
+     "cell-partitioned PQ codes + frozen quantizers in the asset"),
+    ("MoreLikeThis", "mlt_bm25_topk",
+     "per-doc interesting terms -> BM25 over those terms only"),
+    ("hybrid retrieval", "hybrid_rrf_topk",
+     "RRF(K=60) of the MLT and exact-cosine arms; rank-based, exact"),
 )
 
 
