@@ -856,3 +856,42 @@ def test_passage_dedup_planted(spark):
     assert (out[1].n_passages, out[1].n_kept) == (2, 1)
     assert out[2].clean_text == ""  # p2 was doc1's (lower doc_id) first
     assert (out[2].n_passages, out[2].n_kept) == (2, 0)
+
+
+def test_mixture_apply_respects_plan(spark):
+    """Materialized mixture: every document is emitted either
+    floor(epochs) or floor(epochs)+1 times for its language (the +1
+    being the salted fractional admission), never above the 4-epoch
+    repeat cap, and copy_ids are the dense 1..n_copies sequence."""
+    from collections import Counter
+
+    from flink_fraud_detection_rocks_db_app_spark.operators.sampling import (
+        _MIX_MAX_EPOCHS,
+        _mixture_plan_frame,
+    )
+    from flink_fraud_detection_rocks_db_app_spark.registry import all_queries
+
+    plan = {
+        r.lang: r.epochs_ppm
+        for r in _mixture_plan_frame(spark, SF_SMALL).collect()
+    }
+    rows = all_queries()["mixture_apply_docs"].fn(spark, SF_SMALL).collect()
+    per_doc: dict[tuple, list] = {}
+    for r in rows:
+        per_doc.setdefault((r.doc_id, r.lang), []).append(r.copy_id)
+    assert per_doc, "mixture emitted nothing"
+    seen_extra = Counter()
+    for (doc_id, lang), copies in per_doc.items():
+        floor = plan[lang] // 1_000_000
+        n = len(copies)
+        assert n in (floor, floor + 1), (doc_id, lang, n, floor)
+        assert n <= _MIX_MAX_EPOCHS, (doc_id, n)
+        assert sorted(copies) == list(range(1, n + 1)), (doc_id, copies)
+        if n == floor + 1:
+            seen_extra[lang] += 1
+    # languages with a fractional remainder must admit SOME extras
+    # (rate ~frac); languages at an integer epoch count admit none
+    for lang, ppm in plan.items():
+        frac = ppm % 1_000_000
+        if frac == 0:
+            assert seen_extra[lang] == 0, (lang, seen_extra[lang])
