@@ -148,6 +148,9 @@ HEADLINE = [
     # round 8: per-language quality tertiles (the curriculum/pruning
     # data-ordering stage; exact-rank face of the approx-threshold twin)
     "curriculum_quality_buckets",
+    # round 8: the PQ quantization-loss monitor next to the IVF
+    # cell-pruning monitor
+    "ann_pq_recall_at_k",
 ]
 
 

@@ -399,3 +399,55 @@ def ann_ivfpq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _adc_rank(scored)
+
+
+# ------------------------------------------------------ PQ quality eval
+
+def _pq_recall_oracle() -> str:
+    from .similarity import _EXACT_ANN_ORACLE
+
+    return f"""
+WITH approx AS ({_PQ_ORACLE}),
+exact AS ({_EXACT_ANN_ORACLE}),
+hits AS (
+  SELECT a.query_id, count(*) AS n_hits
+  FROM approx a JOIN exact e USING (query_id, neighbor_id)
+  GROUP BY a.query_id
+)
+SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.n_hits, 0) / {TOP_K}.0, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h USING (query_id)
+"""
+
+
+@register(
+    "ann_pq_recall_at_k",
+    oracle=_pq_recall_oracle(),
+    doc=f"Recall@{TOP_K} of the PQ ADC path vs the exact cosine "
+    "baseline, per query — the quantization-loss monitor next to "
+    "ann_ivf_recall_at_k's cell-pruning monitor: a production "
+    "deployment watches BOTH before retraining codebooks (recall lost "
+    "to compression) or raising nprobe (recall lost to pruning). Pure "
+    "composition of two independently hash-gated queries; the join "
+    "touches only the O(queries × k) result frames, and at corpus "
+    "scale the exact arm runs over the same fixed query sample.",
+    tags=("similarity", "ann", "pq", "eval"),
+)
+def ann_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import ann_cosine_topk
+
+    approx = ann_pq_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qs = exact.select("query_id").distinct()
+    n = F.coalesce(F.col("n_hits"), F.lit(0))
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        n.alias("n_hits"),
+        F.round(n / F.lit(float(TOP_K)), 6).alias("recall"),
+    )

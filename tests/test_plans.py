@@ -160,6 +160,9 @@ BNLJ_OK = {
     "ann_ivfpq_topk",
     # identical probe shape reading the materialized codes/quantizers
     "ann_ivfpq_topk_indexed",
+    # composes ann_pq_topk + ann_cosine_topk verbatim (both documented
+    # bounded broadcasts above)
+    "ann_pq_recall_at_k",
     "tpch_q22_dormant_high_balance",
     # one-row scalar-aggregate gate broadcast into the HAVING filter
     "tpch_q11_important_stock",

@@ -92,7 +92,7 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "round); the ANN family keeps three driver rows (lsh/ivf-indexed/"
     "ivf-incremental) and ann_ivfpq_topk heads the COVERAGE.md r9 "
     "rotation queue",
-    "eval": "r8: ann_ivf_recall_at_k COMPOSES two queries whose "
+    "eval": "r8: ann_ivf_recall_at_k and ann_pq_recall_at_k COMPOSE queries whose "
     "machinery already holds driver evidence (the exact arm's "
     "scoring runs verbatim inside the IVF rerank; the IVF arm's "
     "family is driver-gated via ann_ivf_incremental_topk); the "
