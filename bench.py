@@ -151,6 +151,9 @@ HEADLINE = [
     # round 8: the PQ quantization-loss monitor next to the IVF
     # cell-pruning monitor
     "ann_pq_recall_at_k",
+    # round 8: DPR-style hard-negative mining (BM25-close, embedding-
+    # distant) — the contrastive-training data face of the two arms
+    "hard_negatives_topk",
 ]
 
 

@@ -335,3 +335,48 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= MLT_TOP_K)
         .drop("rk")
     )
+
+
+# ---- hard-negative mining ----------------------------------------------
+
+_HARDNEG_ORACLE = f"""
+WITH {_MLT_CTES},
+{_SEM_CTE}
+SELECT l.query_id, l.neighbor_id, l.mlt_bm25,
+       CAST(row_number() OVER (
+         PARTITION BY l.query_id ORDER BY l.rk ASC
+       ) AS BIGINT) AS neg_rank
+FROM mlt_ranked l
+LEFT JOIN sem_ranked s
+  ON l.query_id = s.query_id AND l.neighbor_id = s.neighbor_id
+WHERE s.neighbor_id IS NULL
+"""
+
+
+@register(
+    "hard_negatives_topk",
+    oracle=_HARDNEG_ORACLE,
+    doc="Hard-negative mining for contrastive retrieval training: per "
+    "query document, the lexically-similar candidates (MLT-BM25 top-"
+    f"{MLT_TOP_K}) that do NOT appear in the semantic top-{MLT_TOP_K} "
+    "— BM25-close but embedding-distant, exactly the negatives a "
+    "bi-encoder is trained against (the BM25-negatives recipe of DPR, "
+    "Karpukhin et al. 2020). Pure composition of the two "
+    "independently-gated arms: one anti-join over the bounded "
+    "O(queries × k) rank frames, re-ranked densely per query — "
+    "broadcast-sized at any corpus scale.",
+    tags=("text", "retrieval", "similarity", "join"),
+)
+def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lex = _mlt_ranked(spark, sf_dir).select(
+        "query_id", "neighbor_id", "mlt_bm25", "rk"
+    )
+    sem = _sem_ranked(spark, sf_dir).select("query_id", "neighbor_id")
+    neg = lex.join(sem, ["query_id", "neighbor_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.asc("rk"))
+    return neg.select(
+        "query_id",
+        "neighbor_id",
+        "mlt_bm25",
+        F.row_number().over(w).cast("long").alias("neg_rank"),
+    )

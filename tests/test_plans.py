@@ -178,6 +178,8 @@ BNLJ_OK = {
     # inherits the MLT stats broadcast + the bounded exact-cosine
     # query-frame cross-broadcast (the ann_cosine_topk form)
     "hybrid_rrf_topk",
+    # same two arms, anti-joined instead of fused
+    "hard_negatives_topk",
     # one-row bloom-bitset array broadcast to every task (16 KB build
     # side; the probe is a scan-side filter, not a join predicate)
     "decontaminate_bloom_prefilter",
