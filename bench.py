@@ -154,6 +154,9 @@ HEADLINE = [
     # round 8: DPR-style hard-negative mining (BM25-close, embedding-
     # distant) — the contrastive-training data face of the two arms
     "hard_negatives_topk",
+    # round 8: streaming corpus ingestion maintaining the BM25 index
+    # (foreachBatch segment appends; probe == full-corpus oracle)
+    "stream_bm25_ingest_replay",
 ]
 
 

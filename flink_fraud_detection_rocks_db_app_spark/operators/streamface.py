@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from .detectors import _RISING_ORACLE
 from .stateful import EWMA_ORACLE, sql_count_or_time, sql_running_alerts
+from .text import _BM25_ORACLE
 from .windows import MS, sql_session, sql_slide, sql_tumble
 
 # Replay scratch anchored to the REPO root, not the CWD: the driver
@@ -1174,3 +1175,64 @@ def stream_dynamic_rules_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(name)
+
+
+@register(
+    "stream_bm25_ingest_replay",
+    oracle=_BM25_ORACLE,
+    doc="Streaming corpus INGESTION maintaining the materialized BM25 "
+    "index: document chunks arrive as a file stream (one file per "
+    "micro-batch), each foreachBatch appends a postings/stats segment "
+    "(first batch bootstraps the index, later ones go through "
+    "append_to_bm25_index's fail-loudly duplicate guard), and the "
+    "probe over the stream-built index must hash-equal the FULL-corpus "
+    "batch oracle — index maintenance under continuous ingestion is "
+    "gated, not assumed. Segments are ADDITIVE (postings rows + "
+    "exact-integer stats sums), so the result is independent of "
+    "arrival order and of how the stream batches the files; a "
+    "foreachBatch retry would trip the duplicate guard rather than "
+    "silently double-count. The probe's top-20 frame is materialized "
+    "before the scratch index is deleted (contract-bounded collect, "
+    "the continuous-rollup face's convention).",
+    tags=("streaming", "text", "warehouse", "parity"),
+)
+def stream_bm25_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import load
+    from .text import _probe_bm25_index, _write_bm25_segment, append_to_bm25_index
+
+    name = f"bm25ingest_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        docs = load(spark, sf_dir, "documents")
+        src = os.path.join(scratch, "arrivals")
+        for i in range(3):
+            docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+
+        idx = os.path.join(scratch, "idx")
+
+        def sink(batch: DataFrame, _bid: int) -> None:
+            if batch.isEmpty():
+                return
+            if os.path.isdir(os.path.join(idx, "postings")):
+                append_to_bm25_index(batch, idx)
+            else:
+                _write_bm25_segment(batch, idx, "overwrite")
+
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = _probe_bm25_index(spark, idx)
+        rows = out.collect()  # bounded: BM25_TOP_K rows
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
