@@ -157,6 +157,9 @@ HEADLINE = [
     # round 8: streaming corpus ingestion maintaining the BM25 index
     # (foreachBatch segment appends; probe == full-corpus oracle)
     "stream_bm25_ingest_replay",
+    # round 8: its embedding twin — quantizer bootstrapped from the
+    # first arrival, later batches appended under the frozen centroids
+    "stream_ivf_ingest_replay",
 ]
 
 

@@ -28,7 +28,12 @@ N_QUERIES = 10  # query set = vec_id < 10
 NEARDUP_BLOCKS = 16  # block grid for the exact all-pairs near-dup scan
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    return _vectors_over(load(spark, sf_dir, "embeddings"))
+
+
+def _vectors_over(emb: DataFrame) -> DataFrame:
+    """(vec_id, v, label, norm) over any embeddings-shaped frame — the
+    streaming-ingestion face feeds micro-batches through this."""
     v = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     return emb.select("vec_id", v.alias("v"), "label").withColumn("norm", l2_norm("v"))
 

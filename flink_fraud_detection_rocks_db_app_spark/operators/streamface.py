@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from .detectors import _RISING_ORACLE
 from .stateful import EWMA_ORACLE, sql_count_or_time, sql_running_alerts
+from .similarity import _IVF_ORACLE as _STREAM_IVF_ORACLE
 from .text import _BM25_ORACLE
 from .windows import MS, sql_session, sql_slide, sql_tumble
 
@@ -1233,6 +1234,102 @@ def stream_bm25_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         out = _probe_bm25_index(spark, idx)
         rows = out.collect()  # bounded: BM25_TOP_K rows
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
+    "stream_ivf_ingest_replay",
+    oracle=_STREAM_IVF_ORACLE,
+    doc="Streaming VECTOR ingestion maintaining the IVF index — the "
+    "embedding twin of stream_bm25_ingest_replay: the first arrival "
+    "chunk carries the quantizer's training sample (the lowest "
+    "vec_ids — a deployment trains before any appends exist), its "
+    "foreachBatch bootstraps centroids/ + the first cell-partitioned "
+    "lists segment, and every later micro-batch is assigned under the "
+    "FROZEN quantizer and appended through append_to_ivf_index's "
+    "duplicate guard. The probe over the stream-built index must "
+    "match the monolithic oracle neighbor for neighbor (per-vector "
+    "assignment against fixed centroids is segmentation-independent). "
+    "Unlike the additive BM25 segments, the BOOTSTRAP batch is order-"
+    "critical, so chunk files carry explicit ascending mtimes (the "
+    "FileStreamSource ordering contract). Bounded probe frame "
+    "materialized before scratch deletion.",
+    tags=("streaming", "similarity", "ann", "ivf", "warehouse", "parity"),
+)
+def stream_ivf_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+
+    from ..fixtures import load
+    from .similarity import (
+        IVF_CELLS,
+        _ivf_assigned,
+        _ivf_centroids,
+        _ivf_probes,
+        _ivf_rerank,
+        _vectors,
+        _vectors_over,
+        append_to_ivf_index,
+    )
+
+    name = f"ivfingest_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        emb = load(spark, sf_dir, "embeddings")
+        src = os.path.join(scratch, "arrivals")
+        chunk = F.when(F.col("vec_id") < IVF_CELLS, F.lit(0)).otherwise(
+            F.pmod(F.xxhash64("vec_id"), F.lit(3))
+        )
+        base = _time.time()
+        seen: set[str] = set()
+        for i in range(3):
+            emb.where(chunk == i).coalesce(1).write.mode("append").parquet(src)
+            for f in os.listdir(src):
+                p = os.path.join(src, f)
+                if f.endswith(".parquet") and p not in seen:
+                    os.utime(p, (base + i, base + i))
+                    seen.add(p)
+
+        idx = os.path.join(scratch, "idx")
+        cents_dir = os.path.join(idx, "centroids")
+
+        def sink(batch: DataFrame, _bid: int) -> None:
+            if batch.isEmpty():
+                return
+            vecs = _vectors_over(batch)
+            if not os.path.isdir(cents_dir):
+                cents = _ivf_centroids(vecs)
+                cents.write.mode("overwrite").parquet(cents_dir)
+                _ivf_assigned(vecs, cents).write.mode("overwrite").partitionBy(
+                    "cell"
+                ).parquet(os.path.join(idx, "lists"))
+            else:
+                append_to_ivf_index(vecs, idx)
+
+        q = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        e = _vectors(spark, sf_dir)
+        cents = spark.read.parquet(cents_dir)
+        probes = _ivf_probes(e, cents)
+        cells = sorted(
+            {r["cell"] for r in probes.select("cell").distinct().collect()}
+        )
+        inv = spark.read.parquet(os.path.join(idx, "lists")).where(
+            F.col("cell").isin(cells)
+        )
+        out = _ivf_rerank(inv, probes)
+        rows = out.collect()  # bounded: N_QUERIES x TOP_K rows
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
