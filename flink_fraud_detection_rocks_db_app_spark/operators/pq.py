@@ -85,6 +85,15 @@ def _codebook(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
         .collect()
     )
     by_id = {r["vec_id"]: list(r["v"]) for r in rows}
+    missing = [c for c in range(PQ_KS) if c not in by_id]
+    if missing:
+        # a renamed/truncated fixture would otherwise surface as a
+        # cryptic KeyError mid-expression-build (the indexcache
+        # empty-glob lesson: contract violations fail loudly, early)
+        raise ValueError(
+            f"PQ codebook needs training vec_ids 0..{PQ_KS - 1}; "
+            f"missing {missing} in {sf_dir!r}"
+        )
     return [
         [by_id[c][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM] for c in range(PQ_KS)]
         for m in range(PQ_M)
@@ -356,6 +365,12 @@ def _codebook_from_index(spark: SparkSession, idx: str) -> list[list[list[float]
     cb: list[list[list[float] | None]] = [[None] * PQ_KS for _ in range(PQ_M)]
     for r in rows:
         cb[r.m][r.code] = list(r.cv)
+    holes = [(m, c) for m in range(PQ_M) for c in range(PQ_KS) if cb[m][c] is None]
+    if holes:
+        # the atomic-publish lifecycle guarantees complete assets; a
+        # hole means someone hand-edited the index — refuse to score
+        # against a partial codebook
+        raise ValueError(f"IVFPQ index {idx!r} has incomplete codebook: {holes[:4]}")
     return cb  # type: ignore[return-value]
 
 

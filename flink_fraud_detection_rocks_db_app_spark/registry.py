@@ -85,14 +85,29 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (sqrt(n_min/n_l)) instead of literals — strictly more machinery
     # over the identical scan-local gate; the literal-rate form stays
     # full-suite verified
-    "temperature_resample_docs",
+    # r8c: temperature_resample_docs (driver-green r7; the Knuth-gate
+    # machinery keeps TWO driver rows via stratified_sample_docs +
+    # split_train_val_test below) gave its slot to ann_ivfpq_topk —
+    # the FAISS IVFPQ composition new this round: coarse-cell pruning
+    # then compressed-domain ADC ranking, full DuckDB replay oracle
+    # (its flat-ADC, indexed and recall-eval siblings stay full-suite
+    # verified under the same determinism contract)
+    "ann_ivfpq_topk",
     # r8: doc_winnow_fingerprints (green r5-r7; the order-sensitive
     # winnowing signature rides the same tokenized scan as the
     # remaining dedup/text driver rows) gave its slot to max_by_amount
     # — whose last driver check was the r2 fixture-drift red (stale-red
     # retire, like project_account_amount_ts above)
     "max_by_amount",
-    "dedup_ngram_jaccard_pruned",
+    # r8c: dedup_ngram_jaccard_pruned (driver-green r2-r8 window; its
+    # pruned-postings machinery runs VERBATIM inside
+    # dedup_containment_pairs below and builds the CC asset
+    # dedup_keep_best_per_cluster reads) gave its slot to
+    # hybrid_rrf_topk — the retrieval stack composed: MoreLikeThis
+    # BM25 arm + exact-cosine semantic arm fused by Reciprocal Rank
+    # Fusion (rank-based, bit-exact; the MLT and hard-negative
+    # siblings stay full-suite verified)
+    "hybrid_rrf_topk",
     # r7: dedup_minhash_lsh — its machinery (hash-once minhash
     # signatures, band-bucket collision join, exact verify) runs
     # VERBATIM inside dedup_incremental_lsh (dedup.py:1022:

@@ -82,16 +82,6 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "setop": "EXCEPT lowers to the same physical left-anti join the "
     "driver-gated tpch_q21 NOT EXISTS half plans (r7 rotation "
     "rationale); the EXCEPT spelling stays full-suite verified",
-    "retrieval": "r8: the MLT + hybrid-RRF faces are new this round "
-    "(full DuckDB replay oracles, suite-gated every round); their "
-    "machinery is the driver-gated BM25/ANN pillars composed per "
-    "query, and hybrid_rrf_topk heads the COVERAGE.md r9 rotation "
-    "queue",
-    "pq": "r8: product-quantization ADC is new this round (flat ADC + "
-    "IVFPQ, both with full DuckDB replay oracles, suite-gated every "
-    "round); the ANN family keeps three driver rows (lsh/ivf-indexed/"
-    "ivf-incremental) and ann_ivfpq_topk heads the COVERAGE.md r9 "
-    "rotation queue",
     "eval": "r8: ann_ivf_recall_at_k and ann_pq_recall_at_k COMPOSE queries whose "
     "machinery already holds driver evidence (the exact arm's "
     "scoring runs verbatim inside the IVF rerank; the IVF arm's "
@@ -101,6 +91,9 @@ SUITE_ONLY_TAGS: dict[str, str] = {
 }
 # r7: "warehouse" and "chunking" left the allowlist — ann_ivf_topk_indexed
 # and doc_chunk_windows rotated INTO the window (registry.py comments).
+# r8c: "retrieval" and "pq" never entered the allowlist permanently —
+# hybrid_rrf_topk and ann_ivfpq_topk rotated INTO the window the same
+# round their families landed (registry.py comments).
 # r8: "approx", "pattern", "sink", "projection" and "rollup" left the
 # allowlist — approx_distinct_users_bounded,
 # stream_pattern_rising_replay, stream_continuous_rollup_replay and
