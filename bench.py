@@ -160,6 +160,9 @@ HEADLINE = [
     # round 8: its embedding twin — quantizer bootstrapped from the
     # first arrival, later batches appended under the frozen centroids
     "stream_ivf_ingest_replay",
+    # round 8: appending-corpus passage dedup (first-arrival wins
+    # against the persisted passage index; cost ∝ batch)
+    "dedup_passages_incremental",
 ]
 
 

@@ -1144,3 +1144,127 @@ def passages_keep_first_over(docs: DataFrame) -> DataFrame:
             " ",
         ).alias("clean_text"),
     )
+
+
+PASSAGE_BATCH_MOD = 8  # batch = doc_id % 8 == 7 (the appending slice)
+
+
+def write_passage_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the passage-dedup index over the BASE corpus (every
+    doc outside the appending slice): the DISTINCT passage texts,
+    bucketed on disk by a passage hash so a batch probe's equi-join is
+    co-partitioned at warehouse scale (the BM25 term-bucket layout,
+    applied to passages)."""
+    import os
+
+    docs = load(spark, sf_dir, "documents").where(
+        F.pmod(F.col("doc_id"), F.lit(PASSAGE_BATCH_MOD)) != PASSAGE_BATCH_MOD - 1
+    )
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    starts = F.expr(f"sequence(0, greatest(size(w) - 1, 0), {PASSAGE_TOKENS})")
+    p = w.select("doc_id", "w", F.explode(starts).alias("st")).select(
+        F.array_join(F.slice("w", F.col("st") + 1, PASSAGE_TOKENS), " ").alias("ptxt")
+    )
+    (
+        p.distinct()
+        .withColumn("pbucket", F.pmod(F.xxhash64("ptxt"), F.lit(64)))
+        .write.mode("overwrite")
+        .partitionBy("pbucket")
+        .parquet(os.path.join(path, "passages"))
+    )
+
+
+@register(
+    "dedup_passages_incremental",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         doc_id % {PASSAGE_BATCH_MOD} = {PASSAGE_BATCH_MOD - 1} AS is_batch
+  FROM documents
+),
+s AS (
+  SELECT doc_id, w, is_batch,
+         unnest(range(0, greatest(len(w) - 1, 0) + 1, {PASSAGE_TOKENS})) AS st
+  FROM t
+),
+p AS (
+  SELECT doc_id, is_batch, CAST(st // {PASSAGE_TOKENS} AS BIGINT) AS pos,
+         array_to_string(list_slice(w, st + 1, st + {PASSAGE_TOKENS}), ' ') AS ptxt
+  FROM s
+),
+base AS (SELECT DISTINCT ptxt FROM p WHERE NOT is_batch),
+k AS (
+  SELECT doc_id, pos, ptxt,
+         ptxt NOT IN (SELECT ptxt FROM base)
+         AND row_number() OVER (PARTITION BY ptxt ORDER BY doc_id, pos) = 1
+           AS keep
+  FROM p WHERE is_batch
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_passages,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN keep THEN ptxt END, ' ' ORDER BY pos), '')
+         AS clean_text
+FROM k GROUP BY 1
+""",
+    doc="The APPENDING-corpus passage dedup (the incremental contract "
+    "every pillar carries — signatures, postings, inverted lists, "
+    "SemDeDup scored frames — applied to passages): the base corpus's "
+    "distinct passages are a persisted hash-bucketed index; a new "
+    "document batch dedups by FIRST-ARRIVAL semantics — any passage "
+    "already in the index is dropped (the base arrived first), then "
+    "keep-first within the batch itself — and rebuilds its documents "
+    "from the survivors. Cost ∝ batch passages + one co-partitioned "
+    "anti-join against the index; the corpus is never rescanned. The "
+    "oracle replays the same arrival order in SQL (base wins every "
+    "shared passage), which is exactly what makes the incremental "
+    "form equal to its replay — the dedup_incremental_lsh orientation "
+    "argument, applied here.",
+    tags=("dedup", "text", "incremental"),
+)
+def dedup_passages_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import Window as W
+
+    from .indexcache import ensure_index
+
+    idx = ensure_index(
+        "passages",
+        sf_dir,
+        "documents",
+        lambda tmp: write_passage_index(spark, sf_dir, tmp),
+    )
+    batch = load(spark, sf_dir, "documents").where(
+        F.pmod(F.col("doc_id"), F.lit(PASSAGE_BATCH_MOD)) == PASSAGE_BATCH_MOD - 1
+    )
+    w = batch.select("doc_id", F.split("text", " ").alias("w"))
+    starts = F.expr(f"sequence(0, greatest(size(w) - 1, 0), {PASSAGE_TOKENS})")
+    p = w.select("doc_id", "w", F.explode(starts).alias("st")).select(
+        "doc_id",
+        (F.col("st") / PASSAGE_TOKENS).cast("bigint").alias("pos"),
+        F.array_join(F.slice("w", F.col("st") + 1, PASSAGE_TOKENS), " ").alias("ptxt"),
+    )
+    known = spark.read.parquet(os.path.join(idx, "passages")).select("ptxt")
+    novel = p.join(known, "ptxt", "left_anti")
+    first = (
+        F.row_number().over(W.partitionBy("ptxt").orderBy("doc_id", "pos")) == 1
+    )
+    flagged = p.join(
+        novel.withColumn("keep", first).select("doc_id", "pos", "keep"),
+        ["doc_id", "pos"],
+        "left",
+    ).withColumn("keep", F.coalesce(F.col("keep"), F.lit(False)))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_passages"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.when(F.col("keep"), F.struct("pos", "ptxt")))
+                ),
+                lambda s: s["ptxt"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

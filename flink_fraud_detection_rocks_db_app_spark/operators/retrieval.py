@@ -273,7 +273,6 @@ def _sem_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-cosine semantic arm: top MLT_TOP_K per query over the
     aligned embedding space (same machinery as ann_cosine_topk, fused
     depth/queryset)."""
-    from ..functions import l2_norm
     from .similarity import _vectors
 
     e = _vectors(spark, sf_dir).select("vec_id", "v", "norm")
