@@ -163,6 +163,8 @@ HEADLINE = [
     # round 8: appending-corpus passage dedup (first-arrival wins
     # against the persisted passage index; cost ∝ batch)
     "dedup_passages_incremental",
+    # round 8: the combined-loss monitor completing the recall trio
+    "ann_ivfpq_recall_at_k",
 ]
 
 

@@ -466,3 +466,53 @@ def ann_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_hits"),
         F.round(n / F.lit(float(TOP_K)), 6).alias("recall"),
     )
+
+
+def _ivfpq_recall_oracle() -> str:
+    from .similarity import _EXACT_ANN_ORACLE
+
+    return f"""
+WITH approx AS ({_IVFPQ_ORACLE}),
+exact AS ({_EXACT_ANN_ORACLE}),
+hits AS (
+  SELECT a.query_id, count(*) AS n_hits
+  FROM approx a JOIN exact e USING (query_id, neighbor_id)
+  GROUP BY a.query_id
+)
+SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.n_hits, 0) / {TOP_K}.0, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h USING (query_id)
+"""
+
+
+@register(
+    "ann_ivfpq_recall_at_k",
+    oracle=_ivfpq_recall_oracle(),
+    doc=f"Recall@{TOP_K} of the combined IVFPQ path vs the exact "
+    "baseline — the third monitor of the trio: ann_ivf_recall_at_k "
+    "isolates cell-pruning loss, ann_pq_recall_at_k isolates "
+    "quantization loss, and this face measures what the deployed "
+    "index actually serves (both losses composed). The spread between "
+    "the three tells an operator WHICH knob to turn — nprobe, "
+    "codebook size, or both. Same bounded composition shape as its "
+    "siblings.",
+    tags=("similarity", "ann", "pq", "ivf", "eval"),
+)
+def ann_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import ann_cosine_topk
+
+    approx = ann_ivfpq_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qs = exact.select("query_id").distinct()
+    n = F.coalesce(F.col("n_hits"), F.lit(0))
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        n.alias("n_hits"),
+        F.round(n / F.lit(float(TOP_K)), 6).alias("recall"),
+    )

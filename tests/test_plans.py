@@ -163,6 +163,8 @@ BNLJ_OK = {
     # composes ann_pq_topk + ann_cosine_topk verbatim (both documented
     # bounded broadcasts above)
     "ann_pq_recall_at_k",
+    # same composition over the IVFPQ arm
+    "ann_ivfpq_recall_at_k",
     "tpch_q22_dormant_high_balance",
     # one-row scalar-aggregate gate broadcast into the HAVING filter
     "tpch_q11_important_stock",
