@@ -113,6 +113,9 @@ PROBED = [
     # scales on volume, not duplication structure)
     "ann_ivfpq_topk_indexed",
     "dedup_passages_keep_first",
+    # r8c: the appending form — min-of-2 keeps the warm probe of the
+    # published passage index (batch-side anti-join only)
+    "dedup_passages_incremental",
 ]
 
 

@@ -63,6 +63,10 @@ REPRESENTATIVES = (
     # ADC fixed-order fold both gate rank membership — codes and adists
     # must not depend on the schedule that scanned the corpus
     "ann_ivfpq_topk",
+    # r8c: corpus-wide keep-first window + order-sensitive document
+    # reassembly (sorted fold) — neither may depend on which schedule
+    # scanned the passages
+    "dedup_passages_keep_first",
     # r8c: two-arm rank fusion — each arm's 6dp-rounded scores + id
     # tiebreaks decide ranks, and the fused reciprocal sum must be
     # identical whichever schedule built either arm
