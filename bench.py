@@ -165,6 +165,9 @@ HEADLINE = [
     "dedup_passages_incremental",
     # round 8: the combined-loss monitor completing the recall trio
     "ann_ivfpq_recall_at_k",
+    # round 8: the hash-gateable GK-median face (exact + sketch-bound
+    # flag pinned TRUE, the bounded-HLL pattern applied to quantiles)
+    "tumble_approx_median_bounded",
 ]
 
 

@@ -481,3 +481,46 @@ def slide_median_5m_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
         MS["m"],
         [F.expr("percentile(amount, 0.5)").alias("median_amount")],
     )
+
+
+@register(
+    "tumble_approx_median_bounded",
+    oracle=sql_tumble(
+        MS["h"],
+        "quantile_cont(value, 0.5) AS median_amount, COUNT(*) AS n_events, "
+        "TRUE AS approx_in_bounds",
+    ),
+    doc="The hash-GATEABLE face of the GK-sketch median (the "
+    "approx_distinct_users_bounded pattern applied to quantiles): the "
+    "exact interpolated median and count are hash-compared against "
+    "DuckDB, and approx_in_bounds — which the oracle pins to TRUE — "
+    "asserts the approx_percentile sketch lands inside the exact "
+    "[p45, p55] bracket (min/max for windows under 100 events, where "
+    "interpolated brackets are degenerate). GK at accuracy 10000 "
+    "guarantees rank error <= max(1, 1e-4 n), far inside the 0.05n "
+    "margin, so the flag is TRUE by the sketch's contract — a sketch "
+    "regression flips a row to FALSE and the driver row goes red. The "
+    "suite's p25/p75-envelope test keeps the tighter per-window check.",
+    tags=("window", "tumbling", "holistic", "approx"),
+)
+def tumble_approx_median_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = tumbling(
+        transactions(spark, sf_dir),
+        MS["h"],
+        [
+            F.expr("percentile(amount, 0.5)").alias("median_amount"),
+            F.count("*").alias("n_events"),
+            F.expr("approx_percentile(amount, 0.5, 10000)").alias("_a"),
+            F.expr("percentile(amount, array(0.45, 0.55))").alias("_br"),
+            F.min("amount").alias("_lo"),
+            F.max("amount").alias("_hi"),
+        ],
+    )
+    small = F.col("n_events") < 100
+    lo = F.when(small, F.col("_lo")).otherwise(F.col("_br")[0])
+    hi = F.when(small, F.col("_hi")).otherwise(F.col("_br")[1])
+    keep = [c for c in df.columns if not c.startswith("_")]
+    return df.select(
+        *keep,
+        ((F.col("_a") >= lo) & (F.col("_a") <= hi)).alias("approx_in_bounds"),
+    )
