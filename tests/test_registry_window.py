@@ -134,3 +134,34 @@ def test_every_tag_family_has_driver_evidence_or_allowlist():
 def test_every_query_is_tagged():
     untagged = [n for n, s in all_queries().items() if not s.tags]
     assert not untagged, f"untagged queries (family unknown): {untagged}"
+
+
+def test_bench_and_probe_lists_name_registered_queries():
+    """bench.py's HEADLINE and scale_probe's PROBED lists are consumed
+    by the per-round driver — a typo there only surfaces as a lost
+    bench round. Pin both lists to the registry (probe names may also
+    resolve via its EXTRA_PROBES)."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def load(path, name):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    qs = all_queries()
+    bench = load(os.path.join(root, "bench.py"), "bench_under_test")
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, f"bench.HEADLINE names unknown queries: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate bench entries"
+
+    probe = load(
+        os.path.join(root, "scripts", "scale_probe.py"), "scale_probe_under_test"
+    )
+    missing = [
+        n for n in probe.PROBED if n not in qs and n not in probe.EXTRA_PROBES
+    ]
+    assert not missing, f"scale_probe.PROBED names unknown queries: {missing}"
