@@ -1065,6 +1065,41 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 PASSAGE_TOKENS = 8  # disjoint 8-token passages (span_dup_stats' granularity)
 
 
+def _passages(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, ptxt): the ONE passage fan-out — disjoint
+    PASSAGE_TOKENS-token windows over the whitespace tokens, shared by
+    the keep-first transform, the incremental probe and the index
+    writer so tokenization can never drift between them."""
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    starts = F.expr(f"sequence(0, greatest(size(w) - 1, 0), {PASSAGE_TOKENS})")
+    return w.select("doc_id", "w", F.explode(starts).alias("st")).select(
+        "doc_id",
+        (F.col("st") / PASSAGE_TOKENS).cast("bigint").alias("pos"),
+        F.array_join(F.slice("w", F.col("st") + 1, PASSAGE_TOKENS), " ").alias("ptxt"),
+    )
+
+
+def _reassemble(flagged: DataFrame) -> DataFrame:
+    """Rebuild (doc_id, n_passages, n_kept, clean_text) from a
+    (doc_id, pos, ptxt, keep) frame — the shared sorted-fold."""
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_passages"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                # when() without otherwise() yields NULL for dropped
+                # passages and collect_list skips NULLs — only kept
+                # passages enter the sorted fold
+                F.sort_array(
+                    F.collect_list(F.when(F.col("keep"), F.struct("pos", "ptxt")))
+                ),
+                lambda s: s["ptxt"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
 @register(
     "dedup_passages_keep_first",
     oracle=f"""
@@ -1117,33 +1152,10 @@ def passages_keep_first_over(docs: DataFrame) -> DataFrame:
     planted-duplicate tests drive this directly."""
     from pyspark.sql import Window as W
 
-    w = docs.select("doc_id", F.split("text", " ").alias("w"))
-    starts = F.expr(f"sequence(0, greatest(size(w) - 1, 0), {PASSAGE_TOKENS})")
-    p = w.select("doc_id", "w", F.explode(starts).alias("st")).select(
-        "doc_id",
-        (F.col("st") / PASSAGE_TOKENS).cast("bigint").alias("pos"),
-        F.array_join(F.slice("w", F.col("st") + 1, PASSAGE_TOKENS), " ").alias("ptxt"),
-    )
     keep = (
         F.row_number().over(W.partitionBy("ptxt").orderBy("doc_id", "pos")) == 1
     )
-    flagged = p.withColumn("keep", keep)
-    return flagged.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_passages"),
-        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                # when() without otherwise() yields NULL for dropped
-                # passages and collect_list skips NULLs — only kept
-                # passages enter the sorted fold
-                F.sort_array(
-                    F.collect_list(F.when(F.col("keep"), F.struct("pos", "ptxt")))
-                ),
-                lambda s: s["ptxt"],
-            ),
-            " ",
-        ).alias("clean_text"),
-    )
+    return _reassemble(_passages(docs).withColumn("keep", keep))
 
 
 PASSAGE_BATCH_MOD = 8  # batch = doc_id % 8 == 7 (the appending slice)
@@ -1160,13 +1172,10 @@ def write_passage_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     docs = load(spark, sf_dir, "documents").where(
         F.pmod(F.col("doc_id"), F.lit(PASSAGE_BATCH_MOD)) != PASSAGE_BATCH_MOD - 1
     )
-    w = docs.select("doc_id", F.split("text", " ").alias("w"))
-    starts = F.expr(f"sequence(0, greatest(size(w) - 1, 0), {PASSAGE_TOKENS})")
-    p = w.select("doc_id", "w", F.explode(starts).alias("st")).select(
-        F.array_join(F.slice("w", F.col("st") + 1, PASSAGE_TOKENS), " ").alias("ptxt")
-    )
     (
-        p.distinct()
+        _passages(docs)
+        .select("ptxt")
+        .distinct()
         .withColumn("pbucket", F.pmod(F.xxhash64("ptxt"), F.lit(64)))
         .write.mode("overwrite")
         .partitionBy("pbucket")
@@ -1238,13 +1247,7 @@ def dedup_passages_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = load(spark, sf_dir, "documents").where(
         F.pmod(F.col("doc_id"), F.lit(PASSAGE_BATCH_MOD)) == PASSAGE_BATCH_MOD - 1
     )
-    w = batch.select("doc_id", F.split("text", " ").alias("w"))
-    starts = F.expr(f"sequence(0, greatest(size(w) - 1, 0), {PASSAGE_TOKENS})")
-    p = w.select("doc_id", "w", F.explode(starts).alias("st")).select(
-        "doc_id",
-        (F.col("st") / PASSAGE_TOKENS).cast("bigint").alias("pos"),
-        F.array_join(F.slice("w", F.col("st") + 1, PASSAGE_TOKENS), " ").alias("ptxt"),
-    )
+    p = _passages(batch)
     known = spark.read.parquet(os.path.join(idx, "passages")).select("ptxt")
     novel = p.join(known, "ptxt", "left_anti")
     first = (
@@ -1255,16 +1258,4 @@ def dedup_passages_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["doc_id", "pos"],
         "left",
     ).withColumn("keep", F.coalesce(F.col("keep"), F.lit(False)))
-    return flagged.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_passages"),
-        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.when(F.col("keep"), F.struct("pos", "ptxt")))
-                ),
-                lambda s: s["ptxt"],
-            ),
-            " ",
-        ).alias("clean_text"),
-    )
+    return _reassemble(flagged)

@@ -129,14 +129,19 @@ def _with_subs(df: DataFrame) -> DataFrame:
 def _encoded(spark: SparkSession, sf_dir: str, cb) -> DataFrame:
     """(vec_id, codes array<int>): argmin on 6dp-rounded distances,
     ties to the lowest code (array_position returns the FIRST match).
-    One scan, zero shuffle."""
-    codes = []
+    One scan, zero shuffle. Each subspace's KS-distance array is
+    materialized ONCE as a column before the argmin references it
+    twice, so the expression tree (and the encode dot products, if
+    codegen's subexpression elimination ever bails at larger M/KS)
+    stays single-copy."""
+    df = _with_subs(_vectors(spark, sf_dir))
     for m in range(PQ_M):
-        d = _dists_arr(cb, m)
-        codes.append(f"CAST(array_position({d}, array_min({d})) - 1 AS INT)")
-    return _with_subs(_vectors(spark, sf_dir)).select(
-        "vec_id", F.expr("array(" + ", ".join(codes) + ")").alias("codes")
+        df = df.withColumn(f"_d{m}", F.expr(_dists_arr(cb, m)))
+    codes = ", ".join(
+        f"CAST(array_position(_d{m}, array_min(_d{m})) - 1 AS INT)"
+        for m in range(PQ_M)
     )
+    return df.select("vec_id", F.expr(f"array({codes})").alias("codes"))
 
 
 def _queries_with_luts(spark: SparkSession, sf_dir: str, cb) -> DataFrame:
@@ -419,21 +424,9 @@ def ann_ivfpq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------ PQ quality eval
 
 def _pq_recall_oracle() -> str:
-    from .similarity import _EXACT_ANN_ORACLE
+    from .similarity import recall_oracle
 
-    return f"""
-WITH approx AS ({_PQ_ORACLE}),
-exact AS ({_EXACT_ANN_ORACLE}),
-hits AS (
-  SELECT a.query_id, count(*) AS n_hits
-  FROM approx a JOIN exact e USING (query_id, neighbor_id)
-  GROUP BY a.query_id
-)
-SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
-       round(coalesce(h.n_hits, 0) / {TOP_K}.0, 6) AS recall
-FROM (SELECT DISTINCT query_id FROM exact) q
-LEFT JOIN hits h USING (query_id)
-"""
+    return recall_oracle(_PQ_ORACLE)
 
 
 @register(
@@ -450,40 +443,15 @@ LEFT JOIN hits h USING (query_id)
     tags=("similarity", "ann", "pq", "eval"),
 )
 def ann_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import ann_cosine_topk
+    from .similarity import recall_vs_exact
 
-    approx = ann_pq_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = (
-        approx.join(exact, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    qs = exact.select("query_id").distinct()
-    n = F.coalesce(F.col("n_hits"), F.lit(0))
-    return qs.join(hits, "query_id", "left").select(
-        "query_id",
-        n.alias("n_hits"),
-        F.round(n / F.lit(float(TOP_K)), 6).alias("recall"),
-    )
+    return recall_vs_exact(spark, sf_dir, ann_pq_topk(spark, sf_dir))
 
 
 def _ivfpq_recall_oracle() -> str:
-    from .similarity import _EXACT_ANN_ORACLE
+    from .similarity import recall_oracle
 
-    return f"""
-WITH approx AS ({_IVFPQ_ORACLE}),
-exact AS ({_EXACT_ANN_ORACLE}),
-hits AS (
-  SELECT a.query_id, count(*) AS n_hits
-  FROM approx a JOIN exact e USING (query_id, neighbor_id)
-  GROUP BY a.query_id
-)
-SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
-       round(coalesce(h.n_hits, 0) / {TOP_K}.0, 6) AS recall
-FROM (SELECT DISTINCT query_id FROM exact) q
-LEFT JOIN hits h USING (query_id)
-"""
+    return recall_oracle(_IVFPQ_ORACLE)
 
 
 @register(
@@ -500,19 +468,6 @@ LEFT JOIN hits h USING (query_id)
     tags=("similarity", "ann", "pq", "ivf", "eval"),
 )
 def ann_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import ann_cosine_topk
+    from .similarity import recall_vs_exact
 
-    approx = ann_ivfpq_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = (
-        approx.join(exact, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    qs = exact.select("query_id").distinct()
-    n = F.coalesce(F.col("n_hits"), F.lit(0))
-    return qs.join(hits, "query_id", "left").select(
-        "query_id",
-        n.alias("n_hits"),
-        F.round(n / F.lit(float(TOP_K)), 6).alias("recall"),
-    )
+    return recall_vs_exact(spark, sf_dir, ann_ivfpq_topk(spark, sf_dir))

@@ -273,6 +273,7 @@ def _sem_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-cosine semantic arm: top MLT_TOP_K per query over the
     aligned embedding space (same machinery as ann_cosine_topk, fused
     depth/queryset)."""
+    from ..functions import dot
     from .similarity import _vectors
 
     e = _vectors(spark, sf_dir).select("vec_id", "v", "norm")
@@ -281,10 +282,9 @@ def _sem_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"),
     )
-    cos = F.expr(
-        "aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
-        "(s, x) -> s + x)"
-    ) / (F.col("qnorm") * F.col("norm"))
+    # the canonical fold (functions.dot) — the same spelling every
+    # similarity oracle is calibrated against
+    cos = dot("qv", "v") / (F.col("qnorm") * F.col("norm"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         e.crossJoin(F.broadcast(q))

@@ -30,7 +30,7 @@ from pyspark.sql.window import Window
 
 from ..fixtures import load
 from ..registry import register
-from .text import _STOP_SQL
+from .text import QUALITY_SQL_CTES
 
 # Knuth's multiplicative constant (golden-ratio reciprocal * 2^32).
 _KNUTH = 2654435761
@@ -561,28 +561,12 @@ CURRICULUM_BUCKETS = 3  # high / mid / low quality tiers
 @register(
     "curriculum_quality_buckets",
     oracle=f"""
-WITH t AS (
-  SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents
-),
-m AS (
-  SELECT doc_id, lang,
-         len(w) AS n_tokens,
-         len(list_distinct(w))::DOUBLE / len(w) AS distinct_ratio,
-         len(list_filter(w, x -> x IN ('{_STOP_SQL}')))::DOUBLE / len(w) AS stop_ratio
-  FROM t
-),
-q AS (
-  SELECT doc_id, lang,
-         round(0.4 * LEAST(n_tokens / 100.0, 1.0)
-             + 0.4 * distinct_ratio
-             + 0.2 * (1.0 - ABS(stop_ratio - 0.4)), 6) AS quality
-  FROM m
-)
+WITH {QUALITY_SQL_CTES}
 SELECT doc_id, lang, quality,
        CAST(ntile({CURRICULUM_BUCKETS}) OVER (
          PARTITION BY lang ORDER BY quality DESC, doc_id ASC
        ) AS BIGINT) AS bucket
-FROM q
+FROM quality
 """,
     doc=f"Curriculum bucketing: per-language quality {CURRICULUM_BUCKETS}"
     "-tiles (1 = highest) over the doc_quality_score signal — the "

@@ -947,8 +947,11 @@ def semdedup_over(e: DataFrame, k: int, tau: float) -> DataFrame:
 # 100 TB it costs one indexed probe + one (sampled) exact scan over the
 # SAME query sample, and the join is on the tiny (query, neighbor) set.
 
-_RECALL_ORACLE = f"""
-WITH approx AS ({_IVF_ORACLE}),
+def recall_oracle(approx_oracle: str) -> str:
+    """Recall@k oracle template, shared by the IVF / PQ / IVFPQ
+    monitors — ONE definition of the metric."""
+    return f"""
+WITH approx AS ({approx_oracle}),
 exact AS ({_EXACT_ANN_ORACLE}),
 hits AS (
   SELECT a.query_id, count(*) AS n_hits
@@ -960,6 +963,29 @@ SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
 FROM (SELECT DISTINCT query_id FROM exact) q
 LEFT JOIN hits h USING (query_id)
 """
+
+
+def recall_vs_exact(spark: SparkSession, sf_dir: str, approx: DataFrame) -> DataFrame:
+    """Per-query recall@k of `approx` (query_id, neighbor_id, ...)
+    against the exact cosine baseline — the Spark half of the shared
+    template."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qs = exact.select("query_id").distinct()
+    n = F.coalesce(F.col("n_hits"), F.lit(0))
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        n.alias("n_hits"),
+        F.round(n / F.lit(float(TOP_K)), 6).alias("recall"),
+    )
+
+
+_RECALL_ORACLE = recall_oracle(_IVF_ORACLE)
 
 
 @register(
@@ -978,20 +1004,7 @@ LEFT JOIN hits h USING (query_id)
     tags=("similarity", "ann", "eval"),
 )
 def ann_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    approx = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = (
-        approx.join(exact, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    qs = exact.select("query_id").distinct()
-    n = F.coalesce(F.col("n_hits"), F.lit(0))
-    return qs.join(hits, "query_id", "left").select(
-        "query_id",
-        n.alias("n_hits"),
-        F.round(n / F.lit(float(TOP_K)), 6).alias("recall"),
-    )
+    return recall_vs_exact(spark, sf_dir, ann_ivf_topk(spark, sf_dir))
 
 
 # --- appending-corpus SemDeDup -------------------------------------------

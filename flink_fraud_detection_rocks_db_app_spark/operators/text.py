@@ -57,22 +57,33 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_quality_score",
-    oracle=f"""
-WITH t AS (SELECT doc_id, n_chars, string_split(lower(text), ' ') AS w FROM documents),
+# The ONE quality-score formula, shared (as SQL) by doc_quality_score's
+# oracle and the curriculum-bucket oracle in sampling.py — edit here and
+# both oracles move together with the Spark form below.
+QUALITY_SQL_CTES = f"""
+t AS (SELECT doc_id, lang, n_chars, string_split(lower(text), ' ') AS w FROM documents),
 m AS (
-  SELECT doc_id, n_chars,
+  SELECT doc_id, lang, n_chars,
          len(w) AS n_tokens,
          len(list_distinct(w))::DOUBLE / len(w) AS distinct_ratio,
          len(list_filter(w, x -> x IN ('{_STOP_SQL}')))::DOUBLE / len(w) AS stop_ratio
   FROM t
+),
+quality AS (
+  SELECT doc_id, lang,
+         round(0.4 * LEAST(n_tokens / 100.0, 1.0)
+             + 0.4 * distinct_ratio
+             + 0.2 * (1.0 - ABS(stop_ratio - 0.4)), 6) AS quality
+  FROM m
 )
-SELECT doc_id,
-       round(0.4 * LEAST(n_tokens / 100.0, 1.0)
-           + 0.4 * distinct_ratio
-           + 0.2 * (1.0 - ABS(stop_ratio - 0.4)), 6) AS quality
-FROM m
+"""
+
+
+@register(
+    "doc_quality_score",
+    oracle=f"""
+WITH {QUALITY_SQL_CTES}
+SELECT doc_id, quality FROM quality
 """,
     doc="Quality score: length saturation + lexical diversity + stopword-"
     "ratio proximity, rounded to 6dp so the score is engine-stable. The "
