@@ -168,6 +168,9 @@ HEADLINE = [
     # round 8: the hash-gateable GK-median face (exact + sketch-bound
     # flag pinned TRUE, the bounded-HLL pattern applied to quantiles)
     "tumble_approx_median_bounded",
+    # round 8: UCR-style z-normalized subsequence similarity (scalar
+    # rewrite over rounded sliding sums + one literal-pattern dot)
+    "ts_znorm_pattern_topk",
 ]
 
 

@@ -124,3 +124,128 @@ def resample_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("s", F.lit(0.0)).alias("sum_value"),
         F.coalesce("c", F.lit(0)).alias("n_events"),
     )
+
+
+# ----------------------- z-normalized subsequence similarity (EDBT'19)
+
+TS_SIM_K = 8  # subsequence length
+TS_SIM_TOP = 50
+
+# Query pattern: a z-normalized SPIKE (7 flat readings then a jump) —
+# the "sudden large transaction after quiet history" shape the fraud
+# detectors gate on, expressed as a similarity query. Literals are
+# computed once in Python (left folds — the same sequential order both
+# engines' parsers and the trusted dot-product primitives use).
+def _ts_q() -> list[float]:
+    raw = [0.0] * (TS_SIM_K - 1) + [1.0]
+    m = sum(raw) / TS_SIM_K
+    sd = (sum((x - m) ** 2 for x in raw) / TS_SIM_K) ** 0.5
+    return [(x - m) / sd for x in raw]
+
+
+_Q = _ts_q()
+_SQ1 = 0.0
+for _x in _Q:
+    _SQ1 += _x
+_SQ2 = 0.0
+for _x in _Q:
+    _SQ2 += _x * _x
+_Q_SPARK = "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in _Q) + ")"
+_Q_DUCK = "[" + ", ".join(repr(x) for x in _Q) + "]"
+
+# dist² via the dot identity on SCALARS: every term derives from the
+# 6dp-rounded frame sums s1/s2 (identical in both engines) plus ONE
+# array dot product against the literal pattern (the trusted
+# list_dot_product ≡ fold pair) — no per-element z-normalization in
+# either engine, so there is nothing order-sensitive to diverge.
+_DIST_TMPL = (
+    "round(sqrt(greatest("
+    "(s2 - 2.0 * (s1 / {k}) * s1 + {k} * (s1 / {k}) * (s1 / {k}))"
+    " / (s2 / {k} - (s1 / {k}) * (s1 / {k}))"
+    " - 2.0 * (dotwq - (s1 / {k}) * CAST({sq1!r} AS DOUBLE))"
+    " / sqrt(s2 / {k} - (s1 / {k}) * (s1 / {k}))"
+    " + CAST({sq2!r} AS DOUBLE), 0.0)), 6)"
+)
+_DIST = _DIST_TMPL.format(k=float(TS_SIM_K), sq1=_SQ1, sq2=_SQ2)
+_VAR = f"(s2 / {float(TS_SIM_K)} - (s1 / {float(TS_SIM_K)}) * (s1 / {float(TS_SIM_K)}))"
+
+
+@register(
+    "ts_znorm_pattern_topk",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id AS account_id, epoch_us(ts) AS t_us, event_id, value FROM events
+),
+f AS (
+  SELECT account_id, event_id,
+         COUNT(*) OVER w AS n,
+         round(SUM(value) OVER w, 6) AS s1,
+         round(SUM(value * value) OVER w, 6) AS s2,
+         list_dot_product(list(value) OVER w, {_Q_DUCK}) AS dotwq
+  FROM e
+  WINDOW w AS (
+    PARTITION BY account_id ORDER BY t_us, event_id
+    ROWS BETWEEN {TS_SIM_K - 1} PRECEDING AND CURRENT ROW
+  )
+),
+g AS (
+  SELECT account_id, event_id, {_DIST} AS dist
+  FROM f WHERE n = {TS_SIM_K} AND round({_VAR}, 6) > 0
+)
+SELECT account_id, event_id, dist,
+       CAST(row_number() OVER (
+         ORDER BY dist ASC, account_id ASC, event_id ASC
+       ) AS BIGINT) AS rk
+FROM g
+QUALIFY rk <= {TS_SIM_TOP}
+""",
+    doc=f"Z-normalized subsequence similarity search (the UCR/EDBT'19 "
+    f"shape): every {TS_SIM_K}-event window of an account's amount "
+    "series is z-normalized and scored by Euclidean distance against a "
+    f"literal spike pattern; global top-{TS_SIM_TOP} matches. The "
+    "distance is rewritten onto SCALARS of the frame (6dp-rounded "
+    "sliding sums + one dot product against the broadcast-literal "
+    "pattern), so no per-element normalization happens in either "
+    "engine — cross-engine determinism comes from the rounded-sums "
+    "convention, and per-row cost is O(k) with zero extra shuffle "
+    "(one key exchange + in-partition frames). The global top-k is a "
+    "distributed TakeOrdered, not a single-partition window (the "
+    "bm25_query_topk convention). At 100 TB this is the pattern-scan "
+    "that rides the per-account sort the other row-frame analytics "
+    "already pay — the streaming twin is the same frame over the "
+    "stateful fold machinery.",
+    tags=("timeseries", "similarity", "window_function"),
+)
+def ts_znorm_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    w = (
+        Window.partitionBy("account_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(-(TS_SIM_K - 1), 0)
+    )
+    dotwq = F.expr(
+        f"aggregate(zip_with(wv, {_Q_SPARK}, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+    )
+    f = (
+        ev.select(
+            "account_id",
+            "t_us",
+            "event_id",
+            F.count("*").over(w).alias("n"),
+            F.round(F.sum("value").over(w), 6).alias("s1"),
+            F.round(F.sum(F.col("value") * F.col("value")).over(w), 6).alias("s2"),
+            F.collect_list("value").over(w).alias("wv"),
+        )
+        .where(F.col("n") == TS_SIM_K)
+        .withColumn("dotwq", dotwq)
+        .where(F.expr(f"round({_VAR}, 6) > 0"))
+        .select("account_id", "event_id", F.expr(_DIST).alias("dist"))
+    )
+    top = f.orderBy(
+        F.asc("dist"), F.asc("account_id"), F.asc("event_id")
+    ).limit(TS_SIM_TOP)
+    rk = F.row_number().over(
+        Window.orderBy(F.asc("dist"), F.asc("account_id"), F.asc("event_id"))
+    )
+    return top.withColumn("rk", rk.cast("long"))
