@@ -171,6 +171,9 @@ HEADLINE = [
     # round 8: UCR-style z-normalized subsequence similarity (scalar
     # rewrite over rounded sliding sums + one literal-pattern dot)
     "ts_znorm_pattern_topk",
+    # round 8: the spike-pattern matcher as a standing streaming alert
+    # (subsequence buffers across micro-batches, same rounded rewrite)
+    "stream_ts_pattern_alerts_replay",
 ]
 
 

@@ -34,6 +34,7 @@ from .detectors import _RISING_ORACLE
 from .stateful import EWMA_ORACLE, sql_count_or_time, sql_running_alerts
 from .similarity import _IVF_ORACLE as _STREAM_IVF_ORACLE
 from .text import _BM25_ORACLE
+from .timeseries import sql_znorm_alerts
 from .windows import MS, sql_session, sql_slide, sql_tumble
 
 # Replay scratch anchored to the REPO root, not the CWD: the driver
@@ -1333,3 +1334,43 @@ def stream_ivf_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+TS_PATTERN_THRESHOLD = 1.5
+
+
+@register(
+    "stream_ts_pattern_alerts_replay",
+    oracle=sql_znorm_alerts(TS_PATTERN_THRESHOLD),
+    doc="The z-normalized spike-pattern detector as a STREAMING alert "
+    "job under the oracle gate: per-account subsequence buffers (the "
+    "last K-1 amounts) survive micro-batch boundaries, every completed "
+    "window is scored against the literal pattern with the SAME "
+    "rounded-scalar rewrite the batch SQL uses (left-fold sums in "
+    "frame order, HALF_UP 6dp), and the emitted sub-threshold alert "
+    "set must hash-match the batch window-frame oracle. Similarity "
+    "search joined to the fraud-detector family: pattern matching as "
+    "a standing streaming query rather than a batch scan.",
+    tags=("streaming", "timeseries", "similarity", "detector", "stateful", "parity"),
+)
+def stream_ts_pattern_alerts_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import (
+        read_replay_stream,
+        run_to_memory,
+        ts_pattern_stream,
+        write_replay_chunks,
+    )
+
+    name = f"streamtspat_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        out = ts_pattern_stream(
+            read_replay_stream(spark, chunks), TS_PATTERN_THRESHOLD
+        )
+        with _bounded_state_partitions(spark):
+            run_to_memory(out, name)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(name)

@@ -170,10 +170,8 @@ _DIST = _DIST_TMPL.format(k=float(TS_SIM_K), sq1=_SQ1, sq2=_SQ2)
 _VAR = f"(s2 / {float(TS_SIM_K)} - (s1 / {float(TS_SIM_K)}) * (s1 / {float(TS_SIM_K)}))"
 
 
-@register(
-    "ts_znorm_pattern_topk",
-    oracle=f"""
-WITH e AS (
+_ZNORM_CTES = f"""
+e AS (
   SELECT user_id AS account_id, epoch_us(ts) AS t_us, event_id, value FROM events
 ),
 f AS (
@@ -192,6 +190,23 @@ g AS (
   SELECT account_id, event_id, {_DIST} AS dist
   FROM f WHERE n = {TS_SIM_K} AND round({_VAR}, 6) > 0
 )
+"""
+
+
+def sql_znorm_alerts(threshold: float) -> str:
+    """Batch oracle for the streaming spike-pattern detector: every
+    window whose z-normalized distance to the pattern beats the
+    threshold (same CTEs as the top-k face)."""
+    return f"""
+WITH {_ZNORM_CTES}
+SELECT account_id, event_id, dist FROM g WHERE dist < {threshold}
+"""
+
+
+@register(
+    "ts_znorm_pattern_topk",
+    oracle=f"""
+WITH {_ZNORM_CTES}
 SELECT account_id, event_id, dist,
        CAST(row_number() OVER (
          ORDER BY dist ASC, account_id ASC, event_id ASC

@@ -31,6 +31,7 @@ from .replay import (  # noqa: F401
 from .stateful import (  # noqa: F401
     count_or_time_stream,
     ewma_stream,
+    ts_pattern_stream,
     funnel_stream,
     record_buffer_tumbling_stream,
     running_mean_alerts_batch,

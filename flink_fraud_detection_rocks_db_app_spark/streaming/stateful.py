@@ -791,3 +791,103 @@ def pattern_rising_stream(stream: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+TS_PATTERN_SCHEMA = T.StructType(
+    [
+        T.StructField("account_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("dist", T.DoubleType()),
+    ]
+)
+
+
+def _round6_half_up(x: float) -> float:
+    """HALF_UP 6dp rounding on non-negative doubles — mirrors the SQL
+    round() both engines apply to the frame sums and the distance
+    (Python's built-in round is banker's, which would diverge exactly
+    at the .5e-6 boundaries the convention exists to pin)."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def ts_pattern_stream(stream: DataFrame, threshold: float) -> DataFrame:
+    """Streaming twin of ts_znorm_pattern_topk's scoring, as an ALERT
+    detector: per-account state is the last K-1 amounts (the rolling
+    subsequence buffer) carried across micro-batches; each event
+    completes a K-window, its z-normalized distance to the literal
+    spike pattern is computed from the SAME rounded-scalar rewrite the
+    batch SQL uses (left-fold sums over the buffer in frame order, one
+    dot product against the pattern, HALF_UP 6dp rounding), and
+    windows beating the threshold emit. Bucketed grouping and
+    (account, t_us, event_id) fold order as in the other folds."""
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.timeseries import _Q, _SQ1, _SQ2, TS_SIM_K
+
+    kf = float(TS_SIM_K)
+
+    def dist_of(buf: list[float]) -> float | None:
+        s1 = 0.0
+        s2 = 0.0
+        dotwq = 0.0
+        for v, q in zip(buf, _Q):
+            s1 += v
+            s2 += v * v
+            dotwq += v * q
+        s1 = _round6_half_up(s1)
+        s2 = _round6_half_up(s2)
+        mean = s1 / kf
+        var = s2 / kf - mean * mean
+        if _round6_half_up(var if var > 0.0 else 0.0) <= 0.0:
+            return None
+        d2 = (
+            (s2 - 2.0 * mean * s1 + kf * mean * mean) / var
+            - 2.0 * (dotwq - mean * _SQ1) / math.sqrt(var)
+            + _SQ2
+        )
+        return _round6_half_up(math.sqrt(d2 if d2 > 0.0 else 0.0))
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        st: dict[int, list[float]] = (
+            {int(k): v for k, v in json.loads(state.get[0]).items()}
+            if state.exists
+            else {}
+        )
+        rows = []
+        pdf = _group_frame(pdf_iter, ["account_id", "t_us", "event_id"])
+        if pdf is None:
+            pdf = pd.DataFrame(columns=["account_id", "t_us", "event_id", "amount"])
+        for k, eid, a in zip(
+            pdf["account_id"].to_numpy(),
+            pdf["event_id"].to_numpy(),
+            pdf["amount"].to_numpy(),
+        ):
+            k = int(k)
+            buf = st.get(k, [])
+            buf.append(float(a))
+            if len(buf) == TS_SIM_K:
+                d = dist_of(buf)
+                if d is not None and d < threshold:
+                    rows.append((k, int(eid), d))
+                buf.pop(0)
+            st[k] = buf
+        state.update((json.dumps(st),))
+        if rows:
+            yield pd.DataFrame(rows, columns=["account_id", "event_id", "dist"])
+
+    return (
+        _with_epoch(stream)
+        .withColumn("_bucket", F.pmod(F.xxhash64("account_id"), F.lit(N_FOLD_BUCKETS)))
+        .groupBy("_bucket")
+        .applyInPandasWithState(
+            fn,
+            TS_PATTERN_SCHEMA,
+            T.StructType([T.StructField("state_json", T.StringType())]),
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
