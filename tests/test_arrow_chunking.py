@@ -352,3 +352,41 @@ def test_record_buffer_window_boundary_semantics(spark, scratch):
     # and ARE the next window's first rows
     assert got[(B_MS + 10_000, 1)] == 8.0, got
     assert got[(B_MS + 10_000, 2)] == 16.0, got
+
+
+def test_ts_pattern_stream_multichunk_matches_oracle_rows(
+    spark, scratch, tiny_arrow_batches
+):
+    """The spike-pattern detector under forced multi-chunk groups: the
+    subsequence buffer must reassemble the full per-key event order
+    across Arrow chunks AND micro-batches — a mis-ordered buffer moves
+    every window's contents and flips the sub-threshold alert set. The
+    streamed alerts must equal the registered batch face re-scored over
+    the same replay (bit-exact distances, no tolerance)."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.streamface import (
+        TS_PATTERN_THRESHOLD,
+    )
+    from flink_fraud_detection_rocks_db_app_spark.streaming import ts_pattern_stream
+
+    chunks = _multichunk_replay(spark, scratch)
+    out = ts_pattern_stream(read_replay_stream(spark, chunks), TS_PATTERN_THRESHOLD)
+    run_to_memory(out, "t_tspat_chunked")
+    got = sorted(
+        (r.account_id, r.event_id, r.dist)
+        for r in spark.table("t_tspat_chunked").collect()
+    )
+    import duckdb
+
+    from flink_fraud_detection_rocks_db_app_spark.operators.timeseries import (
+        sql_znorm_alerts,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMALL}/events.parquet'"
+    )
+    want = sorted(
+        (int(a), int(e), float(d))
+        for a, e, d in con.execute(sql_znorm_alerts(TS_PATTERN_THRESHOLD)).fetchall()
+    )
+    assert got and got == want, (len(got), len(want))
