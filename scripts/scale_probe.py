@@ -116,6 +116,9 @@ PROBED = [
     # r8c: the appending form — min-of-2 keeps the warm probe of the
     # published passage index (batch-side anti-join only)
     "dedup_passages_incremental",
+    # r8c: subsequence scoring is O(k) per row on the per-account
+    # row-frame — should ride the densified event scan linearly
+    "ts_znorm_pattern_topk",
 ]
 
 
