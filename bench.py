@@ -411,6 +411,24 @@ def main() -> None:
         "overwrite"
     ).save()
     errors: dict[str, str] = {}
+    throughput: dict[str, dict] = {}
+    workload: dict[str, dict] = {}
+    # Streams run FIRST (r9, VERDICT r8 #1): r8's seven declarative
+    # streaming rows regressed ~1.6x vs r7 at an identical recorded
+    # workload config. Fresh-JVM A/B (scripts/ab_stream_fresh — the
+    # same _stream_benches body in a process that ran nothing else):
+    # tumble 5.38 s vs 7.51 s in-harness, slide 7.23 s vs 9.66 s —
+    # ~30% of the regression was harness state (82 batch queries'
+    # heap/codegen-cache pressure in the same JVM), not streaming
+    # code (streaming/jobs.py unchanged since r7). Measuring streams
+    # before the batch section gives them the same JVM state every
+    # round regardless of how many batch queries precede them.
+    stream_timings: dict[str, float] = {}
+    try:
+        stream_timings = _stream_benches(spark, sf_dir, errors, throughput, workload)
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: stream harness FAILED: {exc!r}", file=sys.stderr)
+        errors["_stream_harness"] = _err_summary(exc)
     for name in HEADLINE:
         # Per-query failure isolation: record -1 + the error and keep
         # going; never exit non-zero because one query breaks.
@@ -432,13 +450,7 @@ def main() -> None:
             timings[name] = -1.0
             errors[name] = _err_summary(exc)
     batch_total = round(sum(t for t in timings.values() if t >= 0), 3)
-    throughput: dict[str, dict] = {}
-    workload: dict[str, dict] = {}
-    try:
-        timings.update(_stream_benches(spark, sf_dir, errors, throughput, workload))
-    except Exception as exc:  # noqa: BLE001
-        print(f"bench: stream harness FAILED: {exc!r}", file=sys.stderr)
-        errors["_stream_harness"] = _err_summary(exc)
+    timings.update(stream_timings)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     detail = {
         "metric": "headline_queries_total",
