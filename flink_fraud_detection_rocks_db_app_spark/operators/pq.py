@@ -252,8 +252,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVFPQ: IVF cell pruning first, ADC ranking inside the probed lists.
 # The oracle reuses the IVF oracle's assignment/probe logic verbatim
 # (same cosine coarse quantizer, same nprobe) plus the PQ CTEs above.
-_IVFPQ_ORACLE = f"""
-WITH {_PQ_CTES},
+# The prune CTEs are a named fragment (not inlined into the oracle
+# string) so composed faces — hybrid_rrf_topk_indexed's semantic arm —
+# can replay the IDENTICAL approximation in their own oracles.
+_IVF_PRUNE_CTES = f"""
 en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
 cents AS (
   SELECT vec_id AS cell, v AS cv2, norm AS cnorm FROM en WHERE vec_id < {IVF_CELLS}
@@ -282,6 +284,11 @@ pruned AS (
   JOIN assigned a ON s.neighbor_id = a.vec_id
   JOIN probes p ON s.query_id = p.query_id AND a.cell = p.cell
 )
+"""
+
+_IVFPQ_ORACLE = f"""
+WITH {_PQ_CTES},
+{_IVF_PRUNE_CTES}
 SELECT query_id, neighbor_id, adist
 FROM pruned
 QUALIFY row_number() OVER (

@@ -251,9 +251,10 @@ sem_ranked AS (
 )
 """
 
-_HYBRID_ORACLE = f"""
-WITH {_MLT_CTES},
-{_SEM_CTE}
+# the fusion SELECT is arm-agnostic: any CTE named `sem_ranked` with
+# (query_id, neighbor_id, rk) fuses against the MLT arm the same way —
+# shared by the exact and the IVFPQ-indexed hybrid oracles
+_RRF_FUSION_SELECT = f"""
 SELECT
   COALESCE(l.query_id, s.query_id) AS query_id,
   COALESCE(l.neighbor_id, s.neighbor_id) AS neighbor_id,
@@ -266,6 +267,12 @@ QUALIFY row_number() OVER (
   PARTITION BY COALESCE(l.query_id, s.query_id)
   ORDER BY rrf DESC, COALESCE(l.neighbor_id, s.neighbor_id) ASC
 ) <= {MLT_TOP_K}
+"""
+
+_HYBRID_ORACLE = f"""
+WITH {_MLT_CTES},
+{_SEM_CTE}
+{_RRF_FUSION_SELECT}
 """
 
 
@@ -313,12 +320,16 @@ def _sem_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "retrieval", "similarity", "join"),
 )
 def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lex = _mlt_ranked(spark, sf_dir).select(
-        "query_id", "neighbor_id", F.col("rk").alias("rk_lex")
-    )
-    sem = _sem_ranked(spark, sf_dir).select(
-        "query_id", "neighbor_id", F.col("rk").alias("rk_sem")
-    )
+    lex = _mlt_ranked(spark, sf_dir)
+    return _rrf_fuse(lex, _sem_ranked(spark, sf_dir))
+
+
+def _rrf_fuse(lex: DataFrame, sem: DataFrame) -> DataFrame:
+    """Arm-agnostic RRF fusion: both inputs are bounded per-query rank
+    frames (query_id, neighbor_id, rk) — O(queries × k) rows — so the
+    full-outer fusion join is broadcast-sized at any corpus scale."""
+    lex = lex.select("query_id", "neighbor_id", F.col("rk").alias("rk_lex"))
+    sem = sem.select("query_id", "neighbor_id", F.col("rk").alias("rk_sem"))
     fused = lex.join(sem, ["query_id", "neighbor_id"], "full_outer").select(
         "query_id",
         "neighbor_id",
@@ -334,6 +345,117 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= MLT_TOP_K)
         .drop("rk")
     )
+
+
+# ---- hybrid fusion, indexed semantic arm -------------------------------
+# The 100 TB form of hybrid_rrf_topk (VERDICT r8 #2/#4): the semantic
+# arm stops re-scanning raw corpus vectors (the exact arm's
+# crossJoin(broadcast(q)) is linear-in-corpus per refresh) and instead
+# probes the MATERIALIZED IVFPQ index — partition-pruned compressed
+# inverted lists, the corpus's raw embeddings never read after build.
+# The oracle replays the IDENTICAL IVFPQ approximation (the pq module's
+# shared prune CTEs), re-ranked at the hybrid's query set and depth, so
+# the fusion is hash-gated over the approximate arm — the layout and
+# the compression must not move a single fused neighbor.
+
+_IVFPQ_SEM_RANKED_CTE = f"""
+sem_ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC
+         ) AS rk
+  FROM pruned
+  WHERE query_id < {MLT_QUERIES}
+  QUALIFY rk <= {MLT_TOP_K}
+)
+"""
+
+
+def _hybrid_idx_oracle() -> str:
+    from .pq import _IVF_PRUNE_CTES, _PQ_CTES
+
+    return f"""
+WITH {_MLT_CTES},
+{_PQ_CTES},
+{_IVF_PRUNE_CTES},
+{_IVFPQ_SEM_RANKED_CTE}
+{_RRF_FUSION_SELECT}
+"""
+
+
+def _sem_ranked_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, rk): the semantic arm as an IVFPQ index
+    probe — ann_ivfpq_topk_indexed's machinery at the hybrid's query
+    set (query_id < MLT_QUERIES) and depth (MLT_TOP_K). Raw embeddings
+    are read ONLY for the query vectors (vec_id < pushdown filters);
+    the corpus side is the cell-partitioned compressed codes table,
+    pruned to the probed cells at planning time."""
+    import os
+
+    from .pq import (
+        _ADC_SUM,
+        _codebook_from_index,
+        _queries_with_luts,
+        ensure_ivfpq_index,
+    )
+    from .similarity import _ivf_probes, _vectors
+
+    idx = ensure_ivfpq_index(spark, sf_dir)
+    cb = _codebook_from_index(spark, idx)
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    e = _vectors(spark, sf_dir)
+    probes = (
+        _ivf_probes(e, cents)
+        .where(F.col("query_id") < MLT_QUERIES)
+        .select("query_id", "cell")
+    )
+    # contract-bounded driver collect (≤ MLT_QUERIES × nprobe ids):
+    # literal cells become planning-time PartitionFilters on the codes
+    # table — the other compressed inverted lists are never opened
+    cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    enc = spark.read.parquet(os.path.join(idx, "codes")).where(
+        F.col("cell").isin(cells)
+    )
+    q = (
+        _queries_with_luts(spark, sf_dir, cb)
+        .where(F.col("query_id") < MLT_QUERIES)
+        .join(probes, "query_id")
+    )
+    scored = (
+        enc.join(F.broadcast(q), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_ADC_SUM).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= MLT_TOP_K)
+        .select("query_id", "neighbor_id", "rk")
+    )
+
+
+@register(
+    "hybrid_rrf_topk_indexed",
+    oracle=_hybrid_idx_oracle(),
+    doc=f"Hybrid RRF retrieval with the INDEXED semantic arm: the MLT "
+    "lexical arm fuses against an IVFPQ probe of the materialized "
+    "index (ensure_ivfpq_index: cell-partitioned PQ codes + both "
+    "frozen quantizers in the asset) instead of the exact "
+    "corpus-rescanning cosine arm — the deployment form at 100 TB, "
+    "where the per-refresh semantic cost is O(probed lists) in "
+    "compressed form, not O(corpus) raw-vector dots. Fusion is the "
+    f"same K={RRF_K} RRF over bounded per-query rank frames; the "
+    "oracle replays the identical IVFPQ approximation (shared prune "
+    "CTEs) so the index layout is hash-gated through the fusion.",
+    tags=("text", "retrieval", "similarity", "ann", "pq", "ivf", "warehouse"),
+)
+def hybrid_rrf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lex = _mlt_ranked(spark, sf_dir)
+    return _rrf_fuse(lex, _sem_ranked_ivfpq_indexed(spark, sf_dir))
 
 
 # ---- hard-negative mining ----------------------------------------------

@@ -180,6 +180,10 @@ BNLJ_OK = {
     # inherits the MLT stats broadcast + the bounded exact-cosine
     # query-frame cross-broadcast (the ann_cosine_topk form)
     "hybrid_rrf_topk",
+    # MLT stats broadcast + the bounded IVF-quantizer cross-broadcast
+    # in the probe stage (IVF_CELLS rows); the semantic arm's codes
+    # side is a partition-pruned equi join on cell, never a nested loop
+    "hybrid_rrf_topk_indexed",
     # same two arms, anti-joined instead of fused
     "hard_negatives_topk",
     # one-row bloom-bitset array broadcast to every task (16 KB build
@@ -541,6 +545,28 @@ def test_ivfpq_index_probe_prunes_partitions(spark, scratch):
     q = all_queries()["ann_ivfpq_topk_indexed"].fn(spark, SF_SMALL)
     qplan = explain_str(q)
     assert "PartitionFilters: [cell" in qplan, qplan
+
+
+def test_hybrid_indexed_semantic_arm_probes_index(spark):
+    """hybrid_rrf_topk_indexed (VERDICT r8 #4): the semantic arm must
+    be the materialized-IVFPQ probe — literal probed cells reach the
+    codes scan as PartitionFilters — and raw embeddings must be read
+    ONLY for bounded query/quantizer frames (every embeddings scan
+    carries a pushed vec_id upper-bound filter; no full-corpus
+    raw-vector scan survives in the plan)."""
+    q = all_queries()["hybrid_rrf_topk_indexed"].fn(spark, SF_SMALL)
+    qplan = explain_str(q)
+    assert "PartitionFilters: [cell" in qplan, qplan
+    # every scan of the raw embeddings table is a bounded query-side
+    # read: a pushed LessThan on vec_id (queries / probe assignment),
+    # never an unfiltered corpus scan — the corpus rides in as codes
+    for chunk in qplan.split("Location:"):
+        if "embeddings" not in chunk.split("\n", 1)[0]:
+            continue
+        pushed = chunk.split("PushedFilters:", 1)
+        assert len(pushed) == 2 and "LessThan(vec_id" in pushed[1].split("]", 1)[0], (
+            chunk[:600]
+        )
 
 
 def test_bm25_prunes_postings_before_aggregation(spark):
