@@ -161,6 +161,82 @@ def stream_recordbuffer_tumble_sum_1h_replay(
     return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)
 
 
+# WA4 bounded-buffer cap: ~63 open 1h windows per account over the
+# 30-day fixture at every SF, so a cap of 8 evicts ~55 windows per
+# account — the eviction path dominates the output, not an edge case
+WA4_MAX_OPEN = 8
+
+_WA4_ORACLE = f"""
+WITH sums AS (
+  SELECT (epoch_ms(ts) // {MS["h"]}) * {MS["h"]} AS w_start,
+         user_id AS account_id, SUM(value) AS sum_amount
+  FROM events GROUP BY 1, 2
+)
+SELECT w_start, account_id, sum_amount FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY account_id ORDER BY w_start DESC
+  ) AS rk FROM sums
+) WHERE rk <= {WA4_MAX_OPEN}
+"""
+
+
+@register(
+    "stream_recordbuffer_bounded_tumble_replay",
+    oracle=_WA4_ORACLE,
+    doc="WA4 — the reference's BOUNDED-buffer tumbling window: a "
+    f"capacity cap ({WA4_MAX_OPEN} open windows per account) with "
+    "evict-earliest overflow (reference: TumblingWindowWithTest/src/"
+    "main/java/spendreport/CustomTumblingWindow.java:112-118 — "
+    "PriorityQueue ordered by window end, poll()+clear() at capacity; "
+    "eviction DROPS the buffer, it never fires). Eviction is the only "
+    "mid-stream removal, so state is bounded by the cap regardless of "
+    "watermark progress; survivors flush terminally. Over the in-order "
+    "replay the surviving set is exactly each account's "
+    f"{WA4_MAX_OPEN} most recent 1h windows with COMPLETE sums — the "
+    "oracle replays that set in SQL (top-cap by w_start per account "
+    "over plain tumbling sums), so a red row means the eviction order, "
+    "the cap arithmetic, or the carried partial sums broke. ~55 of "
+    "~63 windows per account are evicted at every SF: the eviction "
+    "path IS the output, not an edge case.",
+    tags=("streaming", "window", "stateful", "parity"),
+)
+def stream_recordbuffer_bounded_tumble_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..fixtures import transactions
+    from ..streaming import (
+        SENTINEL_ACCOUNT,
+        append_sentinel_chunk,
+        read_replay_stream,
+        record_buffer_bounded_tumbling_stream,
+        run_to_memory,
+        write_replay_chunks,
+    )
+
+    name = f"streamwa4_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        max_us = (
+            transactions(spark, sf_dir)
+            .agg(F.max(F.unix_micros("event_time")))
+            .collect()[0][0]
+        )
+        # terminal-flush gate: any watermark past the real events is
+        # the flush signal; the sentinel (7 days out) drives it there
+        flush_at_ms = max_us // 1000 + 1
+        append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
+        agg = record_buffer_bounded_tumbling_stream(
+            read_replay_stream(spark, chunks), MS["h"], WA4_MAX_OPEN, flush_at_ms
+        )
+        with _bounded_state_partitions(spark):
+            run_to_memory(agg, name)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(name).where(F.col("account_id") != SENTINEL_ACCOUNT)
+
+
 @register(
     "stream_dedup_tumble_sum_1h_replay",
     oracle=sql_tumble(MS["h"], "SUM(value) AS sum_amount"),

@@ -33,6 +33,7 @@ from .stateful import (  # noqa: F401
     ewma_stream,
     ts_pattern_stream,
     funnel_stream,
+    record_buffer_bounded_tumbling_stream,
     record_buffer_tumbling_stream,
     running_mean_alerts_batch,
     running_mean_alerts_stream,

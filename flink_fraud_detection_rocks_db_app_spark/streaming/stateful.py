@@ -428,6 +428,114 @@ def record_buffer_tumbling_stream(stream: DataFrame, size_ms: int) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------- WA4
+
+# bounded-buffer state format version (see RECORD_BUFFER_STATE_V)
+BOUNDED_BUFFER_STATE_V = 1
+
+
+def record_buffer_bounded_tumbling_stream(
+    stream: DataFrame, size_ms: int, max_open: int, flush_at_ms: int
+) -> DataFrame:
+    """WA4: the reference's BOUNDED record-buffer tumbling window —
+    a capacity cap on simultaneously-open window buffers with
+    evict-earliest overflow (reference: TumblingWindowWithTest/src/
+    main/java/spendreport/CustomTumblingWindow.java:112-118: a
+    PriorityQueue ordered by window end; at capacity the earliest
+    window is poll()ed and its buffer clear()ed — dropped, never
+    fired). Eviction is the ONLY mid-stream removal (the reference's
+    queue never emits; firing is the trigger's job), so per-key state
+    is bounded by `max_open` windows REGARDLESS of watermark progress
+    — the bounded-state contract WA4 adds over WA5's
+    watermark-evicted buffer.
+
+    Spark-first re-expression: the reference bounds the queue per
+    parallel subtask (an operator-instance detail that changes results
+    with parallelism); here the cap is per KEY, which is the
+    deterministic, partitioning-invariant form of the same bounded-
+    buffer idea — the schedule-invariance property the rest of the
+    engine holds.
+
+    Determinism contract (what the oracle replays): over an IN-ORDER
+    replay, each account's windows open in ascending w_start, so
+    evict-earliest leaves exactly the `max_open` most recent windows
+    per account, each with its COMPLETE sum (all events of a surviving
+    window arrived while it was open). Survivors emit at the terminal
+    flush: the first invocation whose watermark has passed
+    `flush_at_ms` (the face passes max-real-event-ms + 1 and appends a
+    far-future sentinel chunk to drive the watermark there; silent
+    buckets flush through the event-time-timeout no-data path).
+    Out-of-order input would re-open evicted windows with partial sums
+    — callers replay with jitter 0 (documented, like the reference's
+    in-order assigner variants).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            blob = json.loads(state.get[0])
+            if not isinstance(blob, dict) or blob.get("v") != BOUNDED_BUFFER_STATE_V:
+                raise ValueError(
+                    "record_buffer_bounded_tumbling_stream: checkpoint state "
+                    f"format {blob.get('v') if isinstance(blob, dict) else '?'!r} "
+                    f"!= expected v{BOUNDED_BUFFER_STATE_V} — start from a "
+                    "fresh checkpoint dir"
+                )
+            wins: dict[int, dict[int, float]] = {
+                int(a): {int(w): v for w, v in d.items()}
+                for a, d in blob["wins"].items()
+            }
+        else:
+            wins = {}
+        pdf = _group_frame(pdf_iter, ["account_id", "t_us", "event_id"])
+        if pdf is not None:
+            for a, t_us, amt in zip(
+                pdf["account_id"].to_numpy(),
+                pdf["t_us"].to_numpy(),
+                pdf["amount"].to_numpy(),
+            ):
+                t = int(t_us) // 1000
+                w = t - t % size_ms
+                d = wins.setdefault(int(a), {})
+                if w not in d:
+                    # the reference polls the earliest-ending window and
+                    # clears its buffer BEFORE offering the new one
+                    if len(d) >= max_open:
+                        d.pop(min(d))
+                    d[w] = 0.0
+                d[w] += float(amt)
+        wm = state.getCurrentWatermarkMs()
+        if wm >= flush_at_ms:
+            rows = [
+                (w, a, wins[a][w]) for a in sorted(wins) for w in sorted(wins[a])
+            ]
+            state.remove()
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["w_start", "account_id", "sum_amount"]
+                )
+        elif wins:
+            state.update(
+                (json.dumps({"v": BOUNDED_BUFFER_STATE_V, "wins": wins}),)
+            )
+            state.setTimeoutTimestamp(flush_at_ms)
+        else:
+            state.remove()
+
+    return (
+        _with_epoch(stream).withWatermark("event_time", "0 seconds")
+        .withColumn("_bucket", F.pmod(F.xxhash64("account_id"), F.lit(N_FOLD_BUCKETS)))
+        .groupBy("_bucket")
+        .applyInPandasWithState(
+            fn,
+            WINDOW_SUM_SCHEMA,
+            T.StructType([T.StructField("wins_json", T.StringType())]),
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 # ------------------------------------------------------- streaming dedup
 
 

@@ -502,3 +502,56 @@ def test_sketch_rollup_absorbs_redelivery(spark, scratch):
             r.day: bytes(r.sk) for r in read_sketch_rollup(spark, tdir).collect()
         }
     assert tables["clean"] and tables["dup"] == tables["clean"]
+
+
+def test_bounded_record_buffer_cap_and_eviction_free_path(spark, scratch):
+    """WA4 bounded-buffer window: (a) with a cap LARGER than any
+    account's window count, eviction never fires and the terminal
+    flush equals plain tumbling exactly; (b) with a tight cap the
+    output is exactly each account's cap most-recent windows, with
+    complete sums — the evicted windows are absent, never partial."""
+    from flink_fraud_detection_rocks_db_app_spark.streaming import (
+        append_sentinel_chunk,
+        record_buffer_bounded_tumbling_stream,
+        windowed_agg_stream,
+    )
+
+    size_ms = MS["d"]  # ~30 daily windows per account at SF_SMALL
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=4)
+    batch_src = read_replay_batch(spark, chunks)
+    max_us = batch_src.agg(F.max(F.unix_micros("event_time"))).collect()[0][0]
+    flush_at_ms = max_us // 1000 + 1
+    append_sentinel_chunk(chunks, max_us + 40 * MS["d"] * 1000)
+
+    want = {
+        (r.w_start, r.account_id): r.sum_amount
+        for r in windowed_agg_stream(batch_src, size_ms, watermark=None).collect()
+        if r.account_id != -1
+    }
+
+    for cap, name in ((10_000, "t_wa4_loose"), (5, "t_wa4_tight")):
+        agg = record_buffer_bounded_tumbling_stream(
+            read_replay_stream(spark, chunks), size_ms, cap, flush_at_ms
+        )
+        run_to_memory(agg, name)
+        got = {
+            (r.w_start, r.account_id): r.sum_amount
+            for r in spark.table(name).collect()
+            if r.account_id != -1
+        }
+        if cap == 10_000:
+            assert got.keys() == want.keys()
+        else:
+            # survivors = the cap most-recent windows per account
+            keep: dict[int, list[int]] = {}
+            for w, a in want:
+                keep.setdefault(a, []).append(w)
+            expect = {
+                (w, a)
+                for a, ws in keep.items()
+                for w in sorted(ws, reverse=True)[:cap]
+            }
+            assert got.keys() == expect
+            assert any(len(ws) > cap for ws in keep.values()), "cap never bit"
+        for k, v in got.items():
+            assert abs(v - want[k]) < 1e-9, k
