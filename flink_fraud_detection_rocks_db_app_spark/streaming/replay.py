@@ -99,6 +99,7 @@ def write_replay_chunks(
     defer_tail_ms: int = 0,
     with_event_type: bool = False,
     densify_fresh_keys: bool = False,
+    distributed: bool = False,
 ) -> str:
     """Materialize the fixture as `n_chunks` sequential parquet files
     under scratch_dir/chunks and return that path.
@@ -173,6 +174,51 @@ def write_replay_chunks(
     # arrives in original (pre-jitter) order, i.e. jitter makes event
     # time non-monotone across arrival — the reference's model.
     order_col = "t_us" if not (jitter_ms or late_every) else "event_id"
+    if distributed:
+        # Executor-side writer (VERDICT r8 #7): the default path below
+        # materializes the WHOLE replay on the driver (orderBy ->
+        # toPandas -> per-chunk to_parquet), which caps how dense the
+        # scale probes can go (~24M events before driver memory is the
+        # limit). Here chunking is a repartitionByRange on the arrival
+        # key — rows never leave the executors; the driver only renames
+        # the n_chunks part files and pins their mtimes. Trade-offs,
+        # documented, which is why this is opt-in for probes rather
+        # than the harness default: chunk boundaries are SAMPLED value
+        # ranges (approximately equal row counts, not the exact
+        # row-count split the driver path produces — fine for in-order
+        # and bounded-jitter probes, whose results are
+        # boundary-independent), and dup_every redelivers event_id % k
+        # rows (a position-free spelling of the same at-least-once
+        # model). defer_tail_ms needs per-chunk event-time maxima
+        # before assignment, which is inherently a two-pass/driver
+        # computation — unsupported here, fail loudly.
+        if defer_tail_ms:
+            raise ValueError(
+                "defer_tail_ms requires the driver-side writer "
+                "(per-chunk maxima precede chunk assignment)"
+            )
+        if dup_every:
+            df = df.unionByName(df.where(F.col("event_id") % dup_every == 0))
+        tmp = os.path.join(scratch_dir, "_chunks_tmp")
+        (
+            df.repartitionByRange(n_chunks, F.col(order_col), F.col("event_id"))
+            .sortWithinPartitions(order_col, "event_id")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        # part-NNNNN numbering follows the range-partition id, which is
+        # ascending in the sort key — lexicographic order IS arrival
+        # order
+        parts = sorted(
+            f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        base = int(os.stat(scratch_dir).st_mtime)
+        for i, part in enumerate(parts):
+            path = os.path.join(out, f"chunk_{i:04d}.parquet")
+            shutil.move(os.path.join(tmp, part), path)
+            os.utime(path, (base + i, base + i))
+        shutil.rmtree(tmp, ignore_errors=True)
+        return out
     pdf = df.orderBy(order_col, "event_id").toPandas()
     if dup_every:
         # stable sort keeps each redelivery immediately after its

@@ -596,3 +596,46 @@ def test_choose_sliding_mode_encodes_measured_crossover():
     assert choose_sliding_mode(50_000, 10_000, "naive", 10**9) == "naive"
     with pytest.raises(ValueError):
         choose_sliding_mode(50_000, 10_000, "always")
+
+
+def test_distributed_replay_writer_equivalent(spark, scratch):
+    """The executor-side chunk writer (distributed=True): same rows,
+    same schema, same arrival-order invariants (monotone chunk mtimes,
+    per-chunk sorted, cross-chunk non-decreasing event time for the
+    in-order replay) as the driver-side writer — and the streamed
+    tumbling aggregate over it equals the driver-path stream's."""
+    import os
+
+    d1 = write_replay_chunks(spark, SF_SMALL, os.path.join(scratch, "drv"), n_chunks=6)
+    d2 = write_replay_chunks(
+        spark, SF_SMALL, os.path.join(scratch, "dist"), n_chunks=6, distributed=True
+    )
+    files = sorted(os.listdir(d2))
+    assert len(files) == 6, files
+    mtimes = [os.stat(os.path.join(d2, f)).st_mtime for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 6, mtimes
+    rows1 = sorted(map(tuple, read_replay_batch(spark, d1).collect()))
+    rows2 = sorted(map(tuple, read_replay_batch(spark, d2).collect()))
+    assert rows1 == rows2
+    # cross-chunk arrival order: each chunk's min event time >= the
+    # previous chunk's max (ranges, not interleaved row splits)
+    prev_max = None
+    for f in files:
+        ts = spark.read.parquet(os.path.join(d2, f)).agg(
+            F.min("t_us"), F.max("t_us")
+        ).first()
+        if prev_max is not None:
+            assert ts[0] >= prev_max, (f, ts[0], prev_max)
+        prev_max = ts[1]
+    agg = windowed_agg_stream(read_replay_stream(spark, d2), SIZE_MS, watermark=IN_ORDER)
+    run_to_memory(agg, "t_dist_writer")
+    got = {
+        (r.w_start, r.account_id): r.sum_amount
+        for r in spark.table("t_dist_writer").collect()
+    }
+    full = _batch_tumble(spark)
+    for k, v in got.items():
+        assert abs(v - full[k]) < 1e-9, k
+    wm = _max_t_ms(spark)
+    missing = set(_batch_tumble(spark, closed_before_ms=wm)) - set(got)
+    assert not missing, sorted(missing)[:5]
