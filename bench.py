@@ -174,6 +174,21 @@ HEADLINE = [
     # round 8: the spike-pattern matcher as a standing streaming alert
     # (subsequence buffers across micro-batches, same rounded rewrite)
     "stream_ts_pattern_alerts_replay",
+    # round 9 (extend-only): the hybrid's 100 TB form — the semantic
+    # arm probes the materialized IVFPQ index instead of rescanning
+    # raw vectors (benched NEXT TO hybrid_rrf_topk: their gap is the
+    # price/win of the index swap at this corpus size)
+    "hybrid_rrf_topk_indexed",
+    # round 9: WA4 — the bounded-buffer tumbling window (cap + evict-
+    # earliest per key through applyInPandasWithState; the per-key
+    # state bound is the semantics, so its cost rides the same Python
+    # stateful path as the recordbuffer row it sits beside)
+    "stream_recordbuffer_bounded_tumble_replay",
+    # round 9: the newly driver-gated TPC-H join/subquery shapes
+    "tpch_q5_local_supplier_volume",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
 ]
 
 

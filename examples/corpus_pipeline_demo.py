@@ -98,6 +98,10 @@ STEPS = (
      "per-doc interesting terms -> BM25 over those terms only"),
     ("hybrid retrieval", "hybrid_rrf_topk",
      "RRF(K=60) of the MLT and exact-cosine arms; rank-based, exact"),
+    ("hybrid retrieval (indexed)", "hybrid_rrf_topk_indexed",
+     "semantic arm probes the IVFPQ asset; no raw-vector rescan"),
+    ("hard negatives", "hard_negatives_topk",
+     "BM25-close minus embedding-close: DPR-style training negatives"),
 )
 
 

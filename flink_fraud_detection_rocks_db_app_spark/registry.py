@@ -60,7 +60,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # project_account_amount_ts — P2's LAST driver row was the r2
     # fixture-drift red (fixed at fixtures.py:32, suite-green since);
     # this retires the stale red with a clean driver re-check
-    "project_account_amount_ts",
+    # r9: project_account_amount_ts (green r8 — the stale-red retire
+    # done; P2's projection machinery runs inside every other driver
+    # row's plan) gave its slot to tpch_q12_late_shipment_priority:
+    # the two-branch conditional aggregation over a date-window join
+    # (CASE inside SUM), per the r8 verdict's TPC-H queue (q12/q15
+    # subquery half)
+    "tpch_q12_late_shipment_priority",
     # extension joins (r4: interval_join_click_purchase — same
     # keyed-range-join machinery as range_join_price_band, still
     # full-suite verified — gave its slot to the SQL-text face entry
@@ -72,7 +78,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # interpolated-percentile window aggregate)
     "asof_latest_order",
     "tumble_median_1h",
-    "sql_tumble_sum_3s",
+    # r9: sql_tumble_sum_3s (green r3-r8; the spark.sql() text face of
+    # the IDENTICAL tumbling plan+oracle as tumble_sum_3s — the SQL-API
+    # surface stays pinned by tests/test_oracle_parity and the sqlapi
+    # suite) gave its slot to mlt_bm25_topk: the MoreLikeThis lexical
+    # arm as its own driver row (VERDICT r8 #2 named it) — until now
+    # only gated THROUGH the hybrid fusion
+    "mlt_bm25_topk",
     # dedup pillar (r4: dedup_clusters — near-dup CC over LSH pairs —
     # rotated in; it was the last dedup stage with suite-only evidence)
     # r5: dedup_exact — the md5-fingerprint hash-groupBy runs verbatim
@@ -92,13 +104,28 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # then compressed-domain ADC ranking, full DuckDB replay oracle
     # (its flat-ADC, indexed and recall-eval siblings stay full-suite
     # verified under the same determinism contract)
-    "ann_ivfpq_topk",
+    # r9: ann_ivfpq_topk (driver-green r8) — superseded by
+    # ann_ivfpq_topk_indexed: the SAME coarse quantizer, codebook, ADC
+    # ranking and oracle, but against the MATERIALIZED cell-partitioned
+    # codes asset with both quantizers persisted inside it
+    # (ensure_ivfpq_index: atomic publish, PartitionFilters probe —
+    # plan-tested) — the warehouse form that is the 100 TB path,
+    # strictly more machinery under the identical hash gate; the
+    # per-call form stays full-suite verified
+    "ann_ivfpq_topk_indexed",
     # r8: doc_winnow_fingerprints (green r5-r7; the order-sensitive
     # winnowing signature rides the same tokenized scan as the
     # remaining dedup/text driver rows) gave its slot to max_by_amount
     # — whose last driver check was the r2 fixture-drift red (stale-red
     # retire, like project_account_amount_ts above)
-    "max_by_amount",
+    # r9: max_by_amount (green r8 — stale-red retire done; A7's
+    # reduce-max-by machinery keeps its driver row via
+    # stream_union_max_by_replay's two-reader union form) gave its
+    # slot to mixture_apply_docs: the data-mixture materialization
+    # (floor/floor+1 epoch copies per language under a salted
+    # admission hash, the Knuth-gate family's richest face), named in
+    # the r8 verdict's rotation queue
+    "mixture_apply_docs",
     # r8c: dedup_ngram_jaccard_pruned (driver-green r2-r8 window; its
     # pruned-postings machinery runs VERBATIM inside
     # dedup_containment_pairs below and builds the CC asset
@@ -107,7 +134,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # BM25 arm + exact-cosine semantic arm fused by Reciprocal Rank
     # Fusion (rank-based, bit-exact; the MLT and hard-negative
     # siblings stay full-suite verified)
-    "hybrid_rrf_topk",
+    # r9: hybrid_rrf_topk (driver-green r8) — superseded by
+    # hybrid_rrf_topk_indexed: the SAME MLT arm and RRF fusion, but
+    # the semantic arm swapped from the exact corpus-rescanning cosine
+    # crossJoin onto the materialized IVFPQ probe (VERDICT r8 #4
+    # verbatim), with the oracle re-derived over the approximate arm's
+    # replay — strictly more machinery (index lifecycle + partition-
+    # pruned probe + fusion) under a hash gate; the exact-arm form
+    # stays full-suite verified
+    "hybrid_rrf_topk_indexed",
     # r7: dedup_minhash_lsh — its machinery (hash-once minhash
     # signatures, band-bucket collision join, exact verify) runs
     # VERBATIM inside dedup_incremental_lsh (dedup.py:1022:
@@ -129,7 +164,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # tpch_q17_small_quantity_revenue: the correlated-AVG
     # decorrelation shape (VERDICT r7 #3 — first driver row for the
     # TPC-H subquery half beyond q21)
-    "tpch_q17_small_quantity_revenue",
+    # r9: tpch_q17_small_quantity_revenue (green r8; the correlated-AVG
+    # decorrelation family keeps driver rows via q21/q22/q4 and the
+    # q15 scalar-max below) gave its slot to tpch_q14_promo_effect:
+    # the conditional-ratio-over-join shape (CASE-gated SUM / total
+    # SUM in one aggregate), per the r8 verdict's queue (q5/q14 join
+    # half)
+    "tpch_q14_promo_effect",
     # §2 windows: WA1/WA2/WA8/WA9/WA3 + sessions. r4: tumble_mean_3s
     # (A2 — same incremental-agg machinery as tumble_sum_3s, still
     # full-suite verified) gave its slot to the streaming batch face:
@@ -154,7 +195,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (applyInPandasWithState port) hash-matched against the same batch
     # SQL — the last §2 family whose only evidence was a suite
     # differential
-    "stream_recordbuffer_tumble_sum_1h_replay",
+    # r9: stream_recordbuffer_tumble_sum_1h_replay (green r8) —
+    # superseded by stream_recordbuffer_bounded_tumble_replay: WA4,
+    # the reference's bounded-PriorityQueue buffer (capacity cap +
+    # evict-earliest, TumblingWindowWithTest CustomTumblingWindow.java:
+    # 112-118) — the ONE §2 row that never had a driver hash row
+    # (VERDICT r8 gap #1). Same applyInPandasWithState machinery
+    # (bucketed versioned JSON state, event-time-timeout flush, the
+    # empty-Arrow no-data path) PLUS the cap/eviction semantics; the
+    # WA5 watermark-emission rule stays driver-gated via
+    # stream_count_or_time_replay (the same module's wm-close
+    # emission) and full-suite verified
+    "stream_recordbuffer_bounded_tumble_replay",
     # r5: slide_mean_50s_10s (EP2/WA2) — superseded in the window by
     # stream_slide_mean_50s_10s_replay: the SAME query and oracle
     # through the ACTUAL streaming engine (strictly more surface —
@@ -169,7 +221,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # windowAll is the keyed sliding machinery minus the key) gave its
     # slot to slide_sum_5m_1m — WA8's last driver check was the r2
     # fixture-drift red (stale-red retire)
-    "slide_sum_5m_1m",
+    # r9: slide_sum_5m_1m (green r8 — stale-red retire done; WA8's
+    # built-in sliding machinery keeps TWO driver rows via
+    # stream_ooo_slide_mean_50s_10s_replay and
+    # stream_paned_slide_sum_replay) gave its slot to
+    # dedup_passages_incremental: the appending-corpus passage dedup
+    # (first-arrival-wins against the persisted span-hash index, cost
+    # ∝ batch), from the r8 verdict's rotation queue
+    "dedup_passages_incremental",
     # r8: slide_sum_50s_10s_paned (WA3/A8/A9 pane partials, green
     # r3-r7) — superseded by stream_paned_slide_sum_replay: the SAME
     # pane-slicing rewrite run as a CHAINED stateful streaming job
@@ -192,7 +251,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # project_account_amount (P1 — a pure projection, exercised inside
     # every other driver row's plan) gave its slot to the pivot/unpivot
     # reshaping family, previously suite-only.
-    "pivot_user_event_type",
+    # r9: pivot_user_event_type (green r4-r8; the pivot/unpivot
+    # reshape stays full-suite verified — five rounds of green driver
+    # evidence is the deepest in the window) gave its slot to
+    # stream_bm25_ingest_replay: streaming corpus ingestion
+    # maintaining the BM25 index through foreachBatch segment appends,
+    # probe == full-corpus oracle — the index-maintenance-under-
+    # ingestion contract no batch row can gate (VERDICT r8 #3)
+    "stream_bm25_ingest_replay",
     # r4b: filter_amount_gt_100 (P7 — a pushdown filter, exercised
     # inside every detector row's plan and still plan-tested +
     # full-suite verified) gave its slot to the W2 streaming face:
@@ -261,13 +327,25 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # stream_ewma/running-mean faces) gave its slot to tumble_sum_5m —
     # WA7's last driver check was the r2 fixture-drift red (the last of
     # the five stale-red retires this round)
-    "tumble_sum_5m",
+    # r9: tumble_sum_5m (green r8 — stale-red retire done; WA7's
+    # built-in tumbling machinery keeps driver rows via
+    # tumble_median_1h and the three streaming tumbling faces) gave
+    # its slot to curriculum_quality_buckets: the curriculum-ordering
+    # face (quality-bucketed deterministic ordering keys over the
+    # shared Gopher signals), from the r8 verdict's rotation queue
+    "curriculum_quality_buckets",
     # r8: cohort_retention_daily (green r5-r7; (user, day) self-join
     # retention grid) gave its slot to
     # tpch_q13_customer_order_distribution — the left-OUTER-join
     # histogram shape (count-of-counts over an outer join; the same
     # join-then-histogram machinery family), first driver row (r7 #3)
-    "tpch_q13_customer_order_distribution",
+    # r9: tpch_q13_customer_order_distribution (green r8; the outer-
+    # join histogram held its driver row, machinery family shared with
+    # q22's anti-join gate) gave its slot to
+    # tpch_q5_local_supplier_volume: the six-table snowflake join with
+    # a same-nation equality gate — the widest join shape in the TPC-H
+    # surface, per the r8 verdict's queue (q5/q14 join half)
+    "tpch_q5_local_supplier_volume",
     # round-2 detector additions (CEP rising pattern, broadcast dynamic
     # rules) — rotated INTO the window round 3 so every new operator
     # family has driver evidence (VERDICT r2 "Next round" #5); the
@@ -311,7 +389,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # scoring + broadcast + window-rank machinery runs verbatim inside
     # ann_ivf_topk's rerank step, and the suite envelope-gates the
     # LSH/IVF/BLAS paths against it every round)
-    "ann_lsh_buckets",
+    # r9: ann_lsh_buckets (green r5-r8; sign-LSH bucketing stays
+    # full-suite verified, and the ANN pillar keeps three driver rows:
+    # ivf_incremental, ivfpq_indexed, the hybrid's indexed probe) gave
+    # its slot to hard_negatives_topk: DPR-style hard-negative mining
+    # (BM25-close, embedding-distant anti-join of the two arms), from
+    # the r8 verdict's rotation queue
+    "hard_negatives_topk",
     # r7: ann_ivf_topk (per-call coarse-quantize + probe + rerank) —
     # superseded in the window by ann_ivf_topk_indexed: the SAME
     # centroids, probe set, rerank machinery and oracle, but against
@@ -350,7 +434,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # recomputed inside quality/gopher/tfidf rows, still full-suite
     # verified) gave its slot to doc_unigram_logprob, the model-based
     # quality score (broadcast top-V unigram LM, scan-local scoring)
-    "doc_unigram_logprob",
+    # r9: doc_unigram_logprob (green r4b-r8; the broadcast-LM scoring
+    # stays full-suite verified; the text pillar keeps gopher +
+    # bm25-indexed + chunk-windows driver rows) gave its slot to
+    # stream_ivf_ingest_replay: the embedding twin of the BM25
+    # ingestion face — quantizer bootstrapped from the first arrival,
+    # later batches appended under the frozen centroids (VERDICT r8 #3)
+    "stream_ivf_ingest_replay",
     # r8: span_dup_stats (green r5-r7; sorted-run duplicated-passage
     # signal over the same tokenized scan as the remaining text rows)
     # gave its slot to tpch_q22_dormant_high_balance — the
@@ -362,7 +452,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # full-suite verified) gave its slot to span_dup_stats, the Lee
     # et al. duplicated-passage signal, previously unregistered
     # (r8: span_dup_stats' slot went to tpch_q22 above)
-    "doc_pii_flags",
+    # r9: doc_pii_flags (green r4-r8; the PII regex flags + redaction
+    # transform stay full-suite verified — five rounds of green driver
+    # evidence) gave its slot to tpch_q15_top_supplier: the
+    # scalar-subquery-on-aggregate shape (revenue view + global MAX
+    # gate), per the r8 verdict's queue (q12/q15 subquery half)
+    "tpch_q15_top_supplier",
     # r3: corpus_token_freq_top50 (raw-frequency ranking; tfidf is the
     # strictly richer weighting of the same shape) gave its slot to
     # tfidf_top_terms
@@ -382,7 +477,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sampling-family capability with suite-only evidence) takes the
     # freed slot.
     "gopher_quality_filter",
-    "split_train_val_test",
+    # r9: split_train_val_test (green r4b-r8; the independent-hash
+    # split gate) hands the sampling family's slot BACK to
+    # temperature_resample_docs — the r8c displacement the verdict
+    # asked to re-gate: the same overflow-free Knuth-hash gate plus
+    # per-language thresholds DERIVED from a broadcast count aggregate
+    # (strictly more machinery over the identical scan-local gate);
+    # the plain split form stays full-suite verified, and the family
+    # keeps three driver rows (temperature, mixture, curriculum)
+    "temperature_resample_docs",
     # time-series pillar (r4: event_deltas — lag-window arithmetic, the
     # same row-frame machinery as moving_avg, still full-suite verified
     # — gave its slot to the streaming at-least-once dedup row, so the

@@ -59,7 +59,14 @@ def main() -> None:
         scratch = os.path.join(".scratch", f"ab-paned-{uuid.uuid4().hex[:8]}")
         os.makedirs(scratch, exist_ok=True)
         try:
-            chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6, densify=density)
+            # distributed: densities past ~40x overflow the driver-side
+            # writer (24M events was the practical ceiling, VERDICT r8
+            # #7); the executor-side writer lifts it — in-order replay,
+            # so chunk-boundary differences don't affect results
+            chunks = write_replay_chunks(
+                spark, sf_dir, scratch, n_chunks=6, densify=density,
+                distributed=density > 10,
+            )
             times = {name: [] for name in jobs}
             for _ in range(2):
                 for name, job in jobs.items():

@@ -26,8 +26,10 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "driver-gated via stream_continuous_rollup_replay's continuous "
     "daily sums and dynamic_rules_alerts' rule gates (r8 rotation); "
     "the literal-threshold variants stay full-suite verified",
-    "analytics": "cohort_retention_daily's join-then-histogram shape is "
-    "driver-gated via tpch_q13's outer-join count-of-counts (r8)",
+    "analytics": "cohort_retention_daily's join-then-histogram shape "
+    "held a green driver row via tpch_q13 (r8); q13 rotated out green "
+    "in r9 and outer-join machinery keeps rows via tpch_q5's "
+    "six-table join and the q21/q22 anti-join gates",
     "anomaly": "zscore's per-key sort-window fold machinery is "
     "driver-gated via the bit-exact stream_ewma_replay twin (r8); "
     "zscore + its Welford streaming twin stay differential-tested",
@@ -55,9 +57,28 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "window_function": "row-frame/rank window machinery is driver-gated "
     "via window_heavy_hitters_1h (WindowGroupLimit) and "
     "resample_daily_gapfill's gap windows (r8)",
-    "cube": "OLAP reshaping variant; the pivot row drives the same "
-    "multi-grouping machinery in the window",
+    "cube": "OLAP reshaping variant of the pivot family (below); "
+    "multi-grouping aggregate machinery also runs inside the "
+    "driver-gated stats/heavy-hitter rows",
     "grouping_sets": "same rationale as cube",
+    "pivot": "five rounds of green driver evidence (r4-r8); the "
+    "pivot/unpivot reshape is a plan-level regrouping of the same "
+    "hash-aggregate machinery every driver row runs; slot went to the "
+    "streaming BM25 ingestion face (r9), both spellings stay "
+    "full-suite verified",
+    "projection": "P1/P2 pure projections run inside every driver "
+    "row's plan and are plan-tested (scan pruning / pushdown); P2 got "
+    "its clean driver re-check in r8 after the r2 fixture-drift red "
+    "(r9 rotation)",
+    "split": "the independent-hash Knuth split gate held green "
+    "r4b-r8; the identical gate machinery keeps THREE driver rows via "
+    "temperature_resample_docs, mixture_apply_docs and "
+    "curriculum_quality_buckets (r9 rotation)",
+    "sql": "the spark.sql() text-API faces compile to the IDENTICAL "
+    "plans and share oracles with their DataFrame twins "
+    "(sql_tumble_sum_3s held green r3-r8); the sqlapi suite pins "
+    "text-vs-DataFrame plan equality and full-registry parity covers "
+    "all sql_* faces every round (r9 rotation)",
     "distinct": "exact windowed distinct is the oracle twin of the "
     "driver-gated median/heavy-hitter window rows; HLL twin is approx",
     "filter": "P7 pushdown filters run inside every detector driver row's "
@@ -72,8 +93,8 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "quality/gopher/tfidf rows (established r4b rotation rationale)",
     "limit": "order-by-limit is the simplest relational shape; subsumed "
     "by driver-gated top-k window rows (established r4 rationale)",
-    "unpivot": "inverse of the driver-gated pivot row, same reshaping "
-    "machinery",
+    "unpivot": "inverse of the pivot reshape (same rationale as "
+    "pivot above)",
     "iterative": "the connected_components min-label iteration builds "
     "the materialized ensure_cc_labels asset the driver-gated "
     "dedup_keep_best_per_cluster row reads (same pruned pairs -> same "
