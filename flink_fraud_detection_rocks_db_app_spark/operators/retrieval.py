@@ -458,6 +458,67 @@ def hybrid_rrf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rrf_fuse(lex, _sem_ranked_ivfpq_indexed(spark, sf_dir))
 
 
+# ---- hybrid drift monitor -----------------------------------------------
+# The fusion-level analogue of the ANN recall trio (similarity.py
+# recall_oracle): the IVFPQ recall monitors measure quantizer loss at
+# the VECTOR layer; this measures what that loss does to the SERVED
+# ranking — overlap@k between the exact-arm hybrid and the
+# indexed-arm hybrid. The number an operator actually watches after a
+# codebook retrain or an index rebuild: if fused top-k churn exceeds
+# budget, raise nprobe / retrain before the degraded ranking reaches
+# training-data mining.
+
+
+def _hybrid_overlap_oracle() -> str:
+    return f"""
+WITH exact_h AS ({_HYBRID_ORACLE}),
+idx_h AS ({_hybrid_idx_oracle()}),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM exact_h e JOIN idx_h i USING (query_id, neighbor_id)
+  GROUP BY 1
+)
+SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.n_hits, 0) / {MLT_TOP_K}.0, 6) AS overlap
+FROM (SELECT DISTINCT query_id FROM exact_h) q
+LEFT JOIN hits h USING (query_id)
+"""
+
+
+@register(
+    "hybrid_overlap_at_k",
+    oracle=_hybrid_overlap_oracle(),
+    doc=f"Fused-ranking drift monitor: per query, |exact-arm hybrid "
+    f"top{MLT_TOP_K} ∩ indexed-arm hybrid top{MLT_TOP_K}| / "
+    f"{MLT_TOP_K}. The ANN recall trio watches quantizer loss at the "
+    "vector layer; this watches what survives to the SERVED fused "
+    "ranking — the acceptance gate for swapping the exact semantic "
+    "arm for the IVFPQ probe in production. Pure composition of two "
+    "independently hash-gated queries; the join touches only the "
+    "O(queries × k) fused frames, so at corpus scale eval cost is one "
+    "indexed probe + one exact-arm replay over the same fixed query "
+    "sample.",
+    tags=("text", "retrieval", "similarity", "eval"),
+)
+def hybrid_overlap_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact_h = hybrid_rrf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    idx_h = hybrid_rrf_topk_indexed(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact_h.join(idx_h, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qs = exact_h.select("query_id").distinct()
+    n = F.coalesce(F.col("n_hits"), F.lit(0))
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        n.alias("n_hits"),
+        F.round(n / F.lit(float(MLT_TOP_K)), 6).alias("overlap"),
+    )
+
+
 # ---- hard-negative mining ----------------------------------------------
 
 _HARDNEG_ORACLE = f"""

@@ -119,6 +119,11 @@ PROBED = [
     # r8c: subsequence scoring is O(k) per row on the per-account
     # row-frame — should ride the densified event scan linearly
     "ts_znorm_pattern_topk",
+    # r9: the hybrid with the INDEXED semantic arm — its corpus work
+    # is the MLT scan plus a warm partition-pruned read of the IVFPQ
+    # asset (the exact-cosine linear arm is gone); probed next to
+    # hybrid_rrf_topk, whose slope it should undercut as k grows
+    "hybrid_rrf_topk_indexed",
 ]
 
 

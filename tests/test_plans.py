@@ -186,6 +186,10 @@ BNLJ_OK = {
     "hybrid_rrf_topk_indexed",
     # same two arms, anti-joined instead of fused
     "hard_negatives_topk",
+    # composes hybrid_rrf_topk (exact-arm broadcast documented above)
+    # with the indexed hybrid; the overlap join itself is a bounded
+    # equi join on the O(queries x k) fused frames
+    "hybrid_overlap_at_k",
     # one-row bloom-bitset array broadcast to every task (16 KB build
     # side; the probe is a scan-side filter, not a join predicate)
     "decontaminate_bloom_prefilter",
