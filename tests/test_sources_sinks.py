@@ -697,3 +697,79 @@ def test_stream_stream_join_checkpoint_restart(spark, scratch):
     )
     assert got == want
     assert any(p is None for _, _, p in got), "null-eviction rows must survive restart"
+
+
+def test_bounded_buffer_checkpoint_restart(spark, scratch):
+    """WA4 fault tolerance: the bounded-buffer window's Python state
+    (versioned JSON {account: {window: sum}}) must survive a stop /
+    restart between micro-batches — windows opened before the crash
+    keep accumulating after it, eviction order is unchanged, and the
+    terminal flush still emits exactly each account's cap most-recent
+    windows with complete sums."""
+    from flink_fraud_detection_rocks_db_app_spark.streaming import (
+        append_sentinel_chunk,
+        record_buffer_bounded_tumbling_stream,
+    )
+
+    size_ms, cap = MS["d"], 5
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=6)
+    files = sorted(glob.glob(os.path.join(chunks, "*.parquet")))
+    batch = read_replay_batch(spark, chunks)
+    max_us = batch.agg(F.max(F.unix_micros("event_time"))).collect()[0][0]
+    flush_at_ms = max_us // 1000 + 1
+    append_sentinel_chunk(chunks, max_us + 40 * MS["d"] * 1000)
+    sentinel = sorted(glob.glob(os.path.join(chunks, "*.parquet")))[-1]
+
+    live = os.path.join(scratch, "wa4_live")
+    out = os.path.join(scratch, "wa4_out")
+    ckpt = os.path.join(scratch, "wa4_ckpt")
+    os.makedirs(live)
+
+    def run_once():
+        agg = record_buffer_bounded_tumbling_stream(
+            read_replay_stream(spark, live), size_ms, cap, flush_at_ms
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    for f in files[:3]:
+        shutil.copy2(f, live)
+    run_once()  # crash before the flush gate: nothing emitted yet
+    assert spark.read.schema(
+        "w_start long, account_id long, sum_amount double"
+    ).parquet(out).count() == 0
+    for f in files[3:] + [sentinel]:
+        shutil.copy2(f, live)
+    run_once()  # restart: state restored, stream finishes, flush fires
+
+    got = {
+        (r.w_start, r.account_id): r.sum_amount
+        for r in spark.read.parquet(out).collect()
+        if r.account_id != -1
+    }
+    full = {
+        (r.w_start, r.account_id): r.sum_amount
+        for r in tumbling(batch, size_ms, [F.sum("amount").alias("sum_amount")]).collect()
+    }
+    keep: dict[int, list[int]] = {}
+    for w, a in full:
+        keep.setdefault(a, []).append(w)
+    want = {
+        (w, a)
+        for a, ws in keep.items()
+        for w in sorted(ws, reverse=True)[:cap]
+    }
+    assert set(got) == want, (
+        f"missing={sorted(want - set(got))[:3]} extra={sorted(set(got) - want)[:3]}"
+    )
+    for k, v in got.items():
+        assert abs(v - full[k]) < 1e-9, k
+    assert any(len(ws) > cap for ws in keep.values()), "cap never bit"
