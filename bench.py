@@ -189,6 +189,11 @@ HEADLINE = [
     "tpch_q12_late_shipment_priority",
     "tpch_q14_promo_effect",
     "tpch_q15_top_supplier",
+    # round 9: the corpus-prep pipeline maintained under streaming
+    # document ingestion (per-batch fp-aggregate ledger segments) and
+    # the fused-ranking drift monitor between the two hybrid forms
+    "stream_corpus_prep_replay",
+    "hybrid_overlap_at_k",
 ]
 
 

@@ -24,9 +24,9 @@ from .text import STOPWORDS, _STOP_SQL
 QUALITY_CUTOFF = 0.55  # ~median of the fixture's quality distribution
 
 
-@register(
-    "corpus_prep_pipeline",
-    oracle=f"""
+# Shared by the batch plan and the streaming-ingestion face (the
+# stream-built ledger must reproduce this EXACT report).
+PREP_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, lang, string_split(lower(text), ' ') AS w,
          md5({NORM_SQL_DUCK}) AS fp
@@ -49,18 +49,16 @@ SELECT lang,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        AVG(quality) AS avg_quality
 FROM surv GROUP BY lang
-""",
-    doc=f"Training-data prep pipeline: quality score (rounded 6dp, "
-    f"cutoff {QUALITY_CUTOFF} — fp-safe gate) -> exact dedup on the "
-    "normalized-text fingerprint (keep lowest doc_id; duplicate credit "
-    "attributed to the survivor's language) -> per-language corpus "
-    "report. One plan, two shuffles; the fixture has exact dups only "
-    "at sf0.1, so n_dups_removed is 0 at smaller sf by design.",
-    tags=("pipeline", "dedup", "text"),
-)
-def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def quality_gated_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, fp, n_tokens, quality) for documents passing the
+    quality cutoff — the scan-local front half of the prep pipeline,
+    shared verbatim by the batch plan and the streaming-ingestion face
+    (each micro-batch runs this over just its arrivals)."""
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
-    m = load(spark, sf_dir, "documents").selectExpr(
+    m = docs.selectExpr(
         "doc_id",
         "lang",
         f"md5(encode({NORM_SQL_SPARK}, 'UTF-8')) AS fp",
@@ -78,19 +76,40 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ),
     )
-    q = m.where(F.col("quality") >= QUALITY_CUTOFF).select(
+    return m.where(F.col("quality") >= QUALITY_CUTOFF).select(
         "doc_id", "lang", "fp", "n_tokens", "quality"
     )
-    kept = q.groupBy("fp").agg(
-        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
-    )
-    surv = q.join(kept, q.doc_id == kept.keep_id)
+
+
+def corpus_report(surv: DataFrame) -> DataFrame:
+    """Per-language corpus report over survivor rows carrying
+    (lang, n_copies, n_tokens, quality) — the shared back half."""
     return surv.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("n_copies") - 1).alias("n_dups_removed"),
         F.sum("n_tokens").alias("total_tokens"),
         F.avg("quality").alias("avg_quality"),
     )
+
+
+@register(
+    "corpus_prep_pipeline",
+    oracle=PREP_ORACLE,
+    doc=f"Training-data prep pipeline: quality score (rounded 6dp, "
+    f"cutoff {QUALITY_CUTOFF} — fp-safe gate) -> exact dedup on the "
+    "normalized-text fingerprint (keep lowest doc_id; duplicate credit "
+    "attributed to the survivor's language) -> per-language corpus "
+    "report. One plan, two shuffles; the fixture has exact dups only "
+    "at sf0.1, so n_dups_removed is 0 at smaller sf by design.",
+    tags=("pipeline", "dedup", "text"),
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = quality_gated_docs(load(spark, sf_dir, "documents"))
+    kept = q.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+    surv = q.join(kept, q.doc_id == kept.keep_id)
+    return corpus_report(surv)
 
 
 @register(

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from .detectors import _RISING_ORACLE
+from .pipeline import PREP_ORACLE
 from .stateful import EWMA_ORACLE, sql_count_or_time, sql_running_alerts
 from .similarity import _IVF_ORACLE as _STREAM_IVF_ORACLE
 from .text import _BM25_ORACLE
@@ -1311,6 +1312,87 @@ def stream_bm25_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         out = _probe_bm25_index(spark, idx)
         rows = out.collect()  # bounded: BM25_TOP_K rows
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
+    "stream_corpus_prep_replay",
+    oracle=PREP_ORACLE,
+    doc="The corpus-prep pipeline under streaming INGESTION — the "
+    "text-quality/dedup sibling of the BM25/IVF ingest faces: document "
+    "chunks arrive as a file stream, each micro-batch runs the "
+    "IDENTICAL scan-local quality gate (pipeline.quality_gated_docs) "
+    "over just its arrivals and appends a per-fingerprint aggregate "
+    "segment (fp, min doc_id, copy count, min-doc attrs) to a "
+    "persisted ledger; the probe merges segments (min-of-mins keep "
+    "policy, sum of counts) and must hash-equal the BATCH pipeline's "
+    "per-language report — corpus curation maintained incrementally, "
+    "cost ∝ batch, with the merge arrival-order independent by "
+    "construction (min/sum are commutative; segments are written to "
+    "per-batch-id paths, so a foreachBatch retry overwrites its own "
+    "segment instead of double-counting). At 100 TB the ledger is the "
+    "compaction-policy asset: segments ∝ batches, the probe merge is "
+    "one fp-keyed shuffle over per-fp aggregates, never the text.",
+    tags=("streaming", "pipeline", "dedup", "text", "parity"),
+)
+def stream_corpus_prep_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import load
+    from .pipeline import corpus_report, quality_gated_docs
+
+    name = f"corpusingest_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        docs = load(spark, sf_dir, "documents")
+        src = os.path.join(scratch, "arrivals")
+        for i in range(3):
+            docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+
+        ledger = os.path.join(scratch, "ledger")
+
+        def sink(batch: DataFrame, bid: int) -> None:
+            if batch.isEmpty():
+                return
+            seg = (
+                quality_gated_docs(batch)
+                .groupBy("fp")
+                .agg(
+                    F.min("doc_id").alias("min_id"),
+                    F.count("*").alias("n_copies"),
+                    F.min_by(
+                        F.struct("lang", "n_tokens", "quality"), "doc_id"
+                    ).alias("attrs"),
+                )
+            )
+            seg.write.mode("overwrite").parquet(
+                os.path.join(ledger, f"seg={bid}")
+            )
+
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        merged = (
+            spark.read.parquet(ledger)
+            .groupBy("fp")
+            .agg(
+                F.sum("n_copies").alias("n_copies"),
+                F.min_by("attrs", "min_id").alias("attrs"),
+            )
+            .select("n_copies", "attrs.lang", "attrs.n_tokens", "attrs.quality")
+        )
+        out = corpus_report(merged)
+        rows = out.collect()  # bounded: one row per language
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

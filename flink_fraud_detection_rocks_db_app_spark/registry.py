@@ -365,7 +365,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_pattern_rising_replay",
     "dynamic_rules_alerts",
     # flagship extension composition (quality -> dedup -> report)
-    "corpus_prep_pipeline",
+    # r9b: corpus_prep_pipeline (green r2-r8) — superseded by
+    # stream_corpus_prep_replay: the IDENTICAL quality gate
+    # (pipeline.quality_gated_docs, called verbatim per micro-batch)
+    # and per-language report under the SAME oracle, but the dedup
+    # maintained INCREMENTALLY through streaming document ingestion
+    # (per-batch fp-aggregate ledger segments, min-of-mins merge,
+    # retry-idempotent per-batch-id paths) — strictly more machinery:
+    # the batch plan's semantics plus the ingestion contract the
+    # BM25/IVF ingest faces gate for the index pillars; the one-plan
+    # batch form stays full-suite verified
+    "stream_corpus_prep_replay",
     # multimodal pillar (r4: multimodal_metadata — schema/typed-metadata
     # read, a strict subset of the features query's plan, still
     # full-suite verified — gave its slot to frame sampling, the one
