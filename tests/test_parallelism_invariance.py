@@ -71,6 +71,15 @@ REPRESENTATIVES = (
     # tiebreaks decide ranks, and the fused reciprocal sum must be
     # identical whichever schedule built either arm
     "hybrid_rrf_topk",
+    # r9: the indexed-arm fusion — 6dp-rounded ADC distances + id
+    # tiebreaks must make the probed ranking (and thus the fusion)
+    # schedule-invariant even though the codes arrive from a
+    # partitioned asset built under a different parallelism
+    "hybrid_rrf_topk_indexed",
+    # r9: the per-account bounded-buffer window — the eviction fold
+    # runs per key inside hash buckets, so the surviving window set
+    # must not depend on how keys pack into state partitions
+    "stream_recordbuffer_bounded_tumble_replay",
 )
 
 
