@@ -95,14 +95,17 @@ def main() -> None:
     results: dict[str, dict] = {}
     try:
         for k in scales:
+            # distributed past 10x: the driver-side writer tops out
+            # around 24M events (VERDICT r8 #7); in-order replays are
+            # boundary-independent so the sampled range split is fine
             plain = write_replay_chunks(
                 spark, sf_dir, os.path.join(scratch, f"plain{k}"),
-                n_chunks=6, densify=k,
+                n_chunks=6, densify=k, distributed=k > 10,
             )
             typed = write_replay_chunks(
                 spark, sf_dir, os.path.join(scratch, f"typed{k}"),
                 n_chunks=6, densify=k, with_event_type=True,
-                densify_fresh_keys=True,
+                densify_fresh_keys=True, distributed=k > 10,
             )
             jobs = {
                 "stream_session_sum_6h": lambda: session_agg_stream(
