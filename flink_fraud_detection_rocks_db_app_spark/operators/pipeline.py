@@ -112,6 +112,75 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_report(surv)
 
 
+def prep_segment(batch: DataFrame) -> DataFrame:
+    """One ledger segment from one micro-batch of raw documents:
+    quality-gate the arrivals (quality_gated_docs, verbatim), then
+    aggregate per fingerprint — (fp, min_id, n_copies, attrs) where
+    attrs carries the lowest-doc (lang, n_tokens, quality). What the
+    streaming-ingestion face's foreachBatch writes per batch."""
+    return (
+        quality_gated_docs(batch)
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("min_id"),
+            F.count("*").alias("n_copies"),
+            F.min_by(F.struct("lang", "n_tokens", "quality"), "doc_id").alias(
+                "attrs"
+            ),
+        )
+    )
+
+
+def merge_prep_segments(segs: DataFrame) -> DataFrame:
+    """Merge per-batch fp-aggregate ledger segments: (fp, min_id,
+    n_copies, attrs) rows from any number of segments collapse to one
+    row per fingerprint — min-of-mins keep policy, summed copy counts,
+    the surviving (lowest-doc) attributes. min/sum are commutative and
+    doc_ids are globally unique, so the result is independent of how
+    arrivals were batched. Shared by the streaming face's probe and
+    the ledger compactor (one definition of the merge)."""
+    return segs.groupBy("fp").agg(
+        F.min("min_id").alias("min_id"),
+        F.sum("n_copies").alias("n_copies"),
+        F.min_by("attrs", "min_id").alias("attrs"),
+    )
+
+
+def compact_prep_ledger(spark: SparkSession, ledger: str) -> int:
+    """Rewrite the prep ledger's per-batch segments as ONE merged
+    segment — the compaction policy the streaming-ingestion face's
+    scale posture assumes: segments accrete one per micro-batch, and
+    while per-fp volume is bounded, probe-time merge cost (file
+    listing + small-file reads) grows with batch count. Compaction
+    applies the IDENTICAL merge the probe performs (merge_prep_segments
+    — associative, so compact-then-merge == merge), so the per-language
+    report is preserved by construction (pinned by test).
+
+    Crash-safe whole-directory swap (the indexcache publish idea): the
+    merged segment is staged into a sibling '.tmp-' ledger and two
+    renames swap the directories — a crash leaves either the old
+    ledger intact (stage incomplete) or the new one published; staged
+    and live segments are never globbed together. Returns the number
+    of segments compacted away (0 = already compact, no-op)."""
+    import os
+    import shutil
+    import uuid
+
+    segs = sorted(
+        d for d in os.listdir(ledger) if d.startswith("seg=")
+    )
+    if len(segs) <= 1:
+        return 0
+    merged = merge_prep_segments(spark.read.parquet(ledger).drop("seg"))
+    tmp = f"{ledger}.tmp-{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(os.path.join(tmp, "seg=0"))
+    old_dir = f"{ledger}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(ledger, old_dir)
+    os.rename(tmp, ledger)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    return len(segs) - 1
+
+
 @register(
     "dq_audit",
     oracle="""

@@ -1339,7 +1339,7 @@ def stream_bm25_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_corpus_prep_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..fixtures import load
-    from .pipeline import corpus_report, quality_gated_docs
+    from .pipeline import corpus_report, merge_prep_segments, prep_segment
 
     name = f"corpusingest_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
@@ -1357,18 +1357,7 @@ def stream_corpus_prep_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         def sink(batch: DataFrame, bid: int) -> None:
             if batch.isEmpty():
                 return
-            seg = (
-                quality_gated_docs(batch)
-                .groupBy("fp")
-                .agg(
-                    F.min("doc_id").alias("min_id"),
-                    F.count("*").alias("n_copies"),
-                    F.min_by(
-                        F.struct("lang", "n_tokens", "quality"), "doc_id"
-                    ).alias("attrs"),
-                )
-            )
-            seg.write.mode("overwrite").parquet(
+            prep_segment(batch).write.mode("overwrite").parquet(
                 os.path.join(ledger, f"seg={bid}")
             )
 
@@ -1382,15 +1371,9 @@ def stream_corpus_prep_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        merged = (
-            spark.read.parquet(ledger)
-            .groupBy("fp")
-            .agg(
-                F.sum("n_copies").alias("n_copies"),
-                F.min_by("attrs", "min_id").alias("attrs"),
-            )
-            .select("n_copies", "attrs.lang", "attrs.n_tokens", "attrs.quality")
-        )
+        merged = merge_prep_segments(
+            spark.read.parquet(ledger).drop("seg")
+        ).select("n_copies", "attrs.lang", "attrs.n_tokens", "attrs.quality")
         out = corpus_report(merged)
         rows = out.collect()  # bounded: one row per language
         return spark.createDataFrame(rows, out.schema)

@@ -905,3 +905,44 @@ def test_mixture_apply_respects_plan(spark):
                 f"{lang}: frac={frac:.3f} over {n_docs[lang]} docs "
                 "admitted no fractional extras — the salted gate looks dead"
             )
+
+
+def test_prep_ledger_compaction_preserves_report(spark, scratch):
+    """compact_prep_ledger: (a) the per-language report is identical
+    before and after compaction (the compactor applies the probe's own
+    merge — associative by construction); (b) the ledger collapses to
+    one segment; (c) a second pass is a no-op; (d) single-segment
+    ledgers are left untouched."""
+    import os
+
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+    from flink_fraud_detection_rocks_db_app_spark.operators.pipeline import (
+        compact_prep_ledger,
+        corpus_report,
+        merge_prep_segments,
+        prep_segment,
+    )
+
+    docs = load(spark, SF_SMALL, "documents")
+    ledger = os.path.join(scratch, "prep_ledger")
+    for i in range(4):
+        prep_segment(
+            docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(4)) == i)
+        ).write.mode("overwrite").parquet(os.path.join(ledger, f"seg={i}"))
+
+    def report():
+        merged = merge_prep_segments(
+            spark.read.parquet(ledger).drop("seg")
+        ).select("n_copies", "attrs.lang", "attrs.n_tokens", "attrs.quality")
+        return {
+            r.lang: (r.n_docs, r.n_dups_removed, r.total_tokens, round(r.avg_quality, 9))
+            for r in corpus_report(merged).collect()
+        }
+
+    before = report()
+    assert compact_prep_ledger(spark, ledger) == 3
+    segs = [d for d in os.listdir(ledger) if d.startswith("seg=")]
+    assert segs == ["seg=0"], segs
+    assert report() == before
+    assert compact_prep_ledger(spark, ledger) == 0
+    assert report() == before
