@@ -1200,3 +1200,21 @@ def semdedup_incremental_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_drop").isNull().alias("kept"),
         )
     )
+
+
+_LSH_RECALL_ORACLE = recall_oracle(_lsh_oracle_sql())
+
+
+@register(
+    "ann_lsh_recall_at_k",
+    oracle=_LSH_RECALL_ORACLE,
+    doc=f"Recall@{TOP_K} of the sign-LSH path vs the exact cosine "
+    "baseline — completes the ANN monitor QUARTET (IVF cell-pruning "
+    "loss, PQ quantization loss, IVFPQ composed loss, and now LSH "
+    "bucket-collision loss): the signal for re-drawing hyperplanes or "
+    "adding tables, measured per query over the same fixed sample. "
+    "Same bounded two-gated-queries composition as its siblings.",
+    tags=("similarity", "ann", "lsh", "eval"),
+)
+def ann_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return recall_vs_exact(spark, sf_dir, ann_lsh_buckets(spark, sf_dir))

@@ -151,6 +151,8 @@ BNLJ_OK = {
     # composes ann_cosine_topk + ann_ivf_topk verbatim, so it inherits
     # both documented broadcast forms above
     "ann_ivf_recall_at_k",
+    # composes ann_cosine_topk + ann_lsh_buckets (both documented above)
+    "ann_lsh_recall_at_k",
     # ADC scoring: the bounded query frame (N_QUERIES rows of M×KS
     # LUTs) cross-broadcasts against the ENCODED corpus (codes only —
     # the compressed-domain scan is the design)
