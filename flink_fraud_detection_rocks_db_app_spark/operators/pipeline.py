@@ -24,22 +24,28 @@ from .text import STOPWORDS, _STOP_SQL
 QUALITY_CUTOFF = 0.55  # ~median of the fixture's quality distribution
 
 
-# Shared by the batch plan and the streaming-ingestion face (the
-# stream-built ledger must reproduce this EXACT report).
-PREP_ORACLE = f"""
-WITH t AS (
-  SELECT doc_id, lang, string_split(lower(text), ' ') AS w,
+# The scored-documents CTEs (t: tokenized + fingerprint; m: + 6dp
+# quality) — shared by the prep oracle (which the batch plan AND the
+# streaming-ingestion face must both reproduce) and the per-source
+# cap oracle.
+QUALITY_CTES = f"""
+t AS (
+  SELECT doc_id, lang, source, string_split(lower(text), ' ') AS w,
          md5({NORM_SQL_DUCK}) AS fp
   FROM documents
 ),
 m AS (
-  SELECT doc_id, lang, fp, len(w) AS n_tokens,
+  SELECT doc_id, lang, source, fp, len(w) AS n_tokens,
          round(0.4 * LEAST(len(w) / 100.0, 1.0)
              + 0.4 * len(list_distinct(w))::DOUBLE / len(w)
              + 0.2 * (1.0 - ABS(len(list_filter(w, x -> x IN ('{_STOP_SQL}')))::DOUBLE
                                / len(w) - 0.4)), 6) AS quality
   FROM t
-),
+)
+"""
+
+PREP_ORACLE = f"""
+WITH {QUALITY_CTES},
 q AS (SELECT * FROM m WHERE quality >= {QUALITY_CUTOFF}),
 kept AS (SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM q GROUP BY 1),
 surv AS (SELECT q.*, k.n_copies FROM q JOIN kept k ON q.doc_id = k.keep_id)
@@ -61,6 +67,7 @@ def quality_gated_docs(docs: DataFrame) -> DataFrame:
     m = docs.selectExpr(
         "doc_id",
         "lang",
+        "source",
         f"md5(encode({NORM_SQL_SPARK}, 'UTF-8')) AS fp",
         "CAST(size(split(lower(text), ' ')) AS BIGINT) AS n_tokens",
         "size(array_distinct(split(lower(text), ' '))) "
@@ -77,7 +84,7 @@ def quality_gated_docs(docs: DataFrame) -> DataFrame:
         ),
     )
     return m.where(F.col("quality") >= QUALITY_CUTOFF).select(
-        "doc_id", "lang", "fp", "n_tokens", "quality"
+        "doc_id", "lang", "source", "fp", "n_tokens", "quality"
     )
 
 
@@ -110,6 +117,47 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     surv = q.join(kept, q.doc_id == kept.keep_id)
     return corpus_report(surv)
+
+
+SOURCE_CAP = 10  # fixture: 20 sources x 25-250 docs — the cap always bites
+
+
+@register(
+    "source_cap_docs",
+    oracle=f"""
+WITH {{QUALITY_CTES}},
+q AS (SELECT * FROM m WHERE quality >= {{QUALITY_CUTOFF}})
+SELECT doc_id, source, quality, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT doc_id, source, quality,
+         row_number() OVER (
+           PARTITION BY source ORDER BY quality DESC, doc_id ASC
+         ) AS rk
+  FROM q
+) WHERE rk <= {{SOURCE_CAP}}
+""".format(QUALITY_CTES=QUALITY_CTES, QUALITY_CUTOFF=QUALITY_CUTOFF,
+           SOURCE_CAP=SOURCE_CAP),
+    doc=f"Per-source frequency cap (the RefinedWeb/FineWeb "
+    "over-representation control): after the quality gate, keep at "
+    f"most {SOURCE_CAP} documents per source, preferring the "
+    "highest-quality copies (6dp quality desc, doc_id tiebreak) — so "
+    "no single domain/dump dominates the training mixture however "
+    "large its crawl share. One hash shuffle on source + a "
+    "WindowGroupLimit rank (top-k pushdown, no full sort); quality "
+    "scoring rides the scan. At 100 TB source cardinality ~ domains, "
+    "so partitions stay balanced; a pathological mega-source is the "
+    "documented AQE-skew case.",
+    tags=("sampling", "text", "quality"),
+)
+def source_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    q = quality_gated_docs(load(spark, sf_dir, "documents"))
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        q.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= SOURCE_CAP)
+        .select("doc_id", "source", "quality", F.col("rk").cast("long").alias("rk"))
+    )
 
 
 def prep_segment(batch: DataFrame) -> DataFrame:

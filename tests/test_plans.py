@@ -847,3 +847,17 @@ def test_semdedup_incremental_prunes_partitions(spark, scratch):
     q = all_queries()["semdedup_incremental_keep"].fn(spark, SF_SMALL)
     qplan = explain_str(q)
     assert "PartitionFilters: [cell" in qplan, qplan
+
+
+def test_source_cap_is_single_shuffle_group_limit(spark):
+    """source_cap_docs: quality scoring rides the scan; the per-source
+    cap is ONE hash exchange on source with a WindowGroupLimit rank
+    (top-k pushdown — never a full per-source sort of every doc), and
+    no joins anywhere."""
+    import re
+
+    df = all_queries()["source_cap_docs"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "Join" not in plan, plan
