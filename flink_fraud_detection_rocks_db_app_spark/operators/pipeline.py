@@ -221,7 +221,13 @@ def compact_prep_ledger(spark: SparkSession, ledger: str) -> int:
         return 0
     merged = merge_prep_segments(spark.read.parquet(ledger).drop("seg"))
     tmp = f"{ledger}.tmp-{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(os.path.join(tmp, "seg=0"))
+    # the compacted segment gets a name NO foreachBatch can produce:
+    # batch ids are numeric, and a restarted stream on a FRESH
+    # checkpoint restarts them at 0 — a compacted segment named seg=0
+    # would be silently overwritten by that stream's first batch
+    merged.write.mode("overwrite").parquet(
+        os.path.join(tmp, f"seg=c{uuid.uuid4().hex[:8]}")
+    )
     old_dir = f"{ledger}.old-{uuid.uuid4().hex[:8]}"
     os.rename(ledger, old_dir)
     os.rename(tmp, ledger)

@@ -942,7 +942,10 @@ def test_prep_ledger_compaction_preserves_report(spark, scratch):
     before = report()
     assert compact_prep_ledger(spark, ledger) == 3
     segs = [d for d in os.listdir(ledger) if d.startswith("seg=")]
-    assert segs == ["seg=0"], segs
+    # the compacted segment's name is one a foreachBatch can never
+    # produce (batch ids are numeric and restart at 0 on a fresh
+    # checkpoint — seg=0 would be silently overwritten)
+    assert len(segs) == 1 and segs[0].startswith("seg=c"), segs
     assert report() == before
     assert compact_prep_ledger(spark, ledger) == 0
     assert report() == before
