@@ -197,3 +197,40 @@ def test_ewma_stays_within_seen_minmax(xs):
         prev = alpha * x + (1 - alpha) * prev
         lo, hi = min(lo, x), max(hi, x)
         assert lo - 1e-9 <= prev <= hi + 1e-9, (xs, prev, lo, hi)
+
+
+@given(
+    ts=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=120),
+    size=st.integers(min_value=1, max_value=20),
+    cap=st.integers(min_value=1, max_value=6),
+)
+def test_bounded_buffer_survivors_equal_queue_simulation(ts, size, cap):
+    """The WA4 oracle's derivation — over an IN-ORDER stream,
+    evict-earliest at capacity leaves exactly the cap most-recent
+    windows per key, each with its COMPLETE sum — must equal an
+    event-by-event bounded-queue state machine (offer the new window;
+    at capacity poll the earliest-ending one and clear its buffer —
+    reference TumblingWindowWithTest CustomTumblingWindow.java:112-118).
+    This is the reasoning step that turns the queue semantics into the
+    registered face's top-cap-per-account SQL oracle; an off-by-one on
+    the cap, a re-opened window, or a partial carried sum breaks it."""
+    ts = sorted(ts)  # the in-order contract the face replays under
+    amounts = [float(i + 1) for i in range(len(ts))]
+    # event-by-event bounded queue (the reference's semantics)
+    buf: dict[int, float] = {}
+    for t, a in zip(ts, amounts):
+        w = t - t % size
+        if w not in buf:
+            if len(buf) >= cap:
+                buf.pop(min(buf))
+            buf[w] = 0.0
+        buf[w] += a
+    # the oracle's closed form: top-cap windows by w_start, full sums
+    sums: dict[int, float] = {}
+    for t, a in zip(ts, amounts):
+        w = t - t % size
+        sums[w] = sums.get(w, 0.0) + a
+    keep = sorted(sums, reverse=True)[:cap]
+    assert buf.keys() == set(keep)
+    for w in buf:
+        assert abs(buf[w] - sums[w]) < 1e-9
