@@ -194,6 +194,10 @@ HEADLINE = [
     # the fused-ranking drift monitor between the two hybrid forms
     "stream_corpus_prep_replay",
     "hybrid_overlap_at_k",
+    # round 9: the stream-table as-of enrichment (broadcast dimension
+    # snapshot, stateless scan-local pick) benched beside the batch
+    # as-of it supersedes in the driver window
+    "stream_asof_enrich_replay",
 ]
 
 

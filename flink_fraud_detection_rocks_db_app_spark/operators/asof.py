@@ -23,9 +23,9 @@ from ..fixtures import load
 from ..registry import register
 
 
-@register(
-    "asof_latest_order",
-    oracle="""
+# Shared by the batch as-of join and its streaming-enrichment twin
+# (same semantics, same output columns — one definition of the truth).
+ASOF_ORACLE = """
 WITH o AS (  -- dedupe to one order per (custkey, date): deterministic as-of target
   SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
   FROM orders GROUP BY 1, 2
@@ -48,7 +48,12 @@ c AS (
 )
 SELECT user_id AS account_id, event_id, t_ms, asof_orderkey
 FROM c WHERE is_order = 0
-""",
+"""
+
+
+@register(
+    "asof_latest_order",
+    oracle=ASOF_ORACLE,
     doc="As-of join: each event joined to the latest order (by date) of "
     "the same customer at or before the event time. Union + carry-forward "
     "(last_value IGNORE NULLS) — one shuffle, no per-row probe. "

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from .asof import ASOF_ORACLE
 from .detectors import _RISING_ORACLE
 from .pipeline import PREP_ORACLE
 from .stateful import EWMA_ORACLE, sql_count_or_time, sql_running_alerts
@@ -1315,6 +1316,77 @@ def stream_bm25_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
+    "stream_asof_enrich_replay",
+    oracle=ASOF_ORACLE,
+    doc="Streaming AS-OF enrichment — the stream-side twin of "
+    "asof_latest_order and the canonical stream-table pattern: each "
+    "arriving event is enriched with the customer's latest order at "
+    "or before the event time. The dimension side collapses to ONE "
+    "sorted (t_ms, orderkey) array per customer (orders pre-deduped "
+    "per (custkey, date), the batch face's determinism convention), "
+    "BROADCASTS into the stream-static join, and the as-of pick is a "
+    "scan-local array filter + tail index — STATELESS (no watermark, "
+    "no state store): at 100 TB the snapshot is the standard "
+    "broadcast-dimension enrichment, per-event cost O(orders per "
+    "customer), and emitted rows must hash-equal the batch "
+    "union + carry-forward oracle exactly.",
+    tags=("streaming", "join", "asof", "parity"),
+)
+def stream_asof_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import load
+    from ..streaming import read_replay_stream, run_to_memory, write_replay_chunks
+
+    name = f"streamasof_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        per_user = (
+            load(spark, sf_dir, "orders")
+            .groupBy("o_custkey", "o_orderdate")
+            .agg(F.max("o_orderkey").alias("ok"))
+            .select(
+                F.col("o_custkey").alias("user_id"),
+                # unix_date: timezone-independent midnight epoch (the
+                # batch face's convention)
+                (
+                    F.unix_date(F.col("o_orderdate").cast("date")).cast("long")
+                    * F.lit(86_400_000).cast("long")
+                ).alias("o_ms"),
+                "ok",
+            )
+            .groupBy("user_id")
+            .agg(F.sort_array(F.collect_list(F.struct("o_ms", "ok"))).alias("arr"))
+        )
+        stream = read_replay_stream(spark, chunks).select(
+            "account_id",
+            "event_id",
+            (F.unix_micros("event_time") / 1000).cast("long").alias("t_ms"),
+        )
+        enriched = (
+            stream.join(
+                F.broadcast(per_user),
+                stream.account_id == per_user.user_id,
+                "left",
+            )
+            .withColumn("_hits", F.expr("filter(arr, x -> x.o_ms <= t_ms)"))
+            .select(
+                "account_id",
+                "event_id",
+                "t_ms",
+                F.expr(
+                    "CASE WHEN _hits IS NOT NULL AND size(_hits) > 0 "
+                    "THEN _hits[size(_hits) - 1].ok END"
+                ).alias("asof_orderkey"),
+            )
+        )
+        run_to_memory(enriched, name)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(name)
 
 
 @register(

@@ -76,7 +76,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # to tumble_median_1h: the reference DESIGN.md:27 HOLISTIC median
     # the Flink code never implemented, realized as an exact
     # interpolated-percentile window aggregate)
-    "asof_latest_order",
+    # r9b: asof_latest_order (green r1-r8, the longest-tenured row in
+    # the window) — superseded by stream_asof_enrich_replay: the SAME
+    # as-of semantics and oracle, but as the canonical stream-table
+    # enrichment (per-customer sorted order array broadcast into a
+    # stream-static join, scan-local as-of pick, stateless) through
+    # the ACTUAL streaming engine — strictly more surface; the batch
+    # union+carry-forward form stays full-suite verified under the
+    # identical oracle
+    "stream_asof_enrich_replay",
     "tumble_median_1h",
     # r9: sql_tumble_sum_3s (green r3-r8; the spark.sql() text face of
     # the IDENTICAL tumbling plan+oracle as tumble_sum_3s — the SQL-API
