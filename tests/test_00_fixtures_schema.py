@@ -288,6 +288,13 @@ def test_round7_stream_faces_timezone_free(spark, duck):
             # r7b: two-stage paned sliding — window math in BOTH
             # stateful stages must be session-zone-free
             "stream_paned_slide_sum_replay",
+            # r9: the WA4 terminal-flush gate compares watermark ms to
+            # a unix_micros-derived threshold — zone-free by the same
+            # convention, probed here
+            "stream_recordbuffer_bounded_tumble_replay",
+            # r9: as-of enrichment mixes unix_micros event times with
+            # unix_date order-date epochs — both must stay zone-free
+            "stream_asof_enrich_replay",
         ):
             spec = qs[name]
             df = spec.fn(spark, SF_SMALL)
