@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from flink_fraud_detection_rocks_db_app_spark.session import get_spark, rocksdb_tuning
 from flink_fraud_detection_rocks_db_app_spark.streaming import (
     read_replay_stream,
+    record_buffer_bounded_tumbling_stream,
     run_to_memory,
     session_agg_stream,
     write_replay_chunks,
@@ -108,6 +109,20 @@ def main() -> None:
                 densify_fresh_keys=True, distributed=k > 10,
             )
             jobs = {
+                # r9: the WA4 bounded buffer under fixed-key densify —
+                # its distinctive claim is state bounded by the cap
+                # REGARDLESS of volume: x-fold more events fold into
+                # the same <=cap open windows per account (flush gate
+                # set past the replay so the probe measures pure
+                # ingest+evict rate; the correctness face flushes)
+                "stream_bounded_buffer_1h_cap8": lambda: (
+                    record_buffer_bounded_tumbling_stream(
+                        read_replay_stream(spark, plain),
+                        3_600_000,
+                        8,
+                        1 << 60,
+                    )
+                ),
                 "stream_session_sum_6h": lambda: session_agg_stream(
                     read_replay_stream(spark, plain),
                     6 * 3_600_000,
