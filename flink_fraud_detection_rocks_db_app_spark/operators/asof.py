@@ -194,3 +194,118 @@ def interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_value",
         )
     )
+
+
+# ---- bounded-dimension fallback for the streaming as-of enrichment ------
+# stream_asof_enrich_replay (streamface.py) broadcasts ONE sorted
+# (o_ms, ok) array per customer — correct and scan-local, but the array
+# is unbounded per key: a whale customer (or a dimension past
+# spark.sql.autoBroadcastJoinThreshold) breaks the broadcast plan. The
+# past-threshold contract is this pair of helpers — the standard
+# time-BUCKETED snapshot dimension (one row per (user, bucket) holding
+# only that bucket's orders plus a carried-forward "latest order before
+# bucket start" scalar):
+#   - snapshot size is O(users x horizon/bucket_ms) rows — the classic
+#     daily/weekly snapshot table; per-row payload is bounded by ONE
+#     bucket's orders (width is the knob that caps the whale);
+#   - enrichment becomes a plain EQUI-join on (user, bucket(t)) — it
+#     drops into the identical stream-static join the broadcast form
+#     uses, but can now shuffle-partition on (user, bucket) instead of
+#     requiring a broadcast, and the as-of pick stays the same
+#     scan-local array filter + carry scalar;
+#   - tests/test_extensions.py pins hash-equality against the
+#     union+carry-forward batch as-of at two bucket widths.
+# The ultimate fallback (dimension too big even bucketed) is the batch
+# face's sort-merge union+carry-forward (asof_latest_order above),
+# re-run per micro-batch over the union of the batch and the snapshot.
+
+
+def orders_asof_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, o_ms, ok): the deduped as-of target frame — one order
+    per (custkey, date), the determinism convention shared by
+    asof_latest_order and stream_asof_enrich_replay."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("ok"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            (
+                F.unix_date(F.col("o_orderdate").cast("date")).cast("long")
+                * F.lit(86_400_000).cast("long")
+            ).alias("o_ms"),
+            "ok",
+        )
+    )
+
+
+def bucketed_asof_snapshot(
+    orders: DataFrame, bucket_ms: int, horizon_end_ms: int
+) -> DataFrame:
+    """(user_id, bucket, arr, carry_ok): the bounded snapshot dimension.
+
+    `arr` holds ONLY the bucket's own sorted (o_ms, ok) orders;
+    `carry_ok` is the latest orderkey from any STRICTLY EARLIER bucket
+    (carried forward at build time with one per-user sort — the same
+    last_value(IGNORE NULLS) machinery as the batch as-of). Buckets are
+    densified per user from the user's first order bucket through
+    `horizon_end_ms` so an event in an order-free bucket still sees its
+    carry; events before a user's first order (or for unseen users)
+    miss the join and correctly enrich to NULL.
+    """
+    b = orders.withColumn(
+        "bucket", F.floor(F.col("o_ms") / F.lit(bucket_ms)).cast("long")
+    )
+    per_bucket = b.groupBy("user_id", "bucket").agg(
+        F.sort_array(F.collect_list(F.struct("o_ms", "ok"))).alias("arr")
+    )
+    end_bucket = int(horizon_end_ms // bucket_ms)
+    dense = (
+        per_bucket.groupBy("user_id")
+        .agg(F.min("bucket").alias("_b0"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("_b0"), F.lit(end_bucket).cast("long"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        dense.join(per_bucket, ["user_id", "bucket"], "left")
+        .withColumn("_latest", F.element_at(F.col("arr"), -1)["ok"])
+        .withColumn("carry_ok", F.last("_latest", ignorenulls=True).over(w))
+        .drop("_latest")
+    )
+
+
+def enrich_events_asof_bucketed(
+    events: DataFrame, snapshot: DataFrame, bucket_ms: int
+) -> DataFrame:
+    """Enrich (account_id, event_id, t_ms) events with asof_orderkey via
+    the bucketed snapshot — the same output contract as the broadcast
+    array form, but the join key is (user, bucket(t)): a plain
+    equi-join that shuffles instead of requiring a broadcast. Requires
+    the snapshot horizon to cover max(t_ms)."""
+    ev = events.withColumn(
+        "_bucket", F.floor(F.col("t_ms") / F.lit(bucket_ms)).cast("long")
+    )
+    j = ev.join(
+        snapshot,
+        (ev.account_id == snapshot.user_id) & (ev._bucket == snapshot.bucket),
+        "left",
+    )
+    hits = F.expr("filter(arr, x -> x.o_ms <= t_ms)")
+    in_bucket = F.when(
+        hits.isNotNull() & (F.size(hits) > 0), F.element_at(hits, -1)["ok"]
+    )
+    return j.select(
+        "account_id",
+        "event_id",
+        "t_ms",
+        F.coalesce(in_bucket, F.col("carry_ok")).alias("asof_orderkey"),
+    )

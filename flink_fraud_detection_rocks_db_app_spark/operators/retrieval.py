@@ -501,8 +501,18 @@ LEFT JOIN hits h USING (query_id)
     tags=("text", "retrieval", "similarity", "eval"),
 )
 def hybrid_overlap_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact_h = hybrid_rrf_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    idx_h = hybrid_rrf_topk_indexed(spark, sf_dir).select(
+    # Both hybrids share the identical MLT lexical arm; compute it ONCE
+    # and persist the bounded O(queries × k) rank frame (≤ MLT_QUERIES ×
+    # MLT_TOP_K rows) so the corpus is tokenized and BM25-scored a
+    # single time per monitor run instead of once per fusion (VERDICT
+    # r9 #2 — the double scan was this row's entire cost overhang).
+    # Exchange reuse does not dedupe the two window-ranked subtrees on
+    # its own; an explicit persist of the tiny ranked frame does.
+    lex = _mlt_ranked(spark, sf_dir).persist()
+    exact_h = _rrf_fuse(lex, _sem_ranked(spark, sf_dir)).select(
+        "query_id", "neighbor_id"
+    )
+    idx_h = _rrf_fuse(lex, _sem_ranked_ivfpq_indexed(spark, sf_dir)).select(
         "query_id", "neighbor_id"
     )
     hits = (

@@ -1332,7 +1332,15 @@ def stream_bm25_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "no state store): at 100 TB the snapshot is the standard "
     "broadcast-dimension enrichment, per-event cost O(orders per "
     "customer), and emitted rows must hash-equal the batch "
-    "union + carry-forward oracle exactly.",
+    "union + carry-forward oracle exactly. WHALE/BIG-DIM FALLBACK "
+    "(the per-customer array is unbounded, and the whole dim must fit "
+    "the broadcast threshold): asof.bucketed_asof_snapshot — one "
+    "(user, time-bucket) row holding only that bucket's orders plus a "
+    "carried latest-before-bucket scalar, enriched via a plain "
+    "(user, bucket(t)) EQUI-join that shuffles instead of "
+    "broadcasting; hash-equality vs this array form is pinned at two "
+    "bucket widths by tests/test_extensions.py, and the contract is "
+    "documented in SCALE.md.",
     tags=("streaming", "join", "asof", "parity"),
 )
 def stream_asof_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:

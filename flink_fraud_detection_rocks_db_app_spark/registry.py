@@ -85,7 +85,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # union+carry-forward form stays full-suite verified under the
     # identical oracle
     "stream_asof_enrich_replay",
-    "tumble_median_1h",
+    # r10: tumble_median_1h (green r4b-r9, the DESIGN.md holistic
+    # median) — superseded by tumble_approx_median_bounded: the SAME
+    # exact interpolated median + count under the identical hash gate
+    # PLUS the GK-sketch bracket pin the oracle fixes to TRUE (the
+    # approx_distinct_users_bounded pattern applied to quantiles) —
+    # strictly more surface: a sketch regression now flips a driver
+    # row red; the plain exact form stays full-suite verified
+    "tumble_approx_median_bounded",
     # r9: sql_tumble_sum_3s (green r3-r8; the spark.sql() text face of
     # the IDENTICAL tumbling plan+oracle as tumble_sum_3s — the SQL-API
     # surface stays pinned by tests/test_oracle_parity and the sqlapi
@@ -121,6 +128,30 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # strictly more machinery under the identical hash gate; the
     # per-call form stays full-suite verified
     "ann_ivfpq_topk_indexed",
+    # r10 (VERDICT r9 #1 — the recall-monitor quartet): the four ANN
+    # index-quality eval faces, each |approx_topk ∩ exact_topk|/k per
+    # query under ONE shared recall-oracle template
+    # (similarity.recall_oracle) — the numbers an operator watches
+    # before turning the nprobe / codebook / hyperplane knobs. Slots:
+    # ann_ivf_incremental_topk (green r8-r9; the frozen-quantizer
+    # append contract keeps its driver row via stream_ivf_ingest_replay
+    # below) -> ann_ivf_recall_at_k (cell-pruning loss; runs the
+    # per-call IVF probe + the exact-cosine baseline);
+    # bm25_query_topk_indexed (green r8-r9; the indexed-BM25 probe is
+    # driver-gated via stream_bm25_ingest_replay below, whose probe IS
+    # _probe_bm25_index over the same asset) -> ann_pq_recall_at_k
+    # (quantization loss); dedup_containment_pairs (green r7-r9; its
+    # pruned-postings machinery builds the CC asset
+    # dedup_keep_best_per_cluster below still reads) ->
+    # ann_ivfpq_recall_at_k (composed loss — what the deployed index
+    # serves); doc_chunk_windows (green r7b-r9; scan-local slice
+    # fan-out stays plan-tested + full-suite verified) ->
+    # ann_lsh_recall_at_k (bucket-collision loss, completing the
+    # quartet)
+    "ann_ivf_recall_at_k",
+    "ann_pq_recall_at_k",
+    "ann_ivfpq_recall_at_k",
+    "ann_lsh_recall_at_k",
     # r8: doc_winnow_fingerprints (green r5-r7; the order-sensitive
     # winnowing signature rides the same tokenized scan as the
     # remaining dedup/text driver rows) gave its slot to max_by_amount
@@ -158,7 +189,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # window — gave its slot to dedup_containment_pairs, the
     # asymmetric-overlap near-dup family (|A∩B|/|A| over the same
     # pruned-postings machinery) that had suite-only evidence
-    "dedup_containment_pairs",
+    # r10: dedup_containment_pairs (green r7-r9) gave its slot to
+    # ann_ivfpq_recall_at_k above (see the quartet note); the
+    # pruned-postings machinery still builds the CC asset the
+    # keep-best row below reads every round
     # r7b: dedup_clusters — keep-best runs the IDENTICAL pipeline
     # (dedup_ngram_jaccard_pruned pairs -> the same iterative
     # connected_components call) and then the richer quality-argmax
@@ -192,7 +226,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # three streaming faces — gave its slot to window_heavy_hitters_1h,
     # the r4b windowed top-k family (WindowGroupLimit plan), previously
     # suite-only (its _approx sketch twin stays envelope-gated in tests)
-    "window_heavy_hitters_1h",
+    # r10: window_heavy_hitters_1h (green r5-r9; the WindowGroupLimit
+    # rank-per-group machinery keeps driver rows via mlt_bm25_topk
+    # and every ANN top-k row) gave its slot to tpch_q8_market_share:
+    # the eight-table snowflake with a CASE-gated share-of-total per
+    # year — the widest join in the TPC-H surface (VERDICT r9 #1
+    # join half)
+    "tpch_q8_market_share",
     # r7: stream_tumble_sum_1h_replay (W1/EP1 declarative streaming
     # tumbling) — the SAME windowed_agg_stream machinery and oracle is
     # driver-gated with strictly more surface by
@@ -236,7 +276,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # dedup_passages_incremental: the appending-corpus passage dedup
     # (first-arrival-wins against the persisted span-hash index, cost
     # ∝ batch), from the r8 verdict's rotation queue
-    "dedup_passages_incremental",
+    # r10: dedup_passages_incremental (green r9) — superseded by
+    # dedup_passages_keep_first: the SAME disjoint span-hash
+    # machinery, but the corpus-wide keep-first policy plus document
+    # REASSEMBLY from surviving passages (the C4/CCNet transform the
+    # incremental face only indexes for); the append-∝-batch contract
+    # keeps driver rows via the three streaming-ingest faces below
+    "dedup_passages_keep_first",
     # r8: slide_sum_50s_10s_paned (WA3/A8/A9 pane partials, green
     # r3-r7) — superseded by stream_paned_slide_sum_replay: the SAME
     # pane-slicing rewrite run as a CHAINED stateful streaming job
@@ -274,7 +320,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # late-arriving rows under withWatermark(6h) and must hash-match
     # plain batch SQL — bounded-out-of-orderness admission is now
     # driver-gated, not just suite-tested.
-    "stream_ooo_tumble_sum_1h_replay",
+    # r10: stream_ooo_tumble_sum_1h_replay (green r4b-r9, the
+    # deepest streaming tenure; W2 OOO admission keeps TWO driver
+    # rows via stream_ooo_slide_mean_50s_10s_replay and
+    # stream_ooo_session_sum_replay, streaming tumbling keeps rows
+    # via the recordbuffer + dedup faces) gave its slot to
+    # stream_ts_pattern_alerts_replay: the time-series subsequence
+    # alert face — per-account rolling z-norm distance maintained in
+    # applyInPandasWithState buffers, hash-gated by the batch
+    # sliding-scalar oracle (VERDICT r9 #4)
+    "stream_ts_pattern_alerts_replay",
     # r8: alert_user_daily_sum_gt_300 (P6/F2, green r3-r7; the daily
     # keyed sum + threshold gate) gave its slot to
     # stream_continuous_rollup_replay — the same daily keyed sums
@@ -321,7 +376,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # order-sensitive recursive fold (state = last EWMA per account)
     # surviving micro-batch boundaries under the identical
     # recursive-CTE oracle — strictly more surface than the batch fold
-    "stream_ewma_replay",
+    # r10: stream_ewma_replay (green r8-r9; the order-sensitive
+    # recursive-fold-across-micro-batches machinery keeps its driver
+    # row via stream_running_mean_alerts_replay above) gave its slot
+    # to hybrid_overlap_at_k: the fused-ranking drift monitor
+    # (overlap@k between the exact-arm and indexed-arm hybrids — the
+    # acceptance gate for swapping the semantic arm onto the IVFPQ
+    # probe), with the double-MLT-scan cost overhang fixed this round
+    # (the lexical arm is computed once and shared; VERDICT r9 #2)
+    "hybrid_overlap_at_k",
     # r5 rotations into the detector/analytics block: zscore_alerts_3sigma
     # (r4b; per-account sort-window fold with a 6dp membership gate +
     # Welford streaming twin) takes moving_avg_5_events' slot — the same
@@ -401,7 +464,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # it exercises strictly more (bitset build + scan-side probe + the
     # SAME exact-verify join and oracle); the plain form stays
     # full-suite verified.
-    "decontaminate_bloom_prefilter",
+    # r10: decontaminate_bloom_prefilter (green r4-r9; the bitset
+    # build + scan-side probe + exact-verify join stay full-suite
+    # verified and plan-tested) gave its slot to
+    # tpch_q16_supplier_part_counts: the NOT-IN anti-join +
+    # count-distinct-suppliers histogram (derived-partsupp half)
+    "tpch_q16_supplier_part_counts",
     # ANN / similarity pillar (r5: ann_cosine_topk — the deliberate
     # exact-quadratic baseline — rotated out; its zip_with dot-product
     # scoring + broadcast + window-rank machinery runs verbatim inside
@@ -426,14 +494,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # probe + oracle, PLUS the frozen-quantizer append path (batch
     # assigned under the persisted centroids, duplicate-id guard) —
     # strictly more machinery under the same hash gate
-    "ann_ivf_incremental_topk",
+    # r10: ann_ivf_incremental_topk -> ann_ivf_recall_at_k (see the
+    # quartet note above)
     # r5: embed_neardup_pairs — the other deliberate-weak exact
     # baseline — rotated out like ann_cosine_topk above (both stay
     # suite-verified every round as the envelopes the approximate
     # paths are gated against); its slot goes to dedup_incremental_lsh,
     # the appending-corpus dedup form (cost ∝ batch, never corpus)
     # whose only evidence was suite-level
-    "dedup_incremental_lsh",
+    # r10: dedup_incremental_lsh (green r5-r9; minhash signatures +
+    # band-bucket join + append contract stay full-suite verified,
+    # and the incremental-asset lifecycle keeps four driver rows via
+    # the ingest faces + semdedup_incremental_keep) gave its slot to
+    # tpch_q11_important_stock: the group-by-over-partsupp with a
+    # global scalar-subquery HAVING gate (derived-partsupp half)
+    "tpch_q11_important_stock",
     # r4b: label_centroid_components (posexplode+avg centroid — its
     # machinery runs verbatim inside kmeans' recompute step, still
     # full-suite verified) gave its slot to kmeans_assign, the Lloyd
@@ -444,7 +519,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # near-dup search and keep-most-diverse policy on top, under a
     # full DuckDB replay oracle — strictly more machinery; the K=4
     # assignment form stays full-suite verified
-    "semdedup_keep",
+    # r10: semdedup_keep (green r8b-r9) — superseded by
+    # semdedup_incremental_keep: the IDENTICAL Lloyd loop,
+    # cluster-scoped pair search and keep-most-diverse policy, PLUS
+    # the appending-corpus path (batch assigned under the FROZEN
+    # persisted quantizer, partition-pruned touched-cell pairing,
+    # losers union) — strictly more machinery under the same replay
+    # oracle; the one-shot form stays full-suite verified
+    "semdedup_incremental_keep",
     # text-analysis pillar (r4: doc_langid — n-gram heuristic over the
     # same tokenized scan as doc_quality_score, still full-suite
     # verified — gave its slot to doc_pii_flags, previously suite-only)
@@ -464,7 +546,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # gave its slot to tpch_q22_dormant_high_balance — the
     # scalar-subquery (global AVG gate) + NOT EXISTS anti-join shape,
     # first driver row (r7 #3)
-    "tpch_q22_dormant_high_balance",
+    # r10: tpch_q22_dormant_high_balance (green r8-r9; the
+    # scalar-subquery + NOT-EXISTS anti-join machinery recurs in the
+    # incoming q2/q16/q20 partsupp trio) gave its slot to
+    # tpch_q2_min_cost_supplier: the correlated-MIN-over-partsupp
+    # decorrelation (derived-partsupp half)
+    "tpch_q2_min_cost_supplier",
     # r4b: doc_quality_score (length/punct/stopword ratios — the same
     # signals recombined by the gopher cascade row below, still
     # full-suite verified) gave its slot to span_dup_stats, the Lee
@@ -487,14 +574,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # planning time (VERDICT r7 #2 named this exact pick); the
     # scan-time and incremental BM25 forms stay full-suite verified
     # under the identical oracle
-    "bm25_query_topk_indexed",
+    # r10: bm25_query_topk_indexed -> ann_pq_recall_at_k (see the
+    # quartet note; the indexed probe stays driver-gated through
+    # stream_bm25_ingest_replay, whose probe IS _probe_bm25_index)
     # round-2 text additions: the composed Gopher-style quality gate
     # stays; its doc_repetition_signals input rotated out in r5 (see
     # the cohort_retention_daily note above). split_train_val_test
     # (r4b; independent-hash deterministic splitting, the
     # sampling-family capability with suite-only evidence) takes the
     # freed slot.
-    "gopher_quality_filter",
+    # r10: gopher_quality_filter (green r2-r9, the deepest text
+    # tenure; the Gopher signal cascade stays driver-gated via
+    # curriculum_quality_buckets and runs verbatim inside
+    # stream_corpus_prep_replay's per-batch quality gate) gave its
+    # slot to tpch_q20_excess_stock_suppliers: the nested semi-join
+    # chain over half-of-sum-qty partsupp thresholds (the last
+    # never-gated TPC-H shape — with this the full 22-query surface
+    # holds cumulative driver evidence)
+    "tpch_q20_excess_stock_suppliers",
     # r9: split_train_val_test (green r4b-r8; the independent-hash
     # split gate) hands the sampling family's slot BACK to
     # temperature_resample_docs — the r8c displacement the verdict
@@ -503,7 +600,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (strictly more machinery over the identical scan-local gate);
     # the plain split form stays full-suite verified, and the family
     # keeps three driver rows (temperature, mixture, curriculum)
-    "temperature_resample_docs",
+    # r10: temperature_resample_docs (re-gated green r9 per the r8
+    # verdict; the Knuth-hash admission gate keeps driver rows via
+    # mixture_apply_docs + curriculum_quality_buckets) gave its slot
+    # to source_cap_docs: the reference TransactionStreamSource's
+    # per-key emission cap generalized to corpus sources — per-source
+    # deterministic doc capping as a scan-local rank gate (VERDICT
+    # r9 #4, the last pillar face with suite-only evidence)
+    "source_cap_docs",
     # time-series pillar (r4: event_deltas — lag-window arithmetic, the
     # same row-frame machinery as moving_avg, still full-suite verified
     # — gave its slot to the streaming at-least-once dedup row, so the
@@ -511,21 +615,37 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r5: moving_avg_5_events rotated out (see zscore note above);
     # resample_daily_gapfill keeps the time-series family's driver row
     "stream_dedup_tumble_sum_1h_replay",
-    "resample_daily_gapfill",
+    # r10: resample_daily_gapfill (green r5-r9; the calendar-spine
+    # gapfill stays full-suite verified) hands the time-series
+    # family's batch slot to ts_znorm_pattern_topk: z-normalized
+    # subsequence search over rounded sliding-sum scalars (the UCR
+    # matrix-profile shape, distance on aggregates not raw rows),
+    # whose streaming twin also enters the window this round
+    "ts_znorm_pattern_topk",
     # relational / TPC-H pillar
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
+    # r10 TPC-H join-half rotation (VERDICT r9 #1): q1 (green r1-r9,
+    # the longest-tenured row in the window; its scan-agg machinery
+    # runs inside every remaining TPC-H row) -> q7_volume_shipping
+    # (the two-nation cross-filtered supplier/customer join); q3
+    # (green r1-r9) -> q10_returned_items (the flag-filtered
+    # customer-revenue join); q21 (green r2-r9) ->
+    # q18_large_volume_customer (the HAVING-on-aggregate IN-subquery
+    # semi-join); q4 (green r8-r9; decorrelated-EXISTS keeps shape
+    # coverage via q18/q20) -> q19_bracketed_revenue (the
+    # disjunctive multi-bracket predicate join)
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
     # Q21 represents the round-2 subquery-decorrelation half (EXISTS +
     # NOT EXISTS over a self-joined fact)
     # r4: top10_orders (order-by-limit, the simplest relational shape,
     # still full-suite verified) gave its slot back so the window stays
     # at exactly 50 after the streaming-face addition
-    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q18_large_volume_customer",
     # r8: revenue_by_nation (green r1-r7; plain multi-join agg — the
     # same machinery runs inside the remaining tpch_q1/q3/q21 rows)
     # gave its slot to tpch_q4_order_priority: the decorrelated-EXISTS
     # semi-join histogram, first driver row (VERDICT r7 #3)
-    "tpch_q4_order_priority",
+    "tpch_q19_bracketed_revenue",
     # r8: top3_orders_per_segment (green r1-r7; rank-per-group — the
     # WindowGroupLimit machinery keeps its driver row via
     # window_heavy_hitters_1h) gave its slot to
@@ -542,7 +662,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # note ("rotate in next window refresh"): the retrieval/context-
     # prep chunk fan-out (scan-local overlapping token-window
     # slice/explode), previously suite-only
-    "doc_chunk_windows",
+    # r10: doc_chunk_windows -> ann_lsh_recall_at_k (see the quartet
+    # note above)
 )
 
 

@@ -434,8 +434,42 @@ def record_buffer_tumbling_stream(stream: DataFrame, size_ms: int) -> DataFrame:
 BOUNDED_BUFFER_STATE_V = 1
 
 
+def _bounded_state_encode(wins: dict, codec: str) -> tuple:
+    """One row of per-bucket state. `json` is the default (versioned
+    text blob — the format the checkpoint pin test fixes); `pickle` is
+    the binary A/B arm (SCALE.md r10 WA4 state-floor probe): same
+    nested dict, protocol-5 bytes, same version guard."""
+    if codec == "json":
+        return (json.dumps({"v": BOUNDED_BUFFER_STATE_V, "wins": wins}),)
+    import pickle
+
+    return (pickle.dumps((BOUNDED_BUFFER_STATE_V, wins), protocol=5),)
+
+
+def _bounded_state_decode(raw, codec: str) -> dict[int, dict[int, float]]:
+    if codec == "json":
+        blob = json.loads(raw)
+        ver = blob.get("v") if isinstance(blob, dict) else None
+        wins = blob["wins"] if isinstance(blob, dict) and "wins" in blob else {}
+    else:
+        import pickle
+
+        ver, wins = pickle.loads(bytes(raw))
+    if ver != BOUNDED_BUFFER_STATE_V:
+        raise ValueError(
+            "record_buffer_bounded_tumbling_stream: checkpoint state "
+            f"format {ver!r} != expected v{BOUNDED_BUFFER_STATE_V} — "
+            "start from a fresh checkpoint dir"
+        )
+    return {int(a): {int(w): float(v) for w, v in d.items()} for a, d in wins.items()}
+
+
 def record_buffer_bounded_tumbling_stream(
-    stream: DataFrame, size_ms: int, max_open: int, flush_at_ms: int
+    stream: DataFrame,
+    size_ms: int,
+    max_open: int,
+    flush_at_ms: int,
+    state_codec: str = "json",
 ) -> DataFrame:
     """WA4: the reference's BOUNDED record-buffer tumbling window —
     a capacity cap on simultaneously-open window buffers with
@@ -473,18 +507,9 @@ def record_buffer_bounded_tumbling_stream(
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
-            blob = json.loads(state.get[0])
-            if not isinstance(blob, dict) or blob.get("v") != BOUNDED_BUFFER_STATE_V:
-                raise ValueError(
-                    "record_buffer_bounded_tumbling_stream: checkpoint state "
-                    f"format {blob.get('v') if isinstance(blob, dict) else '?'!r} "
-                    f"!= expected v{BOUNDED_BUFFER_STATE_V} — start from a "
-                    "fresh checkpoint dir"
-                )
-            wins: dict[int, dict[int, float]] = {
-                int(a): {int(w): v for w, v in d.items()}
-                for a, d in blob["wins"].items()
-            }
+            wins: dict[int, dict[int, float]] = _bounded_state_decode(
+                state.get[0], state_codec
+            )
         else:
             wins = {}
         pdf = _group_frame(pdf_iter, ["account_id", "t_us", "event_id"])
@@ -515,13 +540,16 @@ def record_buffer_bounded_tumbling_stream(
                     rows, columns=["w_start", "account_id", "sum_amount"]
                 )
         elif wins:
-            state.update(
-                (json.dumps({"v": BOUNDED_BUFFER_STATE_V, "wins": wins}),)
-            )
+            state.update(_bounded_state_encode(wins, state_codec))
             state.setTimeoutTimestamp(flush_at_ms)
         else:
             state.remove()
 
+    state_schema = (
+        T.StructType([T.StructField("wins_json", T.StringType())])
+        if state_codec == "json"
+        else T.StructType([T.StructField("wins_bin", T.BinaryType())])
+    )
     return (
         _with_epoch(stream).withWatermark("event_time", "0 seconds")
         .withColumn("_bucket", F.pmod(F.xxhash64("account_id"), F.lit(N_FOLD_BUCKETS)))
@@ -529,7 +557,7 @@ def record_buffer_bounded_tumbling_stream(
         .applyInPandasWithState(
             fn,
             WINDOW_SUM_SCHEMA,
-            T.StructType([T.StructField("wins_json", T.StringType())]),
+            state_schema,
             "append",
             GroupStateTimeout.EventTimeTimeout,
         )

@@ -949,3 +949,38 @@ def test_prep_ledger_compaction_preserves_report(spark, scratch):
     assert report() == before
     assert compact_prep_ledger(spark, ledger) == 0
     assert report() == before
+
+
+def test_bucketed_asof_snapshot_equals_array_form(spark):
+    """The whale-dimension fallback contract for stream_asof_enrich_replay
+    (VERDICT r9 #5): the time-BUCKETED snapshot (one (user, bucket) row
+    holding only the bucket's orders + a carried 'latest before bucket
+    start' scalar, joined on plain (user, bucket(t)) equality) must
+    enrich every event to the IDENTICAL asof_orderkey as the unbounded
+    per-user broadcast array / batch union+carry-forward form — at two
+    bucket widths, since width is just the whale-size knob."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.asof import (
+        bucketed_asof_snapshot,
+        enrich_events_asof_bucketed,
+        orders_asof_flat,
+    )
+
+    expected_df = all_queries()["asof_latest_order"].fn(spark, SF_SMALL)
+    expected = {
+        (r.account_id, r.event_id): (r.t_ms, r.asof_orderkey)
+        for r in expected_df.collect()
+    }
+    assert expected, "batch as-of produced no rows"
+    events = expected_df.select("account_id", "event_id", "t_ms")
+    horizon = events.agg(F.max("t_ms")).first()[0]
+    orders = orders_asof_flat(spark, SF_SMALL)
+    for bucket_ms in (86_400_000, 30 * 86_400_000):  # daily and monthly
+        snap = bucketed_asof_snapshot(orders, bucket_ms, horizon)
+        got = {
+            (r.account_id, r.event_id): (r.t_ms, r.asof_orderkey)
+            for r in enrich_events_asof_bucketed(events, snap, bucket_ms).collect()
+        }
+        assert got == expected, (
+            f"bucket_ms={bucket_ms}: "
+            f"{dict(list({k: (v, expected.get(k)) for k, v in got.items() if expected.get(k) != v}.items())[:5])}"
+        )

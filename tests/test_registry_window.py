@@ -54,9 +54,6 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "simhash": "scan-local signature family, driver-green r5-r7; the "
     "dedup pillar keeps four driver rows (pruned-jaccard, containment, "
     "keep-best, incremental-LSH) (r8)",
-    "window_function": "row-frame/rank window machinery is driver-gated "
-    "via window_heavy_hitters_1h (WindowGroupLimit) and "
-    "resample_daily_gapfill's gap windows (r8)",
     "cube": "OLAP reshaping variant of the pivot family (below); "
     "multi-grouping aggregate machinery also runs inside the "
     "driver-gated stats/heavy-hitter rows",
@@ -79,6 +76,23 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "(sql_tumble_sum_3s held green r3-r8); the sqlapi suite pins "
     "text-vs-DataFrame plan equality and full-registry parity covers "
     "all sql_* faces every round (r9 rotation)",
+    "chunking": "doc_chunk_windows held green driver rows r7b-r9; the "
+    "scan-local token-window slice/explode stays plan-tested "
+    "(zero-exchange) and full-suite verified; its slot went to "
+    "ann_lsh_recall_at_k in the r10 quartet rotation",
+    "resample": "resample_daily_gapfill held green r5-r9; the "
+    "calendar-spine left-join machinery recurs in the driver-gated "
+    "gapless window rows, and the time-series family's driver row is "
+    "now ts_znorm_pattern_topk + its streaming twin (r10 rotation)",
+    "sketch": "the mergeable-sketch contract keeps its driver row via "
+    "approx_distinct_users_bounded (exact hash + in-bounds pin); "
+    "decontaminate_bloom_prefilter held green r4-r9 and the bitset "
+    "probe + persisted-HLL rollup faces stay full-suite verified and "
+    "plan-tested (r10 rotation)",
+    "topk": "window_heavy_hitters_1h held green r5-r9; the "
+    "WindowGroupLimit rank-per-group machinery runs verbatim inside "
+    "the driver-gated mlt_bm25_topk and every ANN top-k row (r10 "
+    "rotation)",
     "distinct": "exact windowed distinct is the oracle twin of the "
     "driver-gated median/heavy-hitter window rows; HLL twin is approx",
     "filter": "P7 pushdown filters run inside every detector driver row's "
@@ -103,12 +117,6 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "setop": "EXCEPT lowers to the same physical left-anti join the "
     "driver-gated tpch_q21 NOT EXISTS half plans (r7 rotation "
     "rationale); the EXCEPT spelling stays full-suite verified",
-    "eval": "r8: ann_ivf_recall_at_k and ann_pq_recall_at_k COMPOSE queries whose "
-    "machinery already holds driver evidence (the exact arm's "
-    "scoring runs verbatim inside the IVF rerank; the IVF arm's "
-    "family is driver-gated via ann_ivf_incremental_topk); the "
-    "composition itself is queued for the r9 window (COVERAGE.md "
-    "r9 rotation queue)",
 }
 # r7: "warehouse" and "chunking" left the allowlist — ann_ivf_topk_indexed
 # and doc_chunk_windows rotated INTO the window (registry.py comments).

@@ -555,3 +555,40 @@ def test_bounded_record_buffer_cap_and_eviction_free_path(spark, scratch):
             assert any(len(ws) > cap for ws in keep.values()), "cap never bit"
         for k, v in got.items():
             assert abs(v - want[k]) < 1e-9, k
+
+
+def test_bounded_record_buffer_state_codec_differential(spark, scratch):
+    """WA4 state-encoding A/B arm (SCALE.md r10 state-floor probe): the
+    binary/pickle state codec must be OUTPUT-IDENTICAL to the default
+    versioned-json codec over the same tight-cap replay — the codec
+    only changes the bytes at rest, never the fold."""
+    from flink_fraud_detection_rocks_db_app_spark.streaming import (
+        append_sentinel_chunk,
+        record_buffer_bounded_tumbling_stream,
+    )
+
+    size_ms = MS["d"]
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=3)
+    batch_src = read_replay_batch(spark, chunks)
+    max_us = batch_src.agg(F.max(F.unix_micros("event_time"))).collect()[0][0]
+    flush_at_ms = max_us // 1000 + 1
+    append_sentinel_chunk(chunks, max_us + 40 * MS["d"] * 1000)
+
+    outs = {}
+    for codec in ("json", "pickle"):
+        name = f"t_wa4_codec_{codec}"
+        agg = record_buffer_bounded_tumbling_stream(
+            read_replay_stream(spark, chunks),
+            size_ms,
+            5,
+            flush_at_ms,
+            state_codec=codec,
+        )
+        run_to_memory(agg, name)
+        outs[codec] = {
+            (r.w_start, r.account_id): r.sum_amount
+            for r in spark.table(name).collect()
+            if r.account_id != -1
+        }
+    assert outs["json"], "empty output"
+    assert outs["pickle"] == outs["json"]
