@@ -198,6 +198,26 @@ HEADLINE = [
     # snapshot, stateless scan-local pick) benched beside the batch
     # as-of it supersedes in the driver window
     "stream_asof_enrich_replay",
+    # round 10 (extend-only): the TPC-H remainder rotated into the
+    # driver window — the join half (two-nation volume, market share,
+    # returned items, large-volume semi-join, bracketed disjunctive
+    # predicate) and the derived-partsupp half (min-cost correlated
+    # subquery, important stock, supplier-part counts, excess stock)
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_bracketed_revenue",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_excess_stock_suppliers",
+    # round 10: the LSH bucket-collision monitor completing the benched
+    # recall quartet, the mixture-plan materialization, and per-source
+    # deterministic doc capping (all driver-gated r9/r10)
+    "ann_lsh_recall_at_k",
+    "mixture_apply_docs",
+    "source_cap_docs",
 ]
 
 

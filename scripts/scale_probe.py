@@ -124,6 +124,15 @@ PROBED = [
     # asset (the exact-cosine linear arm is gone); probed next to
     # hybrid_rrf_topk, whose slope it should undercut as k grows
     "hybrid_rrf_topk_indexed",
+    # r10: the as-of enrichment pair under densified events (orders
+    # dimension fixed, the realistic axis: facts grow, dims don't) —
+    # the union+carry-forward sort-merge batch form next to the
+    # bucketed-snapshot fallback (asof.bucketed_asof_snapshot, the
+    # documented past-broadcast-threshold path): both should ride the
+    # event scan ~linearly, the bucketed form paying one extra
+    # (user, bucket) equi-join against a FIXED-size snapshot
+    "asof_latest_order",
+    "asof_bucketed_enrich",
 ]
 
 
@@ -159,10 +168,36 @@ def _semdedup_scaled_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_pipeline(spark, sf_dir, k, SEMDEDUP_TAU)
 
 
+def _asof_bucketed_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whale-dimension fallback form of the as-of enrichment
+    (SCALE.md r10): monthly bucketed snapshot built from the fixed
+    orders dimension, events enriched via the (user, bucket(t))
+    equi-join. The snapshot build is part of the timed cost — at
+    deployment it amortizes across refreshes, so the fitted exponent
+    (events axis) is what matters, not the constant."""
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+    from flink_fraud_detection_rocks_db_app_spark.operators.asof import (
+        bucketed_asof_snapshot,
+        enrich_events_asof_bucketed,
+        orders_asof_flat,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("account_id"),
+        "event_id",
+        F.expr("ts div 1000000").alias("t_ms"),
+    )
+    horizon = ev.agg(F.max("t_ms")).first()[0]
+    bucket_ms = 30 * 86_400_000
+    snap = bucketed_asof_snapshot(orders_asof_flat(spark, sf_dir), bucket_ms, horizon)
+    return enrich_events_asof_bucketed(ev, snap, bucket_ms)
+
+
 # probes that aren't registered queries: name -> (spark, sf_dir) -> DF
 EXTRA_PROBES = {
     "cc_labels_build": _cc_labels_build,
     "semdedup_scaled_k": _semdedup_scaled_k,
+    "asof_bucketed_enrich": _asof_bucketed_enrich,
 }
 
 DOC_STRIDE = 1_000_000  # minimum doc_id / vec_id / event_id offset per copy
