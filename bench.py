@@ -218,6 +218,11 @@ HEADLINE = [
     "ann_lsh_recall_at_k",
     "mixture_apply_docs",
     "source_cap_docs",
+    # round 10: streaming SEMANTIC-dedup ingestion — completes the
+    # incremental-ingest quartet (BM25 / IVF / corpus-prep / SemDeDup):
+    # asset bootstrapped from the first arrival, later micro-batches
+    # appended under the frozen quantizer, verdict == one-shot replay
+    "stream_semdedup_ingest_replay",
 ]
 
 

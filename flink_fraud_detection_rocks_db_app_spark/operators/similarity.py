@@ -1084,14 +1084,15 @@ def _scored_sides(cand: DataFrame) -> tuple[DataFrame, DataFrame]:
     return a, b
 
 
-def write_semdedup_index(spark: SparkSession, sf_dir: str, path: str) -> None:
-    """Materialize the appendable SemDeDup asset from the base (~7/8)
-    split: frozen centroids, the cell-partitioned scored frame, and the
-    precomputed base×base dominance losers."""
+def write_semdedup_base(base: DataFrame, path: str) -> None:
+    """Bootstrap the appendable SemDeDup asset from a base vector frame
+    (vec_id, v): Lloyd-train the quantizer on it, then write the three
+    asset members — frozen centroids/, the cell-partitioned scored/
+    frame, and the precomputed base×base dominance losers/. Shared by
+    the batch ensure_index build (write_semdedup_index) and the
+    streaming-ingestion face's first-arrival bootstrap."""
     import os
 
-    e = _vectors(spark, sf_dir).select("vec_id", "v")
-    base = e.where(~_semdedup_batch_mask())
     cents = base.orderBy("vec_id").limit(SEMDEDUP_K).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
     )
@@ -1111,6 +1112,94 @@ def write_semdedup_index(spark: SparkSession, sf_dir: str, path: str) -> None:
         a.join(b, "cell").where(F.col("id_a") < F.col("id_b"))
     ).write.mode("overwrite").parquet(os.path.join(path, "losers"))
     scored.unpersist()
+
+
+def write_semdedup_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the appendable SemDeDup asset from the base (~7/8)
+    split: frozen centroids, the cell-partitioned scored frame, and the
+    precomputed base×base dominance losers."""
+    e = _vectors(spark, sf_dir).select("vec_id", "v")
+    write_semdedup_base(e.where(~_semdedup_batch_mask()), path)
+
+
+def append_to_semdedup_index(vectors: DataFrame, index_path: str) -> None:
+    """Append a batch of NEW vectors (vec_id, v) to a persisted SemDeDup
+    asset: score the batch under the FROZEN quantizer, judge it against
+    the touched cells' CURRENT members (base + every earlier append —
+    partition-pruned read) plus itself, and land the new losers and
+    scored rows as appended segments — cost ∝ batch × cluster density,
+    never corpus². Dominance verdicts are pure pairwise comparisons
+    with no arrival-order dependence, so ANY segmentation of appends
+    yields the identical final verdict (the property the streaming
+    ingest face's oracle hash-gates). The new-losers write runs BEFORE
+    the scored append so the lazy existing-members scan cannot observe
+    the batch's own files. Duplicate vec_ids are rejected before a
+    byte is written (the append_to_ivf_index/BM25 guard contract)."""
+    import os
+
+    spark = vectors.sparkSession
+    scored_dir = os.path.join(index_path, "scored")
+    batch_ids = vectors.select("vec_id").distinct()
+    dup = (
+        spark.read.parquet(scored_dir)
+        .select("vec_id")
+        .join(F.broadcast(batch_ids), "vec_id", "left_semi")
+        .take(1)
+    )
+    if dup:
+        raise ValueError(
+            "append_to_semdedup_index: batch contains vec_id(s) already "
+            f"in the asset (e.g. {dup[0].vec_id!r}) — appending would "
+            "duplicate scored rows and corrupt the keep verdict"
+        )
+    cents = spark.read.parquet(os.path.join(index_path, "centroids"))
+    cnorm = cents.select("cell", "cv", F.sqrt(dot("cv", "cv")).alias("cn"))
+    bscored = _semdedup_score(_kmeans_assign(vectors, cents), cnorm).persist()
+    # bounded collect (<= K cells) enabling partition pruning on scored/
+    cells = sorted(r["cell"] for r in bscored.select("cell").distinct().collect())
+    existing = (
+        spark.read.parquet(scored_dir)
+        .withColumn("cell", F.col("cell").cast("long"))
+        .select("vec_id", "cell", "v", "nv", "cos_centroid")
+    )
+    cand = (
+        existing.where(F.col("cell").isin(cells))
+        .withColumn("is_new", F.lit(False))
+        .unionByName(bscored.withColumn("is_new", F.lit(True)))
+    )
+    a, b = _scored_sides(cand)
+    new_losers = _semdedup_pair_losers(
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.col("new_a") | F.col("new_b"))
+    )
+    new_losers.write.mode("append").parquet(os.path.join(index_path, "losers"))
+    bscored.write.mode("append").partitionBy("cell").parquet(scored_dir)
+    bscored.unpersist()
+
+
+def semdedup_verdict_from_index(spark: SparkSession, index_path: str) -> DataFrame:
+    """(vec_id, cluster, cos_centroid, kept): the full-corpus SemDeDup
+    verdict read straight off a persisted asset (base + appends) — a
+    vector is kept iff it lost NO dominance pairing in any segment."""
+    import os
+
+    scored = (
+        spark.read.parquet(os.path.join(index_path, "scored"))
+        .withColumn("cell", F.col("cell").cast("long"))
+        .select("vec_id", "cell", "cos_centroid")
+    )
+    losers = (
+        spark.read.parquet(os.path.join(index_path, "losers"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return scored.join(F.broadcast(losers), "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").alias("cluster"),
+        "cos_centroid",
+        F.col("_drop").isNull().alias("kept"),
+    )
 
 
 def _semdedup_incr_oracle() -> str:

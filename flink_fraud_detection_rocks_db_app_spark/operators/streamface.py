@@ -1557,6 +1557,110 @@ def stream_ivf_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def _stream_semdedup_oracle() -> str:
+    from .similarity import _semdedup_incr_oracle
+
+    return _semdedup_incr_oracle()
+
+
+@register(
+    "stream_semdedup_ingest_replay",
+    oracle=_stream_semdedup_oracle(),
+    doc="Streaming SEMANTIC-dedup ingestion — completing the "
+    "incremental-ingest quartet next to the BM25, IVF and corpus-prep "
+    "faces: the first arrival chunk carries the base (~7/8) split, "
+    "its foreachBatch bootstraps the SemDeDup asset "
+    "(write_semdedup_base: Lloyd-trained frozen quantizer + "
+    "cell-partitioned scored frame + base×base dominance losers), and "
+    "each later micro-batch of new vectors flows through "
+    "append_to_semdedup_index — scored under the FROZEN centroids, "
+    "judged against the touched cells' current members (including "
+    "earlier appends, partition-pruned) plus itself, landed as "
+    "appended loser/scored segments behind the duplicate-id guard. "
+    "The final verdict read off the stream-built asset must "
+    "hash-equal semdedup_incremental_keep's one-shot replay oracle: "
+    "dominance verdicts are arrival-order independent, so ANY "
+    "micro-batch segmentation of the appends yields the identical "
+    "keep set. Bootstrap is order-critical, so chunk files carry "
+    "explicit ascending mtimes (the FileStreamSource ordering "
+    "contract). Bounded verdict frame materialized before scratch "
+    "deletion.",
+    tags=(
+        "streaming",
+        "similarity",
+        "dedup",
+        "clustering",
+        "incremental",
+        "warehouse",
+        "parity",
+    ),
+)
+def stream_semdedup_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+
+    from ..fixtures import load
+    from .similarity import (
+        _semdedup_batch_mask,
+        _vectors_over,
+        append_to_semdedup_index,
+        semdedup_verdict_from_index,
+        write_semdedup_base,
+    )
+
+    name = f"semdedupingest_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        emb = load(spark, sf_dir, "embeddings")
+        src = os.path.join(scratch, "arrivals")
+        # chunk 0 = the base split (the quantizer's training sample —
+        # a deployment trains before any appends exist); the batch-mask
+        # vectors split into two later arrival chunks
+        chunk = F.when(~_semdedup_batch_mask(), F.lit(0)).otherwise(
+            F.when(F.pmod(F.col("vec_id"), F.lit(16)) == 7, F.lit(1)).otherwise(
+                F.lit(2)
+            )
+        )
+        base = _time.time()
+        seen: set[str] = set()
+        for i in range(3):
+            emb.where(chunk == i).coalesce(1).write.mode("append").parquet(src)
+            for f in os.listdir(src):
+                p = os.path.join(src, f)
+                if f.endswith(".parquet") and p not in seen:
+                    os.utime(p, (base + i, base + i))
+                    seen.add(p)
+
+        idx = os.path.join(scratch, "idx")
+        cents_dir = os.path.join(idx, "centroids")
+
+        def sink(batch: DataFrame, _bid: int) -> None:
+            if batch.isEmpty():
+                return
+            vecs = _vectors_over(batch).select("vec_id", "v")
+            if not os.path.isdir(cents_dir):
+                write_semdedup_base(vecs, idx)
+            else:
+                append_to_semdedup_index(vecs, idx)
+
+        q = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        out = semdedup_verdict_from_index(spark, idx)
+        rows = out.collect()  # bounded: one row per corpus vector
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 TS_PATTERN_THRESHOLD = 1.5
 
 

@@ -212,3 +212,37 @@ def test_ivf_append_rejects_duplicate_vec_ids(spark, scratch):
     with pytest.raises(ValueError, match="already in"):
         append_to_ivf_index(_vectors(spark, SF_SMALL).limit(3), idx)
     assert spark.read.parquet(lists).count() == before
+
+
+def test_semdedup_append_rejects_duplicate_vec_ids(spark, scratch):
+    """The SemDeDup append holds the same fail-loudly contract as the
+    BM25/IVF appends: a duplicate vec_id would put the same vector in
+    the scored frame twice (pairing it against itself and corrupting
+    the keep verdict); the guard raises before writing either the
+    losers or the scored segment."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.similarity import (
+        _vectors,
+        append_to_semdedup_index,
+        write_semdedup_index,
+    )
+
+    idx = os.path.join(scratch, "semdedup_dup")
+    write_semdedup_index(spark, SF_SMALL, idx)
+    scored = os.path.join(idx, "scored")
+    losers = os.path.join(idx, "losers")
+    before = (
+        spark.read.parquet(scored).count(),
+        spark.read.parquet(losers).count(),
+    )
+    base_ids = spark.read.parquet(scored).select("vec_id").limit(3)
+    dup = (
+        _vectors(spark, SF_SMALL)
+        .join(base_ids, "vec_id", "left_semi")
+        .select("vec_id", "v")
+    )
+    with pytest.raises(ValueError, match="already in"):
+        append_to_semdedup_index(dup, idx)
+    assert (
+        spark.read.parquet(scored).count(),
+        spark.read.parquet(losers).count(),
+    ) == before
