@@ -351,3 +351,43 @@ def test_round8_left_outer_join_face_timezone_free(spark, duck):
         assert any(r[cols.index("purchase_id")] is None for r in got)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_round10_faces_timezone_free(spark, duck):
+    """Non-UTC probe for the round-10 window's time-sensitive faces:
+    the bounded GK-median window (hourly w_start epoch math + the
+    in-bounds bracket), the z-norm subsequence ranker (per-account
+    event-time frame ordering), and its streaming twin (subsequence
+    buffers keyed on unix_micros event times across micro-batches) —
+    all must match the oracle exactly under a +08:45 session zone."""
+    from flink_fraud_detection_rocks_db_app_spark.registry import all_queries
+
+    qs = all_queries()
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Australia/Eucla")
+        for name in (
+            "tumble_approx_median_bounded",
+            "ts_znorm_pattern_topk",
+            "stream_ts_pattern_alerts_replay",
+        ):
+            spec = qs[name]
+            df = spec.fn(spark, SF_SMALL)
+            cols = sorted(df.columns)
+            got = sorted(
+                (tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+                 for r in df.select(*cols).collect()),
+                key=repr,
+            )
+            cur = duck.execute(spec.oracle)
+            names = [d[0] for d in cur.description]
+            idx = [names.index(c) for c in cols]
+            want = sorted(
+                (tuple(round(row[i], 6) if isinstance(row[i], float) else row[i]
+                       for i in idx)
+                 for row in cur.fetchall()),
+                key=repr,
+            )
+            assert got == want, name
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
