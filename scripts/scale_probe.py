@@ -133,6 +133,10 @@ PROBED = [
     # (user, bucket) equi-join against a FIXED-size snapshot
     "asof_latest_order",
     "asof_bucketed_enrich",
+    # r10: the SemDeDup ingest append at a fixed 64-vector batch —
+    # the cost that must NOT scale with the corpus (modulo fixed-K
+    # cluster growth; see the probe docstring)
+    "semdedup_append_fixed_batch",
 ]
 
 
@@ -193,11 +197,76 @@ def _asof_bucketed_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_events_asof_bucketed(ev, snap, bucket_ms)
 
 
+def _semdedup_append_fixed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-side cost of the SemDeDup ingest at a FIXED 64-vector
+    batch as the corpus grows ×k: assign the batch under the frozen
+    quantizer read from the published asset, pair it against the
+    touched cells' current members (partition-pruned read) plus
+    itself, emit the new losers — exactly the work
+    append_to_semdedup_index does before its writes. The full-corpus
+    verdict emit (∝ corpus by definition) is excluded. Expected slope
+    at the registered FIXED K=16: ~linear with a small constant —
+    cluster size grows ∝ corpus, and pairing cost is batch × cluster
+    density; the production knob that flattens it is K ∝ corpus
+    (cluster size constant), probed separately as semdedup_scaled_k.
+    min-of-2 keeps the warm probe of the ensure_index asset."""
+    from flink_fraud_detection_rocks_db_app_spark.functions import dot
+    from flink_fraud_detection_rocks_db_app_spark.operators.indexcache import (
+        ensure_index,
+    )
+    from flink_fraud_detection_rocks_db_app_spark.operators.similarity import (
+        _kmeans_assign,
+        _scored_sides,
+        _semdedup_batch_mask,
+        _semdedup_pair_losers,
+        _semdedup_score,
+        _vectors,
+        write_semdedup_index,
+    )
+
+    idx = ensure_index(
+        "semdedupincr",
+        sf_dir,
+        "embeddings",
+        lambda tmp: write_semdedup_index(spark, sf_dir, tmp),
+    )
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    cnorm = cents.select("cell", "cv", F.sqrt(dot("cv", "cv")).alias("cn"))
+    # the SAME 64 base-copy batch ids at every scale (copies shift ids
+    # by >= the stride, so base ids stay below it)
+    batch = (
+        _vectors(spark, sf_dir)
+        .where(_semdedup_batch_mask() & (F.col("vec_id") < DOC_STRIDE))
+        .orderBy("vec_id")
+        .limit(64)
+        .select("vec_id", "v")
+    )
+    bscored = _semdedup_score(_kmeans_assign(batch, cents), cnorm).persist()
+    cells = sorted(r["cell"] for r in bscored.select("cell").distinct().collect())
+    existing = (
+        spark.read.parquet(os.path.join(idx, "scored"))
+        .withColumn("cell", F.col("cell").cast("long"))
+        .select("vec_id", "cell", "v", "nv", "cos_centroid")
+    )
+    cand = (
+        existing.where(F.col("cell").isin(cells))
+        .withColumn("is_new", F.lit(False))
+        .unionByName(bscored.withColumn("is_new", F.lit(True)))
+    )
+    a, b = _scored_sides(cand)
+    return _semdedup_pair_losers(
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.col("new_a") | F.col("new_b"))
+    )
+
+
 # probes that aren't registered queries: name -> (spark, sf_dir) -> DF
 EXTRA_PROBES = {
     "cc_labels_build": _cc_labels_build,
     "semdedup_scaled_k": _semdedup_scaled_k,
     "asof_bucketed_enrich": _asof_bucketed_enrich,
+    "semdedup_append_fixed_batch": _semdedup_append_fixed_batch,
 }
 
 DOC_STRIDE = 1_000_000  # minimum doc_id / vec_id / event_id offset per copy

@@ -849,6 +849,59 @@ def test_semdedup_incremental_prunes_partitions(spark, scratch):
     assert "PartitionFilters: [cell" in qplan, qplan
 
 
+def test_semdedup_append_prunes_and_extends_asset(spark, scratch):
+    """The streaming-ingest append path (append_to_semdedup_index) holds
+    the same index properties as the incremental query it persists:
+    the batch's touched-cell pairing reads the existing scored/ frame
+    partition-pruned, the appended scored rows land in their cell
+    partitions, and the appended losers make the asset's verdict equal
+    the registered incremental query's (the arrival-order-independence
+    contract the streaming face's oracle hash-gates end to end)."""
+    import os
+
+    from flink_fraud_detection_rocks_db_app_spark.operators.similarity import (
+        _semdedup_batch_mask,
+        _vectors,
+        append_to_semdedup_index,
+        semdedup_verdict_from_index,
+        write_semdedup_index,
+    )
+    from pyspark.sql import functions as F
+
+    idx = os.path.join(scratch, "semdedup_append_idx")
+    write_semdedup_index(spark, SF_SMALL, idx)
+    scored = os.path.join(idx, "scored")
+    before_files = {
+        f for d in os.listdir(scored) if d.startswith("cell=")
+        for f in os.listdir(os.path.join(scored, d))
+    }
+
+    batch = (
+        _vectors(spark, SF_SMALL)
+        .where(_semdedup_batch_mask())
+        .select("vec_id", "v")
+    )
+    append_to_semdedup_index(batch, idx)
+
+    after_files = {
+        f for d in os.listdir(scored) if d.startswith("cell=")
+        for f in os.listdir(os.path.join(scored, d))
+    }
+    assert before_files < after_files, "append wrote no scored segment"
+
+    got = {
+        r.vec_id: (r.cluster, r.kept)
+        for r in semdedup_verdict_from_index(spark, idx).collect()
+    }
+    want = {
+        r.vec_id: (r.cluster, r.kept)
+        for r in all_queries()["semdedup_incremental_keep"].fn(
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert got == want
+
+
 def test_source_cap_is_single_shuffle_group_limit(spark):
     """source_cap_docs: quality scoring rides the scan; the per-source
     cap is ONE hash exchange on source with a WindowGroupLimit rank
