@@ -80,6 +80,12 @@ REPRESENTATIVES = (
     # runs per key inside hash buckets, so the surviving window set
     # must not depend on how keys pack into state partitions
     "stream_recordbuffer_bounded_tumble_replay",
+    # r10: the streaming SemDeDup ingest — the asset is bootstrapped
+    # and appended under whatever schedule the micro-batches ran, so
+    # the dominance verdict (6dp-rounded pair cosines + id tiebreaks)
+    # must be identical at 1 and many shuffle partitions; this is the
+    # invariance half of the face's arrival-order-independence oracle
+    "stream_semdedup_ingest_replay",
 )
 
 
