@@ -223,6 +223,9 @@ HEADLINE = [
     # asset bootstrapped from the first arrival, later micro-batches
     # appended under the frozen quantizer, verdict == one-shot replay
     "stream_semdedup_ingest_replay",
+    # round 10: the dataloader-facing deterministic shard export (one
+    # shard-keyed exchange, scan-local Knuth assignment)
+    "export_shard_manifest",
 ]
 
 

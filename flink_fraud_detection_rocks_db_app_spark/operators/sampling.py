@@ -596,3 +596,54 @@ def curriculum_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         F.ntile(CURRICULUM_BUCKETS).over(w).cast("long").alias("bucket"),
     )
+
+
+# ------------------------------------------------ training-shard export
+
+N_EXPORT_SHARDS = 8
+
+
+@register(
+    "export_shard_manifest",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, {_HASH_DUCK} AS hkey FROM documents
+)
+SELECT doc_id,
+       CAST(hkey % {N_EXPORT_SHARDS} AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY hkey % {N_EXPORT_SHARDS} ORDER BY hkey, doc_id
+       ) - 1 AS BIGINT) AS pos
+FROM h
+""",
+    doc="Deterministic training-shard manifest — the dataloader-facing "
+    f"EXPORT stage of the sampling family: every document lands in one "
+    f"of {N_EXPORT_SHARDS} shards via the engine-proof Knuth hash "
+    "(scan-local, ZERO shuffle for the assignment) and gets a "
+    "deterministic intra-shard position ordered by (hash, doc_id) — a "
+    "reproducible pseudorandom read order, the 'shuffle then shard' "
+    "contract a training run consumes. Re-running the export over the "
+    "same corpus reproduces byte-identical shards; a grown corpus "
+    "never moves an existing doc between shards (assignment depends "
+    "only on its own id). Scale shape: ONE hash exchange on the shard "
+    "key + an in-partition sort for positions (plan-tested); the "
+    "perfectly-balanced ntile alternative is rejected on purpose — it "
+    "needs a GLOBAL total order (single-partition window), while "
+    "hash-mod spreads 100 TB uniformly to within law-of-large-numbers "
+    "noise. Reference anchor: the reference's sink stage "
+    "(AlertSink/file sinks) writes unsharded; this is the scale-out "
+    "form a corpus export needs.",
+    tags=("sampling", "export"),
+)
+def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    h = docs.select("doc_id", F.expr(_HASH_SPARK).alias("hkey"))
+    w = Window.partitionBy("shard").orderBy(F.asc("hkey"), F.asc("doc_id"))
+    return (
+        h.withColumn("shard", (F.col("hkey") % N_EXPORT_SHARDS).cast("long"))
+        .select(
+            "doc_id",
+            "shard",
+            (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        )
+    )

@@ -914,3 +914,19 @@ def test_source_cap_is_single_shuffle_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_export_shard_manifest_single_shuffle_no_global_sort(spark):
+    """export_shard_manifest: shard assignment is scan-local integer
+    arithmetic (zero exchange before the window), positions cost ONE
+    hash exchange on the shard key + an in-partition sort — never a
+    SinglePartition/global-order window (the ntile alternative the
+    docstring rejects), no joins, and the scan reads only doc_id."""
+    import re
+
+    df = all_queries()["export_shard_manifest"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "SinglePartition" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "ReadSchema: struct<doc_id" in plan, plan

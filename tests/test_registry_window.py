@@ -76,6 +76,11 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "(sql_tumble_sum_3s held green r3-r8); the sqlapi suite pins "
     "text-vs-DataFrame plan equality and full-registry parity covers "
     "all sql_* faces every round (r9 rotation)",
+    "export": "r10-new face (export_shard_manifest): the Knuth-hash "
+    "assignment gate machinery holds THREE driver rows via "
+    "temperature/mixture/curriculum history and the r10 window's "
+    "mixture + curriculum rows; the manifest composition is suite-"
+    "gated with a full oracle and queued for the r11 window",
     "chunking": "doc_chunk_windows held green driver rows r7b-r9; the "
     "scan-local token-window slice/explode stays plan-tested "
     "(zero-exchange) and full-suite verified; its slot went to "
