@@ -224,8 +224,10 @@ HEADLINE = [
     # appended under the frozen quantizer, verdict == one-shot replay
     "stream_semdedup_ingest_replay",
     # round 10: the dataloader-facing deterministic shard export (one
-    # shard-keyed exchange, scan-local Knuth assignment)
+    # shard-keyed exchange, scan-local Knuth assignment) and its
+    # mixture-composed form (epoch copies placed independently)
     "export_shard_manifest",
+    "export_mixture_shards",
 ]
 
 

@@ -647,3 +647,64 @@ def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(w) - 1).cast("long").alias("pos"),
         )
     )
+
+
+@register(
+    "export_mixture_shards",
+    oracle=f"""
+WITH {_MIX_PLAN_CTE_TMPL},
+g AS (
+  SELECT d.doc_id, d.lang,
+         CAST({_MIX_COPIES_TMPL} AS BIGINT) AS n_copies
+  FROM documents d JOIN mix_plan USING (lang)
+),
+m AS (
+  SELECT doc_id, lang,
+         CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_id
+  FROM g WHERE n_copies > 0
+),
+h AS (
+  SELECT doc_id, lang, copy_id,
+         ({_HASH_DUCK} + copy_id * {_KNUTH}) % {_MOD} AS hkey
+  FROM m
+)
+SELECT doc_id, lang, copy_id,
+       CAST(hkey % {N_EXPORT_SHARDS} AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY hkey % {N_EXPORT_SHARDS}
+         ORDER BY hkey, doc_id, copy_id
+       ) - 1 AS BIGINT) AS pos
+FROM h
+""".format(idiv="//"),
+    doc="The export pipeline COMPOSED: the mixture-materialized corpus "
+    "(mixture_apply_docs verbatim — floor-epochs + salted fractional "
+    "admission, copies manufactured scan-locally) flows into the "
+    "deterministic shard manifest, with every epoch COPY placed "
+    "independently (hash key = knuth(doc_id) + copy_id·knuth mod 2³², "
+    "pure overflow-free int64 math) so repeated copies of a document "
+    "spread across shards and positions — the property an epoch-aware "
+    "dataloader needs instead of back-to-back repeats. Same scale "
+    "shape as its two stages: broadcast plan join + scan-local "
+    "explode, then ONE shard-keyed exchange for positions; "
+    "re-exporting reproduces byte-identical shards.",
+    tags=("sampling", "export"),
+)
+def export_mixture_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = mixture_apply_docs(spark, sf_dir)
+    h = m.withColumn(
+        "hkey",
+        (F.expr(_HASH_SPARK) + F.col("copy_id") * F.lit(_KNUTH)) % F.lit(_MOD),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.asc("hkey"), F.asc("doc_id"), F.asc("copy_id")
+    )
+    return (
+        h.withColumn("shard", (F.col("hkey") % N_EXPORT_SHARDS).cast("long"))
+        .select(
+            "doc_id",
+            "lang",
+            "copy_id",
+            "shard",
+            (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        )
+    )
