@@ -228,6 +228,9 @@ HEADLINE = [
     # mixture-composed form (epoch copies placed independently)
     "export_shard_manifest",
     "export_mixture_shards",
+    # round 10: the IVFPQ index maintained under streaming ingestion —
+    # the compressed-domain (deployed) form of the IVF ingest face
+    "stream_ivfpq_ingest_replay",
 ]
 
 

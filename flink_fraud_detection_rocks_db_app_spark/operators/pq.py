@@ -72,17 +72,16 @@ _SUBS = (
 _SVV = f"transform({_SUBS}, s -> aggregate(zip_with(s, s, (x, y) -> x * y), {_FOLD}))"
 
 
-def _codebook(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
-    """cb[m][c] = the m-th subvector of training vector c. The KS
-    training vectors are the lowest vec_ids (the same deterministic
-    'training sample' convention as the IVF coarse quantizer).
-    Contract-bounded driver collect (KS rows): inlining the codebook
-    as literals is what makes corpus encoding scan-local."""
+def _codebook_from_vectors(vectors: DataFrame) -> list[list[list[float]]]:
+    """cb[m][c] = the m-th subvector of training vector c, from any
+    (vec_id, v) frame. The KS training vectors are the lowest vec_ids
+    (the same deterministic 'training sample' convention as the IVF
+    coarse quantizer). Contract-bounded driver collect (KS rows):
+    inlining the codebook as literals is what makes corpus encoding
+    scan-local. The streaming-ingestion bootstrap feeds its first
+    micro-batch through this."""
     rows = (
-        _vectors(spark, sf_dir)
-        .where(F.col("vec_id") < PQ_KS)
-        .select("vec_id", "v")
-        .collect()
+        vectors.where(F.col("vec_id") < PQ_KS).select("vec_id", "v").collect()
     )
     by_id = {r["vec_id"]: list(r["v"]) for r in rows}
     missing = [c for c in range(PQ_KS) if c not in by_id]
@@ -92,12 +91,16 @@ def _codebook(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
         # empty-glob lesson: contract violations fail loudly, early)
         raise ValueError(
             f"PQ codebook needs training vec_ids 0..{PQ_KS - 1}; "
-            f"missing {missing} in {sf_dir!r}"
+            f"missing {missing}"
         )
     return [
         [by_id[c][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM] for c in range(PQ_KS)]
         for m in range(PQ_M)
     ]
+
+
+def _codebook(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    return _codebook_from_vectors(_vectors(spark, sf_dir))
 
 
 def _lit_arr(xs: list[float]) -> str:
@@ -126,15 +129,15 @@ def _with_subs(df: DataFrame) -> DataFrame:
     return df.withColumn("subs", F.expr(_SUBS)).withColumn("svv", F.expr(_SVV))
 
 
-def _encoded(spark: SparkSession, sf_dir: str, cb) -> DataFrame:
-    """(vec_id, codes array<int>): argmin on 6dp-rounded distances,
-    ties to the lowest code (array_position returns the FIRST match).
-    One scan, zero shuffle. Each subspace's KS-distance array is
-    materialized ONCE as a column before the argmin references it
-    twice, so the expression tree (and the encode dot products, if
-    codegen's subexpression elimination ever bails at larger M/KS)
-    stays single-copy."""
-    df = _with_subs(_vectors(spark, sf_dir))
+def _encoded_over(vectors: DataFrame, cb) -> DataFrame:
+    """(vec_id, codes array<int>) over any (vec_id, v) frame: argmin on
+    6dp-rounded distances, ties to the lowest code (array_position
+    returns the FIRST match). One scan, zero shuffle. Each subspace's
+    KS-distance array is materialized ONCE as a column before the
+    argmin references it twice, so the expression tree (and the encode
+    dot products, if codegen's subexpression elimination ever bails at
+    larger M/KS) stays single-copy."""
+    df = _with_subs(vectors)
     for m in range(PQ_M):
         df = df.withColumn(f"_d{m}", F.expr(_dists_arr(cb, m)))
     codes = ", ".join(
@@ -142,6 +145,10 @@ def _encoded(spark: SparkSession, sf_dir: str, cb) -> DataFrame:
         for m in range(PQ_M)
     )
     return df.select("vec_id", F.expr(f"array({codes})").alias("codes"))
+
+
+def _encoded(spark: SparkSession, sf_dir: str, cb) -> DataFrame:
+    return _encoded_over(_vectors(spark, sf_dir), cb)
 
 
 def _queries_with_luts(spark: SparkSession, sf_dir: str, cb) -> DataFrame:
@@ -401,9 +408,17 @@ def _codebook_from_index(spark: SparkSession, idx: str) -> list[list[list[float]
     tags=("similarity", "ann", "pq", "ivf", "warehouse"),
 )
 def ann_ivfpq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _probe_ivfpq_index(spark, sf_dir, ensure_ivfpq_index(spark, sf_dir))
+
+
+def _probe_ivfpq_index(spark: SparkSession, sf_dir: str, idx: str) -> DataFrame:
+    """The IVFPQ index probe against an explicit asset path — shared by
+    the ensure_index-cached registered query above and the
+    streaming-ingestion face (which probes its stream-built scratch
+    asset): quantizers read back frozen from the asset, probed cells
+    become literal PartitionFilters, ADC ranks only those lists."""
     import os
 
-    idx = ensure_ivfpq_index(spark, sf_dir)
     cb = _codebook_from_index(spark, idx)
     cents = spark.read.parquet(os.path.join(idx, "centroids"))
     e = _vectors(spark, sf_dir)
@@ -426,6 +441,44 @@ def ann_ivfpq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _adc_rank(scored)
+
+
+def append_to_ivfpq_index(vectors: DataFrame, index_path: str) -> None:
+    """Append a batch of NEW vectors (vec_id, v, norm) to a persisted
+    IVFPQ asset: assigned to coarse cells AND PQ-encoded under the
+    asset's FROZEN quantizers (centroids/ + codebook/ are never
+    retrained), landing as appended rows in their cell partitions —
+    cost ∝ batch, never corpus, and a probe over the appended index is
+    bit-identical to a monolithic rebuild (per-vector assignment and
+    encoding against fixed quantizers are order- and segmentation-
+    independent). Duplicate vec_ids are rejected before a byte is
+    written (the append_to_ivf_index / BM25 / SemDeDup guard
+    contract)."""
+    import os
+
+    from .similarity import _ivf_assigned
+
+    spark = vectors.sparkSession
+    codes_dir = os.path.join(index_path, "codes")
+    batch_ids = vectors.select("vec_id").distinct()
+    dup = (
+        spark.read.parquet(codes_dir)
+        .select("vec_id")
+        .join(F.broadcast(batch_ids), "vec_id", "left_semi")
+        .take(1)
+    )
+    if dup:
+        raise ValueError(
+            "append_to_ivfpq_index: batch contains vec_id(s) already in "
+            f"the index (e.g. {dup[0].vec_id!r}) — appending would "
+            "duplicate compressed-list entries and corrupt top-k results"
+        )
+    cb = _codebook_from_index(spark, index_path)
+    cents = spark.read.parquet(os.path.join(index_path, "centroids"))
+    assigned = _ivf_assigned(vectors, cents).select("vec_id", "cell")
+    _encoded_over(vectors, cb).join(assigned, "vec_id").write.mode(
+        "append"
+    ).partitionBy("cell").parquet(codes_dir)
 
 
 # ------------------------------------------------------ PQ quality eval

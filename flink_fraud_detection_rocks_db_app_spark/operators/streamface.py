@@ -1557,6 +1557,112 @@ def stream_ivf_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def _stream_ivfpq_oracle() -> str:
+    from .pq import _IVFPQ_ORACLE
+
+    return _IVFPQ_ORACLE
+
+
+@register(
+    "stream_ivfpq_ingest_replay",
+    oracle=_stream_ivfpq_oracle(),
+    doc="Streaming ingestion maintaining the IVFPQ index — the "
+    "COMPRESSED-domain sibling of stream_ivf_ingest_replay, i.e. the "
+    "deployed 100 TB index form kept current under arrival: the first "
+    "chunk carries BOTH training samples (coarse-quantizer cells and "
+    "PQ codebook vectors are the deterministic lowest vec_ids — a "
+    "deployment trains before any appends exist), its foreachBatch "
+    "bootstraps the full asset (centroids/ + codebook/ + the first "
+    "cell-partitioned codes segment), and every later micro-batch is "
+    "coarse-assigned AND PQ-encoded under the FROZEN quantizers "
+    "through append_to_ivfpq_index's duplicate guard. The probe over "
+    "the stream-built asset must match ann_ivfpq_topk's monolithic "
+    "oracle neighbor for neighbor: assignment and encoding against "
+    "fixed quantizers are segmentation-independent, so the micro-batch "
+    "layout cannot move a single ADC rank. Bootstrap is "
+    "order-critical (explicit ascending chunk mtimes); bounded probe "
+    "frame materialized before scratch deletion.",
+    tags=("streaming", "similarity", "ann", "pq", "ivf", "warehouse", "parity"),
+)
+def stream_ivfpq_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+
+    from ..fixtures import load
+    from .pq import PQ_KS, _probe_ivfpq_index, append_to_ivfpq_index
+    from .similarity import (
+        IVF_CELLS,
+        _ivf_assigned,
+        _ivf_centroids,
+        _vectors_over,
+    )
+    from .pq import _codebook_from_vectors, _encoded_over
+
+    name = f"ivfpqingest_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        emb = load(spark, sf_dir, "embeddings")
+        src = os.path.join(scratch, "arrivals")
+        train_n = max(IVF_CELLS, PQ_KS)
+        chunk = F.when(F.col("vec_id") < train_n, F.lit(0)).otherwise(
+            F.pmod(F.xxhash64("vec_id"), F.lit(3))
+        )
+        base = _time.time()
+        seen: set[str] = set()
+        for i in range(3):
+            emb.where(chunk == i).coalesce(1).write.mode("append").parquet(src)
+            for f in os.listdir(src):
+                p = os.path.join(src, f)
+                if f.endswith(".parquet") and p not in seen:
+                    os.utime(p, (base + i, base + i))
+                    seen.add(p)
+
+        idx = os.path.join(scratch, "idx")
+        cents_dir = os.path.join(idx, "centroids")
+
+        def sink(batch: DataFrame, _bid: int) -> None:
+            if batch.isEmpty():
+                return
+            vecs = _vectors_over(batch)
+            if not os.path.isdir(cents_dir):
+                cb = _codebook_from_vectors(vecs)
+                cents = _ivf_centroids(vecs)
+                cents.write.mode("overwrite").parquet(cents_dir)
+                rows = [
+                    (m, c, cb[m][c])
+                    for m in range(len(cb))
+                    for c in range(len(cb[0]))
+                ]
+                spark.createDataFrame(
+                    rows, "m INT, code INT, cv ARRAY<DOUBLE>"
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(idx, "codebook")
+                )
+                assigned = _ivf_assigned(vecs, cents).select("vec_id", "cell")
+                _encoded_over(vecs, cb).join(assigned, "vec_id").write.mode(
+                    "overwrite"
+                ).partitionBy("cell").parquet(os.path.join(idx, "codes"))
+            else:
+                append_to_ivfpq_index(vecs, idx)
+
+        q = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        out = _probe_ivfpq_index(spark, sf_dir, idx)
+        rows = out.collect()  # bounded: N_QUERIES x TOP_K rows
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def _stream_semdedup_oracle() -> str:
     from .similarity import _semdedup_incr_oracle
 

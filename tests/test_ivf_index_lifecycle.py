@@ -246,3 +246,24 @@ def test_semdedup_append_rejects_duplicate_vec_ids(spark, scratch):
         spark.read.parquet(scored).count(),
         spark.read.parquet(losers).count(),
     ) == before
+
+
+def test_ivfpq_append_rejects_duplicate_vec_ids(spark, scratch):
+    """Same fail-loudly contract as the other three appends: a
+    duplicate vec_id would put the same compressed vector in an
+    inverted list twice; the guard raises before writing."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.pq import (
+        append_to_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from flink_fraud_detection_rocks_db_app_spark.operators.similarity import (
+        _vectors,
+    )
+
+    idx = os.path.join(scratch, "ivfpq_dup")
+    write_ivfpq_index(spark, SF_SMALL, idx)
+    codes = os.path.join(idx, "codes")
+    before = spark.read.parquet(codes).count()
+    with pytest.raises(ValueError, match="already in"):
+        append_to_ivfpq_index(_vectors(spark, SF_SMALL).limit(3), idx)
+    assert spark.read.parquet(codes).count() == before
