@@ -289,8 +289,23 @@ def enrich_events_asof_bucketed(
     """Enrich (account_id, event_id, t_ms) events with asof_orderkey via
     the bucketed snapshot — the same output contract as the broadcast
     array form, but the join key is (user, bucket(t)): a plain
-    equi-join that shuffles instead of requiring a broadcast. Requires
-    the snapshot horizon to cover max(t_ms)."""
+    equi-join that shuffles instead of requiring a broadcast.
+
+    The snapshot horizon MUST cover max(t_ms): the dense bucket spine
+    stops at the snapshot's build-time `horizon_end_ms`, so an event
+    past it would silently enrich to NULL even when earlier orders
+    exist. Per the repo's fail-loudly contract (cf. the PQ codebook and
+    append guards), the horizon is validated scan-side: any event whose
+    bucket exceeds the snapshot's end bucket raises instead of emitting
+    a wrong NULL. The end bucket is one bounded scalar agg over the
+    (small) dimension — no extra pass over the events."""
+    end_row = snapshot.agg(F.max("bucket").alias("b")).collect()[0]
+    if end_row["b"] is None:
+        raise ValueError(
+            "bucketed as-of snapshot is empty — build it (bucketed_asof_snapshot) "
+            "before enriching"
+        )
+    snap_end = int(end_row["b"])
     ev = events.withColumn(
         "_bucket", F.floor(F.col("t_ms") / F.lit(bucket_ms)).cast("long")
     )
@@ -303,9 +318,24 @@ def enrich_events_asof_bucketed(
     in_bucket = F.when(
         hits.isNotNull() & (F.size(hits) > 0), F.element_at(hits, -1)["ok"]
     )
+    horizon_ok = F.col("_bucket") <= F.lit(snap_end)
     return j.select(
         "account_id",
         "event_id",
         "t_ms",
-        F.coalesce(in_bucket, F.col("carry_ok")).alias("asof_orderkey"),
+        F.when(
+            horizon_ok, F.coalesce(in_bucket, F.col("carry_ok"))
+        )
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "as-of snapshot horizon violated: event bucket %s > snapshot "
+                    f"end bucket {snap_end} (bucket_ms={bucket_ms}) — rebuild the "
+                    "snapshot with a later horizon_end_ms instead of enriching to "
+                    "a stale NULL",
+                    F.col("_bucket"),
+                )
+            ).cast("long")
+        )
+        .alias("asof_orderkey"),
     )

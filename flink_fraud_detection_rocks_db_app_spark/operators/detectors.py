@@ -86,7 +86,8 @@ def filter_amount_gt_100(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "alert_tumble_sum_3s_gt_10000",
     oracle=sql_tumble(
-        3_000, "SUM(value) AS sum_amount", having="round(SUM(value), 6) > 10000"
+        3_000, "round(SUM(value), 6) AS sum_amount",
+        having="round(SUM(value), 6) > 10000"
     ),
     doc="EP1 end-to-end: 3s tumbling sum, alert when sum > 10000 (F2, "
     "reference: master/src/main/java/InorderTumblingWindow/FraudDetector2.java:19-30). "
@@ -95,7 +96,7 @@ def filter_amount_gt_100(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("alert", "parity"),
 )
 def alert_tumble_sum_3s_gt_10000(spark: SparkSession, sf_dir: str) -> DataFrame:
-    agg = tumbling(transactions(spark, sf_dir), 3 * MS["s"], [F.sum("amount").alias("sum_amount")])
+    agg = tumbling(transactions(spark, sf_dir), 3 * MS["s"], [F.round(F.sum("amount"), 6).alias("sum_amount")])
     return agg.where(F.round("sum_amount", 6) > 10000)
 
 
@@ -103,7 +104,7 @@ def alert_tumble_sum_3s_gt_10000(spark: SparkSession, sf_dir: str) -> DataFrame:
     "alert_global_daily_sum_gt_10000",
     oracle=sql_tumble(
         86_400_000,
-        "SUM(value) AS sum_amount",
+        "round(SUM(value), 6) AS sum_amount",
         key=False,
         having="round(SUM(value), 6) > 10000",
     ),
@@ -113,7 +114,7 @@ def alert_tumble_sum_3s_gt_10000(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def alert_global_daily_sum_gt_10000(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = tumbling(
-        transactions(spark, sf_dir), MS["d"], [F.sum("amount").alias("sum_amount")], key=None
+        transactions(spark, sf_dir), MS["d"], [F.round(F.sum("amount"), 6).alias("sum_amount")], key=None
     )
     return agg.where(F.round("sum_amount", 6) > 10000)
 
@@ -121,13 +122,14 @@ def alert_global_daily_sum_gt_10000(spark: SparkSession, sf_dir: str) -> DataFra
 @register(
     "alert_user_daily_sum_gt_300",
     oracle=sql_tumble(
-        86_400_000, "SUM(value) AS sum_amount", having="round(SUM(value), 6) > 300"
+        86_400_000, "round(SUM(value), 6) AS sum_amount",
+        having="round(SUM(value), 6) > 300"
     ),
     doc="Keyed alert with a fixture-calibrated threshold (per-account daily sum)",
     tags=("alert",),
 )
 def alert_user_daily_sum_gt_300(spark: SparkSession, sf_dir: str) -> DataFrame:
-    agg = tumbling(transactions(spark, sf_dir), MS["d"], [F.sum("amount").alias("sum_amount")])
+    agg = tumbling(transactions(spark, sf_dir), MS["d"], [F.round(F.sum("amount"), 6).alias("sum_amount")])
     return agg.where(F.round("sum_amount", 6) > 300)
 
 
@@ -205,8 +207,8 @@ def max_by_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "event_type_stats",
-    oracle="SELECT event_type, COUNT(*) AS n_events, SUM(value) AS sum_value, "
-    "AVG(value) AS mean_value FROM events GROUP BY 1",
+    oracle="SELECT event_type, COUNT(*) AS n_events, round(SUM(value), 6) AS sum_value, "
+    "round(AVG(value), 6) AS mean_value FROM events GROUP BY 1",
     doc="Plain keyed aggregation over a categorical key (sanity/coverage)",
     tags=("aggregate",),
 )
@@ -216,8 +218,8 @@ def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("value").alias("sum_value"),
-            F.avg("value").alias("mean_value"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("mean_value"),
         )
     )
 

@@ -18,7 +18,7 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 @register(
     "cube_order_counts",
     oracle="""
-SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, SUM(o_totalprice) AS total
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, round(SUM(o_totalprice), 6) AS total
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
     doc="CUBE over two categorical keys (all 4 grouping sets); NULL rows "
@@ -29,7 +29,7 @@ def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("total"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 6).alias("total"))
     )
 
 
@@ -37,7 +37,7 @@ def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_daily_events",
     oracle="""
 SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day_no, event_type,
-       COUNT(*) AS n, SUM(value) AS sum_value
+       COUNT(*) AS n, round(SUM(value), 6) AS sum_value
 FROM events GROUP BY ROLLUP (day_no, event_type)
 """,
     doc="ROLLUP over (day, event_type): day/type, day subtotal, grand total",
@@ -50,7 +50,7 @@ def rollup_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return ev.rollup("day_no", "event_type").agg(
-        F.count("*").alias("n"), F.sum("value").alias("sum_value")
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
     )
 
 
@@ -58,7 +58,7 @@ def rollup_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_user_event_type",
     oracle=f"""
 SELECT user_id AS account_id,
-       {", ".join(f"SUM(value) FILTER (event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+       {", ".join(f"round(SUM(value) FILTER (event_type = '{t}'), 6) AS {t}" for t in EVENT_TYPES)}
 FROM events GROUP BY 1
 """,
     doc="Pivot: per-account event_type columns of summed value "
@@ -71,7 +71,7 @@ def pivot_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").alias("account_id"), "event_type", "value")
         .groupBy("account_id")
         .pivot("event_type", list(EVENT_TYPES))
-        .agg(F.sum("value"))
+        .agg(F.round(F.sum("value"), 6))
     )
 
 
@@ -323,7 +323,7 @@ def approx_value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFram
 SELECT event_type,
        CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day_no,
        GROUPING(event_type, day_no) AS gid,
-       COUNT(*) AS n, SUM(value) AS sum_value
+       COUNT(*) AS n, round(SUM(value), 6) AS sum_value
 FROM events
 GROUP BY GROUPING SETS ((event_type), (day_no), (event_type, day_no))
 """,
@@ -344,7 +344,7 @@ def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT event_type, day_no,
                CAST(grouping_id(event_type, day_no) AS BIGINT) AS gid,
-               COUNT(*) AS n, SUM(value) AS sum_value
+               COUNT(*) AS n, round(SUM(value), 6) AS sum_value
         FROM _gs_events
         GROUP BY GROUPING SETS ((event_type), (day_no), (event_type, day_no))
         """
@@ -417,7 +417,7 @@ def lineitem_price_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type,
        CAST(FLOOR(value / 100.0) AS BIGINT) AS bucket,
        COUNT(*) AS n,
-       SUM(value) AS sum_value
+       round(SUM(value), 6) AS sum_value
 FROM events
 GROUP BY event_type, bucket
 """,
@@ -434,7 +434,7 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.floor(F.col("value") / 100.0).cast("long").alias("bucket"),
         )
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
     )
 
 

@@ -53,7 +53,7 @@ SELECT lang,
        COUNT(*) AS n_docs,
        CAST(SUM(n_copies - 1) AS BIGINT) AS n_dups_removed,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-       AVG(quality) AS avg_quality
+       round(AVG(quality), 6) AS avg_quality
 FROM surv GROUP BY lang
 """
 
@@ -91,11 +91,13 @@ def quality_gated_docs(docs: DataFrame) -> DataFrame:
 def corpus_report(surv: DataFrame) -> DataFrame:
     """Per-language corpus report over survivor rows carrying
     (lang, n_copies, n_tokens, quality) — the shared back half."""
+    # avg_quality rounded 6dp on emit (registry convention): the mean of
+    # 6dp-rounded qualities is still summation-order-sensitive at ULP
     return surv.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("n_copies") - 1).alias("n_dups_removed"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.avg("quality").alias("avg_quality"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
     )
 
 

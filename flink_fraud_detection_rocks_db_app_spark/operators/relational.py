@@ -29,12 +29,12 @@ from ..registry import register
     oracle="""
 SELECT l_returnflag, l_linestatus,
        SUM(l_quantity) AS sum_qty,
-       SUM(l_extendedprice) AS sum_base_price,
-       SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-       SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-       AVG(l_quantity) AS avg_qty,
-       AVG(l_extendedprice) AS avg_price,
-       AVG(l_discount) AS avg_disc,
+       round(SUM(l_extendedprice), 6) AS sum_base_price,
+       round(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       round(AVG(l_quantity), 6) AS avg_qty,
+       round(AVG(l_extendedprice), 6) AS avg_price,
+       round(AVG(l_discount), 6) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -51,14 +51,19 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-            F.sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                ),
+                6,
             ).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -68,7 +73,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     oracle="""
 SELECT n_name,
-       SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+       round(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
        COUNT(*) AS n_lineitems
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -92,7 +97,9 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )
@@ -102,7 +109,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_region_segment",
     oracle="""
 SELECT r_name, c_mktsegment,
-       SUM(o_totalprice) AS total_revenue,
+       round(SUM(o_totalprice), 6) AS total_revenue,
        COUNT(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -123,7 +130,7 @@ def revenue_by_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "c_mktsegment")
-        .agg(F.sum("o_totalprice").alias("total_revenue"), F.count("*").alias("n_orders"))
+        .agg(F.round(F.sum("o_totalprice"), 6).alias("total_revenue"), F.count("*").alias("n_orders"))
     )
 
 
@@ -212,7 +219,7 @@ def order_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q6_forecast_revenue",
     oracle="""
-SELECT SUM(l_extendedprice * l_discount) AS revenue, COUNT(*) AS n
+SELECT round(SUM(l_extendedprice * l_discount), 6) AS revenue, COUNT(*) AS n
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -235,7 +242,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6).alias("revenue"),
             F.count("*").alias("n"),
         )
     )
@@ -245,7 +252,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping_priority",
     oracle="""
 SELECT l_orderkey,
-       SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+       round(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
        o_orderdate, o_orderpriority
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -274,7 +281,9 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
@@ -285,7 +294,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q5_local_supplier_volume",
     oracle="""
-SELECT n_name, SUM(l_extendedprice * (1 - l_discount)) AS revenue
+SELECT n_name, round(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -329,7 +338,9 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .groupBy("n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
         )
     )
 
@@ -337,7 +348,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "tpch_q7_volume_shipping",
     oracle="""
-SELECT supp_region, cust_region, l_year, SUM(volume) AS revenue,
+SELECT supp_region, cust_region, l_year, round(SUM(volume), 6) AS revenue,
        COUNT(*) AS n_items
 FROM (
   SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
@@ -400,7 +411,9 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -411,7 +424,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH agg AS (
   SELECT c_custkey, c_name, c_acctbal, n_name,
-         SUM(l_extendedprice * (1 - l_discount)) AS revenue
+         round(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
   FROM customer
   JOIN orders   ON c_custkey = o_custkey
   JOIN lineitem ON l_orderkey = o_orderkey
@@ -446,7 +459,9 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.round("revenue", 6).desc(), F.asc("c_custkey"))
@@ -457,10 +472,10 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q14_promo_effect",
     oracle="""
-SELECT 100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                        THEN l_extendedprice * (1 - l_discount)
-                        ELSE 0.0 END)
-       / SUM(l_extendedprice * (1 - l_discount)) AS promo_revenue_pct,
+SELECT round(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct,
        COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
@@ -481,7 +496,7 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            (F.lit(100.0) * F.sum(promo) / F.sum(disc)).alias("promo_revenue_pct"),
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(disc), 6).alias("promo_revenue_pct"),
             F.count("*").alias("n_items"),
         )
     )
@@ -529,7 +544,7 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "tpch_q19_bracketed_revenue",
     oracle="""
-SELECT SUM(l_extendedprice * (1 - l_discount)) AS revenue, COUNT(*) AS n_items
+SELECT round(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue, COUNT(*) AS n_items
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15
        AND l_quantity >= 1  AND l_quantity <= 20)
@@ -561,7 +576,9 @@ def tpch_q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .where(bracket)
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )

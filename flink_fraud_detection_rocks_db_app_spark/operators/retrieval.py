@@ -507,7 +507,12 @@ def hybrid_overlap_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single time per monitor run instead of once per fusion (VERDICT
     # r9 #2 — the double scan was this row's entire cost overhang).
     # Exchange reuse does not dedupe the two window-ranked subtrees on
-    # its own; an explicit persist of the tiny ranked frame does.
+    # its own; an explicit persist of the tiny ranked frame does. The
+    # persist is released before returning: the bounded (queries × 1)
+    # result is eagerly localCheckpoint-ed (cutting its lineage off the
+    # cached frame), so repeated monitor runs in a long-lived driver
+    # session don't accumulate cached partitions (the
+    # write_semdedup_base/append_to_semdedup_index discipline).
     lex = _mlt_ranked(spark, sf_dir).persist()
     exact_h = _rrf_fuse(lex, _sem_ranked(spark, sf_dir)).select(
         "query_id", "neighbor_id"
@@ -522,11 +527,17 @@ def hybrid_overlap_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qs = exact_h.select("query_id").distinct()
     n = F.coalesce(F.col("n_hits"), F.lit(0))
-    return qs.join(hits, "query_id", "left").select(
-        "query_id",
-        n.alias("n_hits"),
-        F.round(n / F.lit(float(MLT_TOP_K)), 6).alias("overlap"),
+    out = (
+        qs.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            n.alias("n_hits"),
+            F.round(n / F.lit(float(MLT_TOP_K)), 6).alias("overlap"),
+        )
+        .localCheckpoint(eager=True)
     )
+    lex.unpersist()
+    return out
 
 
 # ---- hard-negative mining ----------------------------------------------

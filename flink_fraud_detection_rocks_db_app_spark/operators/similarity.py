@@ -613,7 +613,7 @@ WITH e AS (
 q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
 p AS (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         list_dot_product(q.v, e.v) / (q.norm * e.norm) AS cosine
+         round(list_dot_product(q.v, e.v) / (q.norm * e.norm), 6) AS cosine
   FROM q JOIN e ON q.vec_id <> e.vec_id
 )
 SELECT query_id, neighbor_id, cosine
@@ -636,8 +636,9 @@ QUALIFY row_number() OVER (
     "is exact). This is the 100 TB shape of exact scoring: the JVM "
     "zip_with form (ann_cosine_topk) evaluates one dot product per "
     "expression call; BLAS does the whole batch in cache-blocked "
-    "matrix math. Results are identical up to fp summation order "
-    "(driver compares with relative tolerance; the top-k id set is "
+    "matrix math. Scores are rounded 6dp on emission (and in the rank key) because "
+    "BLAS blocked summation differs from sequential dots at 1 ULP and "
+    "the driver hashes values exactly; the top-k id set is "
     "asserted equal to the JVM twin in tests). Measured warm at "
     "sf0.1/local[32]: 0.65 s vs the JVM form's 1.05 s, min-of-3 — and "
     "the matmul advantage grows with batch size.",
@@ -684,7 +685,12 @@ def ann_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows.append((qid, ids[i], col[i]))
             yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
 
-    scored = e.mapInPandas(score, out_schema)
+    scored = e.mapInPandas(score, out_schema).withColumn(
+        # emitted + rank key rounded 6dp: the BLAS matmul's blocked
+        # summation order differs from the oracle's sequential dot
+        # product at 1 ULP, and the driver hashes values exactly
+        "cosine", F.round("cosine", 6)
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

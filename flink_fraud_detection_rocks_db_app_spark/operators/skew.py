@@ -36,15 +36,18 @@ def salted_agg(
         .groupBy(key, "_salt")
         .agg(F.sum(value).alias("_s"), F.count("*").alias("_c"))
     )
+    # emitted float sum rounded 6dp (the registry convention): the
+    # salted two-stage summation order differs from any single-stage
+    # order, so the raw double is ULP-unstable across engines/configs
     return partial.groupBy(key).agg(
-        F.sum("_s").alias("sum_value"), F.sum("_c").alias("n_events")
+        F.round(F.sum("_s"), 6).alias("sum_value"), F.sum("_c").alias("n_events")
     )
 
 
 @register(
     "event_type_stats_salted",
-    oracle="SELECT event_type, SUM(value) AS sum_value, COUNT(*) AS n_events "
-    "FROM events GROUP BY 1",
+    oracle="SELECT event_type, round(SUM(value), 6) AS sum_value, "
+    "COUNT(*) AS n_events FROM events GROUP BY 1",
     doc="Salted two-stage aggregation over the 5-value (maximally skewed) "
     "event_type key: same result as the plain aggregate — the oracle "
     "proves the rewrite is semantics-preserving — but the hot keys fan "

@@ -18,7 +18,7 @@ from ..registry import register
 @register(
     "sql_tumble_sum_3s",
     oracle="SELECT (epoch_ms(ts) // 3000) * 3000 AS w_start, user_id AS account_id, "
-    "SUM(value) AS sum_amount FROM events GROUP BY 1, 2",
+    "round(SUM(value), 6) AS sum_amount FROM events GROUP BY 1, 2",
     doc="EP1's windowed sum written as SQL text (window() TVF-style "
     "expression in SQL) — same Catalyst plan as the DataFrame form",
     tags=("sql", "window", "tumbling"),
@@ -28,7 +28,7 @@ def sql_tumble_sum_3s(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT unix_millis(window.start) AS w_start, account_id,
-               SUM(amount) AS sum_amount
+               round(SUM(amount), 6) AS sum_amount
         FROM transactions
         GROUP BY window(event_time, '3 seconds'), account_id
         """
@@ -38,7 +38,7 @@ def sql_tumble_sum_3s(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sql_revenue_rollup",
     oracle="""
-SELECT n_name, o_orderstatus, SUM(o_totalprice) AS revenue, COUNT(*) AS n
+SELECT n_name, o_orderstatus, round(SUM(o_totalprice), 6) AS revenue, COUNT(*) AS n
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -51,7 +51,7 @@ def sql_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(
         """
-        SELECT n_name, o_orderstatus, SUM(o_totalprice) AS revenue, COUNT(*) AS n
+        SELECT n_name, o_orderstatus, round(SUM(o_totalprice), 6) AS revenue, COUNT(*) AS n
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
@@ -72,7 +72,7 @@ o AS (
 ),
 s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid FROM o)
 SELECT MIN(tus) // 1000 AS w_start, user_id AS account_id,
-       SUM(value) AS sum_amount, COUNT(*) AS n_events
+       round(SUM(value), 6) AS sum_amount, COUNT(*) AS n_events
 FROM s GROUP BY user_id, sid
 """,
     doc="session_window() invoked from SQL text (6h gap)",
@@ -83,7 +83,7 @@ def sql_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT unix_millis(session_window.start) AS w_start, account_id,
-               SUM(amount) AS sum_amount, COUNT(*) AS n_events
+               round(SUM(amount), 6) AS sum_amount, COUNT(*) AS n_events
         FROM transactions
         GROUP BY session_window(event_time, '6 hours'), account_id
         """

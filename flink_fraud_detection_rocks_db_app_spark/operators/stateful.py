@@ -53,7 +53,7 @@ def count_or_time_segments(
         )
         .withColumn("seg", ((F.row_number().over(w) - 1) / max_count).cast("long"))
         .groupBy(*cols, "seg")
-        .agg(F.sum("amount").alias("sum_amount"), F.count("*").alias("n_events"))
+        .agg(F.round(F.sum("amount"), 6).alias("sum_amount"), F.count("*").alias("n_events"))
     )
     return seg.withColumn(
         "emit",
@@ -76,7 +76,7 @@ r AS (
             // {max_count} AS seg
   FROM e
 )
-SELECT w_start, {key_sel}seg, SUM(value) AS sum_amount, COUNT(*) AS n_events,
+SELECT w_start, {key_sel}seg, round(SUM(value), 6) AS sum_amount, COUNT(*) AS n_events,
        CASE WHEN COUNT(*) = {max_count} THEN 'early' ELSE 'final' END AS emit
 FROM r {group}
 """

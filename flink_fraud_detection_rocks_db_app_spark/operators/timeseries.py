@@ -88,7 +88,7 @@ def event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH d AS (
   SELECT user_id, CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day_no,
-         SUM(value) AS s, COUNT(*) AS c
+         round(SUM(value), 6) AS s, COUNT(*) AS c
   FROM events GROUP BY 1, 2
 ),
 span AS (SELECT user_id, MIN(day_no) AS lo, MAX(day_no) AS hi FROM d GROUP BY 1),
@@ -111,7 +111,7 @@ def resample_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
         .groupBy("account_id", "day_no")
-        .agg(F.sum("value").alias("s"), F.count("*").alias("c"))
+        .agg(F.round(F.sum("value"), 6).alias("s"), F.count("*").alias("c"))
     )
     days = (
         d.groupBy("account_id")

@@ -81,9 +81,9 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q8_market_share",
     oracle="""
 SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       SUM(CASE WHEN n2.n_name = 'NATION_3'
+       round(SUM(CASE WHEN n2.n_name = 'NATION_3'
                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-         / SUM(l_extendedprice * (1 - l_discount)) AS mkt_share,
+         / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN part     ON p_partkey = l_partkey
@@ -132,9 +132,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
-            (
+            F.round(
                 F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0)))
-                / F.sum(rev)
+                / F.sum(rev),
+                6,
             ).alias("mkt_share"),
             F.count("*").alias("n_items"),
         )
@@ -257,7 +258,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q17_small_quantity_revenue",
     oracle="""
-SELECT SUM(l_extendedprice) / 7.0 AS avg_yearly, COUNT(*) AS n_items
+SELECT round(SUM(l_extendedprice) / 7.0, 6) AS avg_yearly, COUNT(*) AS n_items
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#4' AND p_size <= 10
   AND l_quantity < (
@@ -286,7 +287,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         .join(per_part, li.l_partkey == F.col("avg_key"))
         .where(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
-            (F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"),
             F.count("*").alias("n_items"),
         )
     )
@@ -365,7 +366,7 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
 @register(
     "tpch_q22_dormant_high_balance",
     oracle="""
-SELECT c_mktsegment, COUNT(*) AS numcust, SUM(c_acctbal) AS totacctbal
+SELECT c_mktsegment, COUNT(*) AS numcust, round(SUM(c_acctbal), 6) AS totacctbal
 FROM customer
 WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
   AND c_acctbal > (
@@ -406,7 +407,7 @@ def tpch_q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("numcust"),
-            F.sum("c_acctbal").alias("totacctbal"),
+            F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
         )
     )
 
@@ -417,12 +418,21 @@ def tpch_q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame
 # this derived part-supplier relation instead. Unit price and summed
 # quantity are exact in double (quantities are integer-valued, the
 # division is a single fp op), and the cost is rounded to 6 dp at the
-# source because Q2/Q11 GATE rows on it.
+# source because Q2/Q11 GATE rows on it — and because Q9/Q11 multiply
+# it onward, the rounding must be BIT-identical across engines, not
+# just "round to 6dp": prices divided by power-of-two quantities
+# produce EXACT decimal ties (e.g. 1037.0821875 = price/32), where
+# Spark's BigDecimal HALF_UP and DuckDB's multiply-based rounding
+# disagree by 1e-6 (7 such pairs at sf0.01 — the residue of r10's q11
+# red after the emitted-sum fix). floor(x*1e6 + 0.5)/1e6 is the same
+# IEEE op sequence on both engines, so ties are resolved identically
+# by construction (magnitudes ~1e9 << 2^53, no precision loss).
 _PS_CTE = """
 ps AS (
   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
          SUM(l_quantity) AS ps_availqty,
-         round(MIN(l_extendedprice / l_quantity), 6) AS ps_supplycost
+         floor(MIN(l_extendedprice / l_quantity) * 1000000 + 0.5) / 1000000
+           AS ps_supplycost
   FROM lineitem GROUP BY 1, 2
 )
 """
@@ -434,9 +444,13 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
     ).agg(
         F.sum("l_quantity").alias("ps_availqty"),
-        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias(
-            "ps_supplycost"
-        ),
+        (
+            F.floor(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")) * 1_000_000
+                + 0.5
+            )
+            / 1_000_000
+        ).alias("ps_supplycost"),
     )
 
 
@@ -506,8 +520,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_PS_CTE}
 SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       SUM(l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity)
-         AS sum_profit,
+       round(SUM(l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity),
+             6) AS sum_profit,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem
 JOIN ps       ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
@@ -547,7 +561,7 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders, F.col("l_orderkey") == orders.o_orderkey)
         .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(F.sum(profit).alias("sum_profit"), F.count("*").alias("n_items"))
+        .agg(F.round(F.sum(profit), 6).alias("sum_profit"), F.count("*").alias("n_items"))
     )
 
 
@@ -562,7 +576,7 @@ nat_ps AS (
   JOIN nation   ON s_nationkey = n_nationkey
   WHERE n_name = 'NATION_9'
 )
-SELECT ps_partkey, SUM(value) AS total_value
+SELECT ps_partkey, round(SUM(value), 6) AS total_value
 FROM nat_ps
 GROUP BY ps_partkey
 HAVING round(SUM(value), 6) > (SELECT round(SUM(value) * 0.0002, 6) FROM nat_ps)
@@ -572,8 +586,11 @@ HAVING round(SUM(value), 6) > (SELECT round(SUM(value) * 0.0002, 6) FROM nat_ps)
     "without emptying, at both sf0.01 and sf0.1). The scalar fraction "
     "subquery broadcasts "
     "as a one-row gate; both HAVING sides are rounded 6 dp so fp "
-    "summation order can't flip membership. Same aggregate feeds both "
-    "the per-part rollup and the total (Catalyst reuses the scan)",
+    "summation order can't flip membership, and the EMITTED total_value "
+    "is rounded 6 dp too (the q15 pattern) so the driver's exact value "
+    "hash is stable against summation-order ULP drift. Same aggregate "
+    "feeds both the per-part rollup and the total (Catalyst reuses the "
+    "scan)",
     tags=("batch", "join", "subquery"),
 )
 def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,7 +609,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("value").alias("total_value"))
         .join(F.broadcast(total))
         .where(F.round(F.col("total_value"), 6) > F.col("threshold"))
-        .select("ps_partkey", "total_value")
+        .select("ps_partkey", F.round("total_value", 6).alias("total_value"))
     )
 
 

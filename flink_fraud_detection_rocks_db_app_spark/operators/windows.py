@@ -142,40 +142,40 @@ SELECT w_start, {key_sel}{agg_sql} FROM c {group}{f" HAVING {having}" if having 
 
 @register(
     "tumble_sum_3s",
-    oracle=sql_tumble(3_000, "SUM(value) AS sum_amount"),
+    oracle=sql_tumble(3_000, "round(SUM(value), 6) AS sum_amount"),
     doc="EP1: per-account 3s tumbling SUM (CustomTumblingWindow(3000,100), "
     "reference: master/src/main/java/InorderTumblingWindow/FraudDetectionJob.java:68-76)",
     tags=("window", "tumbling", "parity"),
 )
 def tumble_sum_3s(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tumbling(transactions(spark, sf_dir), 3 * MS["s"], [F.sum("amount").alias("sum_amount")])
+    return tumbling(transactions(spark, sf_dir), 3 * MS["s"], [F.round(F.sum("amount"), 6).alias("sum_amount")])
 
 
 @register(
     "tumble_sum_5s",
-    oracle=sql_tumble(5_000, "SUM(value) AS sum_amount"),
+    oracle=sql_tumble(5_000, "round(SUM(value), 6) AS sum_amount"),
     doc="F1's hand-rolled 5s record-buffer tumbling sum "
     "(reference: master/src/main/java/InorderTumblingWindow/FraudDetector.java:35-119)",
     tags=("window", "tumbling", "parity"),
 )
 def tumble_sum_5s(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tumbling(transactions(spark, sf_dir), 5 * MS["s"], [F.sum("amount").alias("sum_amount")])
+    return tumbling(transactions(spark, sf_dir), 5 * MS["s"], [F.round(F.sum("amount"), 6).alias("sum_amount")])
 
 
 @register(
     "tumble_sum_5m",
-    oracle=sql_tumble(5 * 60_000, "SUM(value) AS sum_amount"),
+    oracle=sql_tumble(5 * 60_000, "round(SUM(value), 6) AS sum_amount"),
     doc="WA7 oracle config: built-in TumblingEventTimeWindows.of(5 min) + sum "
     "(reference: master/src/test/java/CustomTumblingWindowTest.java:59-64)",
     tags=("window", "tumbling", "parity"),
 )
 def tumble_sum_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tumbling(transactions(spark, sf_dir), 5 * MS["m"], [F.sum("amount").alias("sum_amount")])
+    return tumbling(transactions(spark, sf_dir), 5 * MS["m"], [F.round(F.sum("amount"), 6).alias("sum_amount")])
 
 
 @register(
     "tumble_mean_3s",
-    oracle=sql_tumble(3_000, "AVG(value) AS mean_amount, COUNT(*) AS n_events"),
+    oracle=sql_tumble(3_000, "round(AVG(value), 6) AS mean_amount, COUNT(*) AS n_events"),
     doc="A2/A3 IncrementalMeanAggregate on tumbling windows "
     "(reference: master/src/main/java/InorderSlidingWindow/FraudDetectionJob.java:137-172)",
     tags=("window", "tumbling", "parity"),
@@ -184,7 +184,7 @@ def tumble_mean_3s(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling(
         transactions(spark, sf_dir),
         3 * MS["s"],
-        [F.avg("amount").alias("mean_amount"), F.count("*").alias("n_events")],
+        [F.round(F.avg("amount"), 6).alias("mean_amount"), F.count("*").alias("n_events")],
     )
 
 
@@ -192,8 +192,8 @@ def tumble_mean_3s(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tumble_stats_1h",
     oracle=sql_tumble(
         3_600_000,
-        "SUM(value) AS sum_amount, AVG(value) AS mean_amount, COUNT(*) AS n_events, "
-        "MIN(value) AS min_amount, MAX(value) AS max_amount",
+        "round(SUM(value), 6) AS sum_amount, round(AVG(value), 6) AS mean_amount, "
+        "COUNT(*) AS n_events, MIN(value) AS min_amount, MAX(value) AS max_amount",
     ),
     doc="Dense-window variant (hourly) so aggregates combine many rows; "
     "exercises partial/final agg like A1-A3 merge paths",
@@ -204,8 +204,8 @@ def tumble_stats_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         transactions(spark, sf_dir),
         MS["h"],
         [
-            F.sum("amount").alias("sum_amount"),
-            F.avg("amount").alias("mean_amount"),
+            F.round(F.sum("amount"), 6).alias("sum_amount"),
+            F.round(F.avg("amount"), 6).alias("mean_amount"),
             F.count("*").alias("n_events"),
             F.min("amount").alias("min_amount"),
             F.max("amount").alias("max_amount"),
@@ -218,46 +218,46 @@ def tumble_stats_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "slide_mean_50s_10s",
-    oracle=sql_slide(50_000, 10_000, "AVG(value) AS mean_amount"),
+    oracle=sql_slide(50_000, 10_000, "round(AVG(value), 6) AS mean_amount"),
     doc="EP2: pane-sliced sliding mean, size 50s slide 10s "
     "(reference: master/src/main/java/InorderSlidingWindow/FraudDetectionJob.java:77-83)",
     tags=("window", "sliding", "parity"),
 )
 def slide_mean_50s_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding(
-        transactions(spark, sf_dir), 50 * MS["s"], 10 * MS["s"], [F.avg("amount").alias("mean_amount")]
+        transactions(spark, sf_dir), 50 * MS["s"], 10 * MS["s"], [F.round(F.avg("amount"), 6).alias("mean_amount")]
     )
 
 
 @register(
     "slide_sum_5m_1m",
-    oracle=sql_slide(5 * 60_000, 60_000, "SUM(value) AS sum_amount"),
+    oracle=sql_slide(5 * 60_000, 60_000, "round(SUM(value), 6) AS sum_amount"),
     doc="WA8: built-in SlidingEventTimeWindows.of(5 min, 1 min) + sum "
     "(reference: master/src/test/java/CustomSlidingWindowTest.java:61)",
     tags=("window", "sliding", "parity"),
 )
 def slide_sum_5m_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding(
-        transactions(spark, sf_dir), 5 * MS["m"], MS["m"], [F.sum("amount").alias("sum_amount")]
+        transactions(spark, sf_dir), 5 * MS["m"], MS["m"], [F.round(F.sum("amount"), 6).alias("sum_amount")]
     )
 
 
 @register(
     "global_slide_mean_5m_1m",
-    oracle=sql_slide(5 * 60_000, 60_000, "AVG(value) AS mean_amount", key=False),
+    oracle=sql_slide(5 * 60_000, 60_000, "round(AVG(value), 6) AS mean_amount", key=False),
     doc="WA9: non-keyed windowAll sliding mean "
     "(reference: GraphSolution-Prometheus-SlidingWindows/src/main/java/spendreport/FraudDetectionJob.java:108-113)",
     tags=("window", "sliding", "global", "parity"),
 )
 def global_slide_mean_5m_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding(
-        transactions(spark, sf_dir), 5 * MS["m"], MS["m"], [F.avg("amount").alias("mean_amount")], key=None
+        transactions(spark, sf_dir), 5 * MS["m"], MS["m"], [F.round(F.avg("amount"), 6).alias("mean_amount")], key=None
     )
 
 
 @register(
     "slide_sum_50s_10s_paned",
-    oracle=sql_slide(50_000, 10_000, "SUM(value) AS sum_amount, COUNT(*) AS n_events"),
+    oracle=sql_slide(50_000, 10_000, "round(SUM(value), 6) AS sum_amount, COUNT(*) AS n_events"),
     doc="WA2/WA3 pane-slicing strategy, faithfully as a two-level aggregate: "
     "rows -> gcd(size,slide)=10s panes (partial sum/count) -> windows "
     "(reference: SlidingWIndowSlicingStrategy/CustomSlidingWindow.java:15-103, "
@@ -292,7 +292,7 @@ def slide_sum_50s_10s_paned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w_start"),
     ).where(F.col("w_start") > F.col("pane_ms") + F.lit(pane_ms - 1) - size_ms)
     return expanded.groupBy("w_start", "account_id").agg(
-        F.sum("p_sum").alias("sum_amount"), F.sum("p_cnt").alias("n_events")
+        F.round(F.sum("p_sum"), 6).alias("sum_amount"), F.sum("p_cnt").alias("n_events")
     )
 
 
@@ -315,7 +315,7 @@ o AS (
   FROM e
 ),
 s AS (SELECT *, SUM(brk) OVER ({part} ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid FROM o)
-SELECT MIN(tus) // 1000 AS w_start, {key_sel}SUM(value) AS sum_amount, COUNT(*) AS n_events
+SELECT MIN(tus) // 1000 AS w_start, {key_sel}round(SUM(value), 6) AS sum_amount, COUNT(*) AS n_events
 FROM s {group}
 """
 
@@ -331,7 +331,7 @@ def session_sum_user_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = transactions(spark, sf_dir)
     out = df.groupBy(
         F.session_window("event_time", "6 hours").alias("w"), F.col("account_id")
-    ).agg(F.sum("amount").alias("sum_amount"), F.count("*").alias("n_events"))
+    ).agg(F.round(F.sum("amount"), 6).alias("sum_amount"), F.count("*").alias("n_events"))
     return out.select(
         F.unix_millis(F.col("w.start")).alias("w_start"),
         "account_id",
@@ -349,7 +349,7 @@ def session_sum_user_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
 def session_sum_global_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = transactions(spark, sf_dir).withColumn("g", F.lit(1))
     out = df.groupBy(F.session_window("event_time", "10 minutes").alias("w"), "g").agg(
-        F.sum("amount").alias("sum_amount"), F.count("*").alias("n_events")
+        F.round(F.sum("amount"), 6).alias("sum_amount"), F.count("*").alias("n_events")
     )
     return out.select(
         F.unix_millis(F.col("w.start")).alias("w_start"), "sum_amount", "n_events"

@@ -454,7 +454,26 @@ def _bounded_state_decode(raw, codec: str) -> dict[int, dict[int, float]]:
     else:
         import pickle
 
-        ver, wins = pickle.loads(bytes(raw))
+        # A truncated/corrupt state row must surface the same versioned
+        # "fresh checkpoint dir" message the JSON arm gives, not an
+        # opaque UnpicklingError (ADVICE r10). The decoded object is
+        # validated as a (version, wins-dict) 2-tuple before unpacking.
+        try:
+            decoded = pickle.loads(bytes(raw))
+        except Exception as e:
+            raise ValueError(
+                "record_buffer_bounded_tumbling_stream: checkpoint state "
+                f"bytes undecodable ({e.__class__.__name__}) — expected "
+                f"v{BOUNDED_BUFFER_STATE_V} pickle state; start from a "
+                "fresh checkpoint dir"
+            ) from e
+        if not (isinstance(decoded, tuple) and len(decoded) == 2):
+            raise ValueError(
+                "record_buffer_bounded_tumbling_stream: checkpoint state "
+                f"shape {type(decoded).__name__!r} != (version, wins) — "
+                "start from a fresh checkpoint dir"
+            )
+        ver, wins = decoded
     if ver != BOUNDED_BUFFER_STATE_V:
         raise ValueError(
             "record_buffer_bounded_tumbling_stream: checkpoint state "

@@ -70,18 +70,29 @@ def main() -> None:
                 )
                 stats = run_to_memory(agg, f"ab_wa4_{codec}_{i}_{uuid.uuid4().hex[:6]}")
                 rate = round(stats["rows"] / stats["sec"], 1) if stats["sec"] else None
-                results[codec].append(
-                    {"rows": stats["rows"], "sec": stats["sec"], "rows_per_sec": rate}
-                )
-                print(f"run{i} {codec:6s} {stats['rows']:>10d} rows "
-                      f"{stats['sec']:7.2f}s  {rate} rows/s", flush=True)
+                rec = {"rows": stats["rows"], "sec": stats["sec"], "rows_per_sec": rate}
+                results[codec].append(rec)
+                # per-run JSON line so partial data survives a crash
+                print(json.dumps({"run": i, "codec": codec, **rec}), flush=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    best = {c: max(r["rows_per_sec"] for r in rs) for c, rs in results.items()}
+    # a sec==0 run has no usable rate (rows_per_sec=None) — treat it as
+    # failed for best/ratio so a full probe's results aren't lost to a
+    # TypeError at the summary step (ADVICE r10)
+    best = {
+        c: max((r["rows_per_sec"] for r in rs if r["rows_per_sec"] is not None),
+               default=None)
+        for c, rs in results.items()
+    }
+    ratio = (
+        round(best["pickle"] / best["json"], 3)
+        if best["pickle"] is not None and best["json"] not in (None, 0)
+        else None
+    )
     print(json.dumps({
         "sf_dir": sf_dir, "densify": densify, "runs": runs,
         "results": results, "best_rows_per_sec": best,
-        "pickle_over_json": round(best["pickle"] / best["json"], 3),
+        "pickle_over_json": ratio,
     }))
     spark.stop()
 

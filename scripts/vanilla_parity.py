@@ -1,12 +1,15 @@
 """Driver-conditions parity: like check_parity.py but on a VANILLA
 SparkSession (no tuned confs, default state store, host timezone) —
 the session shape the external driver actually builds. Rotation
-candidates should pass here BEFORE taking a DRIVER_WINDOW slot; r10
-used this to pre-validate all 21 rotated-in rows (21/21) and the r11
-re-gate queue (14/14).
+candidates must pass here BEFORE taking a DRIVER_WINDOW slot.
+
+Comparison is EXACT (driver-style, no float tolerance) — r10's q11
+red passed the tolerant gate 21/21 and still failed the driver's
+value hash on a 1-ULP summation-order drift; this script now matches
+the driver's strictness so that cannot recur.
 
 Usage: python scripts/vanilla_parity.py [sf_dir] [name ...]
-(defaults: sf0.01, the current DRIVER_WINDOW)
+(sf_dir only as argv[1]; defaults: sf0.01, the current DRIVER_WINDOW)
 """
 
 from __future__ import annotations
@@ -26,8 +29,14 @@ from flink_fraud_detection_rocks_db_app_spark.registry import DRIVER_WINDOW, all
 
 def main() -> int:
     args = sys.argv[1:]
-    sf_dir = args[0] if args and args[0].startswith("/") else "/root/testdata/sf0.01"
-    names = [a for a in args if not a.startswith("/")] or list(DRIVER_WINDOW)
+    # sf_dir is strictly positional (argv[1]); everything after it is a
+    # query name and unknown names fail on the specs[n] lookup rather
+    # than being silently dropped.
+    if args and args[0].startswith("/"):
+        sf_dir, names = args[0], args[1:]
+    else:
+        sf_dir, names = "/root/testdata/sf0.01", args
+    names = names or list(DRIVER_WINDOW)
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.ui.enabled", "false")
@@ -48,7 +57,8 @@ def main() -> int:
             else:
                 cur = con.execute(spec.oracle)
                 err = compare(
-                    srows, scols, cur.fetchall(), [d[0] for d in cur.description]
+                    srows, scols, cur.fetchall(),
+                    [d[0] for d in cur.description], exact=True,
                 )
                 tag = "OK" if err is None else f"FAIL {err}"
         except Exception as e:  # noqa: BLE001 — per-query record, never abort

@@ -986,6 +986,78 @@ def test_bucketed_asof_snapshot_equals_array_form(spark):
         )
 
 
+def test_bucketed_asof_enrich_raises_past_horizon(spark):
+    """Fail-loudly contract (ADVICE r10): an event whose bucket lies past
+    the snapshot's dense spine must RAISE, not silently enrich to NULL —
+    a stale snapshot producing wrong NULLs would contradict the repo's
+    PQ-codebook/append-guard convention. Also: an empty snapshot refuses
+    up front."""
+    import pytest
+    from pyspark.sql.utils import PythonException
+    from flink_fraud_detection_rocks_db_app_spark.operators.asof import (
+        bucketed_asof_snapshot,
+        enrich_events_asof_bucketed,
+        orders_asof_flat,
+    )
+
+    bucket_ms = 86_400_000
+    orders = orders_asof_flat(spark, SF_SMALL)
+    horizon = orders.agg(F.max("o_ms")).first()[0]
+    snap = bucketed_asof_snapshot(orders, bucket_ms, horizon)
+    # one event safely past the snapshot's end bucket for a user with
+    # earlier orders — the exact silent-NULL case the guard closes
+    uid = orders.select("user_id").first()[0]
+    late = spark.createDataFrame(
+        [(uid, 1, horizon + 10 * bucket_ms)], "account_id long, event_id long, t_ms long"
+    )
+    with pytest.raises(Exception) as exc:
+        enrich_events_asof_bucketed(late, snap, bucket_ms).collect()
+    assert "horizon violated" in str(exc.value)
+    # in-horizon events still enrich (the guard is scan-side, not a gate
+    # on the whole frame)
+    ok = spark.createDataFrame(
+        [(uid, 2, horizon)], "account_id long, event_id long, t_ms long"
+    )
+    rows = enrich_events_asof_bucketed(ok, snap, bucket_ms).collect()
+    assert len(rows) == 1 and rows[0].asof_orderkey is not None
+    # empty snapshot refuses loudly at build/validate time
+    empty = snap.where(F.lit(False))
+    with pytest.raises(ValueError, match="snapshot is empty"):
+        enrich_events_asof_bucketed(ok, empty, bucket_ms)
+
+
+def test_bounded_state_decode_pickle_corrupt_raises_versioned(spark):
+    """The pickle A/B arm of the WA4 state codec must surface truncated
+    or wrong-shape checkpoint bytes as the SAME versioned 'fresh
+    checkpoint dir' ValueError the JSON arm gives (ADVICE r10), never a
+    raw UnpicklingError."""
+    import pickle
+
+    import pytest
+
+    from flink_fraud_detection_rocks_db_app_spark.streaming.stateful import (
+        BOUNDED_BUFFER_STATE_V,
+        _bounded_state_decode,
+        _bounded_state_encode,
+    )
+
+    wins = {1: {0: 2.5, 3_600_000: 4.0}}
+    # round-trip still works
+    (blob,) = _bounded_state_encode(wins, "pickle")
+    assert _bounded_state_decode(blob, "pickle") == wins
+    # truncated bytes -> versioned ValueError, not UnpicklingError
+    with pytest.raises(ValueError, match="fresh checkpoint dir"):
+        _bounded_state_decode(blob[: len(blob) // 2], "pickle")
+    # wrong shape (not a 2-tuple) -> versioned ValueError
+    with pytest.raises(ValueError, match="fresh checkpoint dir"):
+        _bounded_state_decode(pickle.dumps({"not": "a tuple"}), "pickle")
+    # wrong version -> the existing versioned message
+    with pytest.raises(ValueError, match=f"v{BOUNDED_BUFFER_STATE_V}"):
+        _bounded_state_decode(
+            pickle.dumps((BOUNDED_BUFFER_STATE_V + 1, wins), protocol=5), "pickle"
+        )
+
+
 def test_export_shard_manifest_dense_and_subset_stable(spark):
     """The two properties a training export must hold: (a) positions
     within every shard are dense 0..n-1 (a dataloader can seek by
