@@ -1622,7 +1622,9 @@ def _stream_ivfpq_oracle() -> str:
     "PQ codebook vectors are the deterministic lowest vec_ids — a "
     "deployment trains before any appends exist), its foreachBatch "
     "bootstraps the full asset (centroids/ + codebook/ + the first "
-    "cell-partitioned codes segment), and every later micro-batch is "
+    "cell-partitioned codes segment — built once per fixture content "
+    "through the ensure_index lifecycle and copied on later runs, so "
+    "the timed path is appends + probe), and every later micro-batch is "
     "coarse-assigned AND PQ-encoded under the FROZEN quantizers "
     "through append_to_ivfpq_index's duplicate guard. The probe over "
     "the stream-built asset must match ann_ivfpq_topk's monolithic "
@@ -1745,7 +1747,9 @@ def _stream_semdedup_oracle() -> str:
     "faces: the first arrival chunk carries the base (~7/8) split, "
     "its foreachBatch bootstraps the SemDeDup asset "
     "(write_semdedup_base: Lloyd-trained frozen quantizer + "
-    "cell-partitioned scored frame + base×base dominance losers), and "
+    "cell-partitioned scored frame + base×base dominance losers — "
+    "built once per fixture content via ensure_index, copied on later "
+    "runs so the timed path is appends + verdict), and "
     "each later micro-batch of new vectors flows through "
     "append_to_semdedup_index — scored under the FROZEN centroids, "
     "judged against the touched cells' current members (including "

@@ -392,14 +392,16 @@ def test_bloom_prefilter_matches_exact_decontamination(spark):
 
 def test_blas_ann_matches_jvm_ann(spark):
     """The BLAS matmul path must return the same top-k SET as the JVM
-    zip_with path (cosines may differ in the last ulps from summation
-    order, so compare ids and 9-sig-digit scores)."""
+    zip_with path. The BLAS face emits 6dp-rounded cosines (its blocked
+    summation differs from sequential dots at 1 ULP and the driver
+    hashes exactly — r11 convention), while the JVM face emits raw
+    scores whose fold order matches the oracle; compare both at 6dp."""
     jvm = {
-        (r.query_id, r.neighbor_id, float(f"{r.cosine:.9g}"))
+        (r.query_id, r.neighbor_id, round(r.cosine, 6))
         for r in _rows(spark, "ann_cosine_topk")
     }
     blas = {
-        (r.query_id, r.neighbor_id, float(f"{r.cosine:.9g}"))
+        (r.query_id, r.neighbor_id, round(r.cosine, 6))
         for r in _rows(spark, "ann_cosine_topk_blas")
     }
     assert jvm == blas

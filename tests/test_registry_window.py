@@ -38,8 +38,6 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "strictly more surface than the batch lag-window/funnel folds",
     "funnel": "same rationale as cep — the sorted-array funnel fold "
     "stays full-suite verified",
-    "fingerprint": "winnowing rides the same tokenized scan as the "
-    "driver-gated dedup/text rows and was driver-green r5-r7 (r8)",
     "global": "non-keyed windowAll is the keyed window machinery with a "
     "single global group (no key exchange); keyed sliding/session "
     "faces keep driver rows and windowAll was driver-green r3-r7 (r8)",
@@ -58,29 +56,10 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "multi-grouping aggregate machinery also runs inside the "
     "driver-gated stats/heavy-hitter rows",
     "grouping_sets": "same rationale as cube",
-    "pivot": "five rounds of green driver evidence (r4-r8); the "
-    "pivot/unpivot reshape is a plan-level regrouping of the same "
-    "hash-aggregate machinery every driver row runs; slot went to the "
-    "streaming BM25 ingestion face (r9), both spellings stay "
-    "full-suite verified",
     "projection": "P1/P2 pure projections run inside every driver "
     "row's plan and are plan-tested (scan pruning / pushdown); P2 got "
     "its clean driver re-check in r8 after the r2 fixture-drift red "
     "(r9 rotation)",
-    "split": "the independent-hash Knuth split gate held green "
-    "r4b-r8; the identical gate machinery keeps THREE driver rows via "
-    "temperature_resample_docs, mixture_apply_docs and "
-    "curriculum_quality_buckets (r9 rotation)",
-    "sql": "the spark.sql() text-API faces compile to the IDENTICAL "
-    "plans and share oracles with their DataFrame twins "
-    "(sql_tumble_sum_3s held green r3-r8); the sqlapi suite pins "
-    "text-vs-DataFrame plan equality and full-registry parity covers "
-    "all sql_* faces every round (r9 rotation)",
-    "export": "r10-new face (export_shard_manifest): the Knuth-hash "
-    "assignment gate machinery holds THREE driver rows via "
-    "temperature/mixture/curriculum history and the r10 window's "
-    "mixture + curriculum rows; the manifest composition is suite-"
-    "gated with a full oracle and queued for the r11 window",
     "chunking": "doc_chunk_windows held green driver rows r7b-r9; the "
     "scan-local token-window slice/explode stays plan-tested "
     "(zero-exchange) and full-suite verified; its slot went to "
@@ -114,11 +93,18 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "by driver-gated top-k window rows (established r4 rationale)",
     "unpivot": "inverse of the pivot reshape (same rationale as "
     "pivot above)",
-    "iterative": "the connected_components min-label iteration builds "
-    "the materialized ensure_cc_labels asset the driver-gated "
-    "dedup_keep_best_per_cluster row reads (same pruned pairs -> same "
-    "CC fixpoint, oracle-checked through the recursive-CTE transitive "
-    "closure; r7 rationale updated for the r8 asset form)",
+    "lsh": "ann_lsh_recall_at_k held green r10 (bucket-collision loss) "
+    "and rotated out in the r11 quartet collapse — the shared "
+    "recall-oracle machinery keeps its driver row via "
+    "ann_ivfpq_recall_at_k; minhash-LSH pair generation held green "
+    "r2-r7 (dedup_minhash_lsh) + r5-r9 (dedup_incremental_lsh) and "
+    "stays full-suite verified with the append contract "
+    "(r11 rotation)",
+    "sort": "order-by-limit (TakeOrderedAndProject) ran green through "
+    "r10 via tpch_q3/q10 and the identical top-k machinery runs "
+    "inside the driver-gated mlt_bm25_topk and every ANN top-k row; "
+    "the TPC-H sort rows rotated out green in r11 "
+    "(r11 rotation)",
     "setop": "EXCEPT lowers to the same physical left-anti join the "
     "driver-gated tpch_q21 NOT EXISTS half plans (r7 rotation "
     "rationale); the EXCEPT spelling stays full-suite verified",
