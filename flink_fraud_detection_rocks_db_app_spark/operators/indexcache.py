@@ -20,6 +20,16 @@ silently reusing a stale one, and concurrent builders race safely:
 The lifecycle (reuse without rewrite, stale prune sparing temps, race
 loser, real failure) is pinned by tests/test_ivf_index_lifecycle.py,
 which drives this module through ensure_ivf_index.
+
+`compact_parquet_table` is the other half of the append story: every
+per-micro-batch append (BM25 postings/stats segments, IVF/IVFPQ cell
+lists) accretes part-files, and at 100 TB the small-files cost —
+listing, footer reads, task-per-file scheduling — grows with BATCH
+COUNT even though data volume doesn't. Compaction rewrites the table
+to one file per partition (plus an optional associative pre-merge for
+segment rows the reader aggregates anyway), behind the same crash-safe
+whole-directory swap pipeline.compact_prep_ledger established —
+probe results are preserved by construction and pinned by test.
 """
 
 from __future__ import annotations
@@ -113,3 +123,58 @@ def ensure_index(
             if sib.startswith(prefix) and sib != os.path.basename(idx):
                 shutil.rmtree(os.path.join(parent, sib), ignore_errors=True)
     return idx
+
+
+def _parquet_part_files(table_dir: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(table_dir):
+        out.extend(
+            os.path.join(root, f) for f in files if f.endswith(".parquet")
+        )
+    return out
+
+
+def compact_parquet_table(
+    spark,
+    table_dir: str,
+    partition_col: str | None = None,
+    merge=None,
+) -> int:
+    """Rewrite an append-accreted parquet table as its compact
+    equivalent: one part-file per `partition_col` value (or one file
+    total), optionally pre-merging rows with `merge(df) -> df` when the
+    downstream reader aggregates them associatively anyway (the BM25
+    stats rows — the probe sums them, so compact-then-probe ==
+    probe). Crash-safe whole-directory swap (the compact_prep_ledger
+    pattern): a crash leaves either the old table intact or the new one
+    published. Returns the number of part-files compacted away
+    (0 = already compact, no-op)."""
+    from pyspark.sql import functions as F
+
+    files_before = _parquet_part_files(table_dir)
+    df = spark.read.parquet(table_dir)
+    if merge is not None:
+        merged = merge(df)
+        if len(files_before) <= 1 and df.count() == merged.count():
+            return 0
+        df = merged
+    tmp = f"{table_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    if partition_col:
+        if merge is None:
+            n_parts = df.select(partition_col).distinct().count()
+            if len(files_before) <= n_parts:
+                return 0
+        # repartition on the partition column: every value's rows land
+        # in one task, so partitionBy writes exactly one file per value
+        df.repartition(F.col(partition_col)).write.mode("overwrite").partitionBy(
+            partition_col
+        ).parquet(tmp)
+    else:
+        if merge is None and len(files_before) <= 1:
+            return 0
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    old = f"{table_dir}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(table_dir, old)
+    os.rename(tmp, table_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return max(0, len(files_before) - len(_parquet_part_files(table_dir)))

@@ -565,6 +565,23 @@ def append_to_ivf_index(vectors: DataFrame, index_path: str) -> None:
     )
 
 
+def compact_ivf_lists(spark: SparkSession, index_path: str) -> int:
+    """Compact an append-accreted incremental IVF index's inverted
+    lists to one file per cell partition (centroids/ untouched — the
+    frozen quantizer is one small file already). Assignment rows are
+    plain data (no merge needed); the probe's literal-cell
+    PartitionFilters and neighbor results are unchanged by layout
+    (pinned by test). Small-files counterpart of append_to_ivf_index's
+    ∝-batch appends. Returns part-files removed."""
+    import os
+
+    from .indexcache import compact_parquet_table
+
+    return compact_parquet_table(
+        spark, os.path.join(index_path, "lists"), partition_col="cell"
+    )
+
+
 @register(
     "ann_ivf_incremental_topk",
     oracle=_IVF_ORACLE,

@@ -853,6 +853,31 @@ def append_to_bm25_index(docs: DataFrame, index_path: str) -> None:
     _write_bm25_segment(docs, index_path, "append")
 
 
+def compact_bm25_index(spark: SparkSession, index_path: str) -> int:
+    """Compact an append-accreted BM25 index in place: postings rewrite
+    to one file per term bucket, and the per-segment exact-integer
+    stats rows PRE-MERGE to one total row — legal because the probe
+    (_probe_bm25_index) aggregates them associatively, so
+    compact-then-probe == probe (pinned by test). This is the
+    small-files half of the appending-corpus contract: per-micro-batch
+    appends keep ingestion cost ∝ batch, and periodic compaction keeps
+    probe-time listing/footer/task cost ∝ |buckets| instead of
+    ∝ batches-ever-ingested. Returns part-files removed."""
+    from .indexcache import compact_parquet_table
+
+    n = compact_parquet_table(
+        spark, os.path.join(index_path, "postings"), partition_col="tbucket"
+    )
+    n += compact_parquet_table(
+        spark,
+        os.path.join(index_path, "stats"),
+        merge=lambda df: df.agg(
+            F.sum("sum_dl").alias("sum_dl"), F.sum("n_docs").alias("n_docs")
+        ),
+    )
+    return n
+
+
 def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
     """Build-once-if-absent with atomic publish + stale prune — the
     same hardened lifecycle as the IVF index (indexcache.ensure_index,
