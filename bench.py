@@ -231,6 +231,12 @@ HEADLINE = [
     # round 10: the IVFPQ index maintained under streaming ingestion —
     # the compressed-domain (deployed) form of the IVF ingest face
     "stream_ivfpq_ingest_replay",
+    # round 11: the full append-lifecycle composition — base -> append
+    # -> COMPACT -> append ×2 -> compact, probed against the same
+    # full-corpus oracle (small-files control without rebuilds or
+    # quiescence); warm runs reuse the content-keyed asset so the row
+    # prices the probe, not the lifecycle replay
+    "bm25_compacted_index_topk",
 ]
 
 

@@ -990,3 +990,37 @@ def bm25_incremental_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = ensure_index("bm25incr", sf_dir, "documents", build)
     return _probe_bm25_index(spark, idx)
+
+
+@register(
+    "bm25_compacted_index_topk",
+    oracle=_BM25_ORACLE,
+    doc="The full append-lifecycle composition: base build -> append -> "
+    "COMPACT (postings rewritten to one file per term bucket, the "
+    "per-segment exact-integer stats rows pre-merged to one total) -> "
+    "two more appends -> compact again, probed against the SAME "
+    "full-corpus oracle as every other BM25 face. Legal because both "
+    "the stats merge and the postings layout are associative/neutral "
+    "to the probe's aggregation — so compaction can run at ANY point "
+    "in an index's life without moving a score or a rank. This is the "
+    "operational story at 100 TB: per-micro-batch appends keep "
+    "ingestion ∝ batch, periodic compaction keeps probe cost "
+    "∝ |buckets| instead of ∝ batches-ever-ingested, and neither ever "
+    "requires a rebuild or a quiescent index.",
+    tags=("text", "join", "warehouse", "incremental"),
+)
+def bm25_compacted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .indexcache import ensure_index
+
+    def build(tmp: str) -> None:
+        docs = load(spark, sf_dir, "documents")
+        part = F.pmod(F.xxhash64("doc_id"), F.lit(4))
+        _write_bm25_segment(docs.where(part == 0), tmp, "overwrite")
+        append_to_bm25_index(docs.where(part == 1), tmp)
+        compact_bm25_index(spark, tmp)  # mid-lifecycle compaction
+        append_to_bm25_index(docs.where(part == 2), tmp)
+        append_to_bm25_index(docs.where(part == 3), tmp)
+        compact_bm25_index(spark, tmp)
+
+    idx = ensure_index("bm25compact", sf_dir, "documents", build)
+    return _probe_bm25_index(spark, idx)
