@@ -145,6 +145,96 @@ def _mlt_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mlt_scored_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_mlt_scored against the MATERIALIZED BM25 index — the 100 TB
+    deployment form the scan face's docstring promises: qtf IS the
+    query docs' postings rows, candidate-term df aggregates the pruned
+    postings, corpus tf/dl read straight off the posting rows, and
+    avgdl/n_docs derive from the index's exact-integer stats — the
+    corpus text is never read or tokenized. Both term-bounded scans
+    prune to the literal term buckets the candidate terms hash into
+    (bounded driver collect: ≤ the query docs' vocabulary, the same
+    contract as the probe-cell sets). Score-identical to the scan form
+    by construction (same tokenization wrote the index; exact-integer
+    stats divide to the same avgdl), so it shares _MLT_ORACLE."""
+    import os
+
+    from .text import BM25_TERM_BUCKETS, ensure_bm25_index
+
+    idx = ensure_bm25_index(spark, sf_dir)
+    postings_all = spark.read.parquet(os.path.join(idx, "postings"))
+    stats = (
+        spark.read.parquet(os.path.join(idx, "stats"))
+        .agg(F.sum("sum_dl").alias("sum_dl"), F.sum("n_docs").alias("n_docs"))
+        .select(
+            (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+            "n_docs",
+        )
+    )
+    qtf = postings_all.where(F.col("doc_id") < MLT_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "term", F.col("tf").alias("qtf")
+    )
+    # bounded collect (≤ the query docs' vocabulary): literal buckets
+    # let the parquet source prune unprobed term partitions
+    cand = sorted({r.term for r in qtf.select("term").distinct().collect()})
+    cand_buckets = sorted(
+        {
+            r.b
+            for r in spark.createDataFrame([(t,) for t in cand], "term string")
+            .select(F.pmod(F.xxhash64("term"), F.lit(BM25_TERM_BUCKETS)).alias("b"))
+            .collect()
+        }
+    )
+    pruned = postings_all.where(F.col("tbucket").isin(cand_buckets)).where(
+        F.col("term").isin(cand)
+    )
+    df = pruned.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    interest = (
+        qtf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .withColumn("tscore", F.round(F.expr(f"qtf * {_IDF}"), 6))
+        .withColumn(
+            "trk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("tscore"), F.asc("term")
+                )
+            ),
+        )
+        .where(F.col("trk") <= MLT_TERMS)
+        .select("query_id", "term", "df")
+    )
+    contrib = (
+        pruned.join(F.broadcast(interest), "term")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", "term", F.expr(_BM25_CONTRIB).alias("c"))
+    )
+    return contrib.groupBy(
+        "query_id", F.col("doc_id").alias("neighbor_id")
+    ).agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ),
+            6,
+        ).alias("mlt_bm25")
+    )
+
+
+def _mlt_ranked_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("mlt_bm25"), F.asc("neighbor_id")
+    )
+    return (
+        _mlt_scored_indexed(spark, sf_dir)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= MLT_TOP_K)
+    )
+
+
 # ---- shared oracle CTEs: the full MLT replay --------------------------
 _MLT_CTES = f"""
 dl AS (
@@ -226,6 +316,25 @@ FROM mlt_ranked
 )
 def mlt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mlt_ranked(spark, sf_dir).select(
+        "query_id", "neighbor_id", "mlt_bm25", F.col("rk").cast("long").alias("rk")
+    )
+
+
+@register(
+    "mlt_bm25_topk_indexed",
+    oracle=_MLT_ORACLE,
+    doc="More-like-this against the MATERIALIZED BM25 index — the "
+    "deployment form the scan face documents: qtf comes from the query "
+    "docs' own posting rows, candidate-term df from the bucket-pruned "
+    "postings, corpus tf/dl off the posting rows, avgdl/n_docs from "
+    "the exact-integer stats — the corpus text is never read or "
+    "re-tokenized, and both term scans prune to literal term buckets "
+    "(PartitionFilters). Same oracle as mlt_bm25_topk: the index "
+    "layout must not move a score or a rank.",
+    tags=("text", "retrieval", "join", "warehouse"),
+)
+def mlt_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mlt_ranked_indexed(spark, sf_dir).select(
         "query_id", "neighbor_id", "mlt_bm25", F.col("rk").cast("long").alias("rk")
     )
 
@@ -513,7 +622,12 @@ def hybrid_overlap_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached frame), so repeated monitor runs in a long-lived driver
     # session don't accumulate cached partitions (the
     # write_semdedup_base/append_to_semdedup_index discipline).
-    lex = _mlt_ranked(spark, sf_dir).persist()
+    # The lex arm reads the MATERIALIZED BM25 index (score-identical to
+    # the scan form, same _MLT oracle CTEs): in production this monitor
+    # runs AFTER an index rebuild/retrain, exactly when the index
+    # exists — and locally it drops the triple corpus re-tokenization
+    # the scan arm pays per run.
+    lex = _mlt_ranked_indexed(spark, sf_dir).persist()
     exact_h = _rrf_fuse(lex, _sem_ranked(spark, sf_dir)).select(
         "query_id", "neighbor_id"
     )
