@@ -177,8 +177,12 @@ BNLJ_OK = {
     # same one-row stats broadcast, read from the index's stats table
     "bm25_query_topk_indexed",
     "bm25_incremental_index_topk",
+    # same probe (same one-row stats broadcast) over the compacted index
+    "bm25_compacted_index_topk",
     # same one-row (avgdl, N) stats broadcast inside the MLT arm
     "mlt_bm25_topk",
+    # same broadcasts with tf/df/dl read from the index's postings
+    "mlt_bm25_topk_indexed",
     # inherits the MLT stats broadcast + the bounded exact-cosine
     # query-frame cross-broadcast (the ann_cosine_topk form)
     "hybrid_rrf_topk",
