@@ -237,6 +237,10 @@ HEADLINE = [
     # quiescence); warm runs reuse the content-keyed asset so the row
     # prices the probe, not the lifecycle replay
     "bm25_compacted_index_topk",
+    # round 11: MLT served from the materialized BM25 index — no corpus
+    # read or re-tokenization; qtf/df/tf/dl off the posting rows,
+    # bucket-pruned (the form the hybrid overlap monitor now runs)
+    "mlt_bm25_topk_indexed",
 ]
 
 

@@ -97,10 +97,11 @@ def _rows(spark, name):
         vals = []
         for v in r:
             # double summation order may legitimately differ between
-            # schedules; compare at 12 SIGNIFICANT digits (%.12g —
-            # relative, so large-magnitude sums get the same tolerance
-            # as small ones; still far tighter than the driver's own
-            # fp tolerance)
+            # schedules for the few bit-exact-fold outputs that stay
+            # unrounded by design; compare at 12 SIGNIFICANT digits
+            # (%.12g — relative). Emitted float aggregates are
+            # 6dp-rounded since r11 (the driver hashes exactly), so
+            # for those this comparison is effectively exact.
             vals.append(float(f"{v:.12g}") if isinstance(v, float) else v)
         out.append(tuple(vals))
     return sorted(out, key=repr)
