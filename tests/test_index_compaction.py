@@ -101,3 +101,75 @@ def test_ivf_compaction_preserves_probe(spark, scratch):
 
     assert compact_ivf_lists(spark, idx) == 0
     assert probe() == before
+
+
+def test_bm25_ingest_restart_compact_resume(spark, scratch):
+    """The operational composition: ingest part of the corpus through
+    the streaming foreachBatch appender, STOP, compact the index, then
+    RESUME the same checkpoint with new arrivals. Compaction between
+    ingestion sessions must (a) not trip the duplicate-append guard —
+    the compacted postings still carry every ingested doc_id — and
+    (b) leave the final probe hash-equal to a monolithic full-corpus
+    build. This is why compaction needs no quiescent index: appends
+    and compaction commute through the associative stats merge."""
+    import time
+
+    from flink_fraud_detection_rocks_db_app_spark.operators.text import (
+        _probe_bm25_index,
+        _write_bm25_segment,
+        append_to_bm25_index,
+        compact_bm25_index,
+    )
+
+    docs = load(spark, SF_SMALL, "documents")
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(3))
+    src = os.path.join(scratch, "arrivals")
+    idx = os.path.join(scratch, "idx")
+    ckpt = os.path.join(scratch, "ckpt")
+
+    def arrive(i: int, mtime: float) -> None:
+        docs.where(part == i).coalesce(1).write.mode("append").parquet(src)
+        for f in os.listdir(src):  # ascending mtimes: FileStreamSource order
+            p = os.path.join(src, f)
+            if f.endswith(".parquet") and os.path.getmtime(p) > mtime:
+                os.utime(p, (mtime, mtime))
+
+    def sink(batch, _bid):
+        if batch.isEmpty():
+            return
+        if os.path.isdir(os.path.join(idx, "postings")):
+            append_to_bm25_index(batch, idx)
+        else:
+            _write_bm25_segment(batch, idx, "overwrite")
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    base = time.time()
+    arrive(0, base)
+    arrive(1, base + 1)
+    run_stream()  # two micro-batches ingested
+    assert spark.read.parquet(os.path.join(idx, "stats")).count() == 2
+
+    assert compact_bm25_index(spark, idx) > 0  # between sessions
+    assert spark.read.parquet(os.path.join(idx, "stats")).count() == 1
+
+    arrive(2, base + 2)
+    run_stream()  # resume the SAME checkpoint; only the new file runs
+    # one compacted row + one appended segment row
+    assert spark.read.parquet(os.path.join(idx, "stats")).count() == 2
+
+    mono = os.path.join(scratch, "mono")
+    _write_bm25_segment(docs, mono, "overwrite")
+    assert _sorted_rows(_probe_bm25_index(spark, idx)) == _sorted_rows(
+        _probe_bm25_index(spark, mono)
+    )
