@@ -241,6 +241,13 @@ HEADLINE = [
     # read or re-tokenization; qtf/df/tf/dl off the posting rows,
     # bucket-pruned (the form the hybrid overlap monitor now runs)
     "mlt_bm25_topk_indexed",
+    # round 11: the two new index-health monitors — IVF cell-occupancy
+    # balance (partition-column-only scan of the materialized index;
+    # warm runs reuse the published asset) and the dedup pillar's
+    # banding recall (true Jaccard pairs vs banded-simhash candidates,
+    # full-mechanics md5 replay)
+    "ann_ivf_balance_monitor",
+    "dedup_simhash_band_recall",
 ]
 
 

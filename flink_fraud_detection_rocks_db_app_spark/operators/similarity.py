@@ -321,8 +321,11 @@ IVF_NPROBE = 2
 # probing and rerank are all plain dot-product SQL — no hashing
 # anywhere, so the oracle needs no reconciliation at all. Shared by
 # the in-plan form (ann_ivf_topk) and the materialized-index form
-# (ann_ivf_topk_indexed): same result contract.
-_IVF_ORACLE = f"""
+# (ann_ivf_topk_indexed): same result contract. The e/cents/assigned
+# prefix is shared verbatim with the cell-occupancy balance monitor
+# (ann_ivf_balance_monitor) — one definition of the
+# quantizer-assignment semantics.
+_IVF_ASSIGN_CTES = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
@@ -336,7 +339,9 @@ assigned AS (
     PARTITION BY vec_id
     ORDER BY list_dot_product(v, cv) / (norm * cnorm) DESC, cell ASC
   ) = 1
-),
+)"""
+
+_IVF_ORACLE = f"""{_IVF_ASSIGN_CTES},
 q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e WHERE vec_id < {N_QUERIES}),
 probes AS (
   SELECT query_id, qv, qnorm, cell
@@ -1028,6 +1033,74 @@ _RECALL_ORACLE = recall_oracle(_IVF_ORACLE)
 )
 def ann_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_vs_exact(spark, sf_dir, ann_ivf_topk(spark, sf_dir))
+
+
+# The second index-health knob next to recall@k: CELL BALANCE. IVF
+# probe cost is ~nprobe/cells of the corpus only if the inverted lists
+# are even; a hot cell makes every probe that touches it scan a
+# corpus-sized list, and a dead cell is wasted quantizer capacity —
+# both are the "re-train the coarse quantizer" trigger a deployment
+# watches (FAISS imbalance_factor; reference parity anchor: the same
+# per-key state-size skew a Flink RocksDB operator monitors per
+# keyGroup, master/src/main/java/InorderTumblingWindow/FraudDetectionJob.java
+# keyBy fan-out).
+IVF_HOT_FACTOR = 2  # a cell holding > 2x the mean occupancy is "hot"
+
+
+@register(
+    "ann_ivf_balance_monitor",
+    oracle=f"""{_IVF_ASSIGN_CTES},
+occ AS (SELECT cell, COUNT(*)::BIGINT AS n_vectors FROM assigned GROUP BY cell),
+tot AS (SELECT SUM(n_vectors)::BIGINT AS total FROM occ)
+SELECT c.cell,
+       COALESCE(o.n_vectors, 0)::BIGINT AS n_vectors,
+       round((COALESCE(o.n_vectors, 0) * {IVF_CELLS})::DOUBLE / total::DOUBLE, 6)
+         AS load_ratio,
+       (COALESCE(o.n_vectors, 0) * {IVF_CELLS} > {IVF_HOT_FACTOR} * total) AS hot,
+       (COALESCE(o.n_vectors, 0) = 0) AS dead
+FROM cents c LEFT JOIN occ o USING (cell) CROSS JOIN tot
+""",
+    doc=f"IVF index-health monitor: per-cell occupancy of the "
+    "MATERIALIZED inverted lists (ensure_ivf_index) with "
+    f"load_ratio = n_vectors x {IVF_CELLS} / total and the re-train "
+    f"triggers a deployment alarms on — hot (> {IVF_HOT_FACTOR}x mean "
+    "occupancy: probes touching this cell scan a corpus-sized list) "
+    "and dead (0 vectors: wasted quantizer capacity). Cells come from "
+    "the quantizer frame, LEFT-joined, so dead cells appear instead of "
+    "vanishing from the report. hot/dead compare exact INTEGERS "
+    "(n x cells vs factor x total — no fp in the gates); load_ratio is "
+    "one int-to-double division, 6dp-rounded per the emitted-float "
+    "convention. The 100 TB path: the scan projects ONLY the `cell` "
+    "partition column of the index (ReadSchema is empty — row counts "
+    "come from parquet metadata), aggregates map-side to O(cells) "
+    "rows, and the one-row total broadcasts back over them; cost is "
+    "independent of vector dimensionality and ~free next to one probe.",
+    tags=("similarity", "ann", "eval", "warehouse"),
+)
+def ann_ivf_balance_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ensure_ivf_index(spark, sf_dir)
+    occ = (
+        spark.read.parquet(idx)
+        .groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(F.count("*").alias("n_vectors"))
+    )
+    cells = _ivf_centroids(_vectors(spark, sf_dir)).select(
+        F.col("cell").cast("long").alias("cell")
+    )
+    occ_full = cells.join(F.broadcast(occ), "cell", "left").select(
+        "cell", F.coalesce("n_vectors", F.lit(0)).cast("long").alias("n_vectors")
+    )
+    total = occ_full.agg(F.sum("n_vectors").alias("total"))
+    scaled = F.col("n_vectors") * IVF_CELLS
+    return occ_full.join(F.broadcast(total)).select(
+        "cell",
+        "n_vectors",
+        F.round(scaled.cast("double") / F.col("total").cast("double"), 6).alias(
+            "load_ratio"
+        ),
+        (scaled > IVF_HOT_FACTOR * F.col("total")).alias("hot"),
+        (F.col("n_vectors") == 0).alias("dead"),
+    )
 
 
 # --- appending-corpus SemDeDup -------------------------------------------

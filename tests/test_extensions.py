@@ -136,6 +136,53 @@ def test_simhash_near_dups_have_low_hamming(spark):
     )
 
 
+def test_simhash_band_recall_pigeonhole_and_signal(spark):
+    """The banding monitor's structural guarantee: with 4 bands over
+    60 bits, every true pair within Hamming distance 3 shares an
+    intact band and MUST be caught. And the monitor must carry real
+    signal — its verdicts agree with an independently computed
+    candidate set, not a pinned constant."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.dedup import (
+        SIMHASH_BANDS,
+        _simhash_spark,
+        simhash_band_pairs,
+    )
+
+    rows = _rows(spark, "dedup_simhash_band_recall")
+    assert rows, "no true near-dup pairs at test sf"
+    violations = [r for r in rows if r.hamming <= SIMHASH_BANDS - 1 and not r.caught]
+    assert not violations, violations
+    assert all(r.jaccard >= 0.5 for r in rows)
+    # verdicts == membership in the actual banded candidate set
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_band_pairs(_simhash_spark(spark, SF_SMALL)).collect()
+    }
+    for r in rows:
+        assert r.caught == ((r.doc_a, r.doc_b) in cand), r
+
+
+def test_ivf_balance_monitor_accounts_for_every_vector(spark):
+    """Occupancy must sum to the corpus, every quantizer cell must
+    appear (dead cells included), and the hot/dead gates must be the
+    documented integer comparisons."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.similarity import (
+        IVF_CELLS,
+        IVF_HOT_FACTOR,
+    )
+
+    rows = _rows(spark, "ann_ivf_balance_monitor")
+    assert len(rows) == IVF_CELLS
+    assert sorted(r.cell for r in rows) == list(range(IVF_CELLS))
+    total = sum(r.n_vectors for r in rows)
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    assert total == emb.count()
+    for r in rows:
+        assert r.hot == (r.n_vectors * IVF_CELLS > IVF_HOT_FACTOR * total)
+        assert r.dead == (r.n_vectors == 0)
+        assert abs(r.load_ratio - r.n_vectors * IVF_CELLS / total) < 1e-6
+
+
 def test_multimodal_stub_contract(spark):
     from flink_fraud_detection_rocks_db_app_spark.operators.multimodal import (
         FEATURE_DIM,

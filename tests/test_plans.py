@@ -211,6 +211,10 @@ BNLJ_OK = {
     # one-row total-count and one-row O(V) unigram-model map broadcast;
     # scoring is a scan-local aggregate, not a join
     "doc_unigram_logprob",
+    # one-row corpus-total broadcast over the O(cells) occupancy frame
+    # (the q11/tfidf scalar-gate shape); the occupancy join itself is
+    # a broadcast equi join on cell
+    "ann_ivf_balance_monitor",
 }
 # Queries whose semantics REQUIRE Python (documented; Arrow-batched).
 PYTHON_OK = {
