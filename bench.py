@@ -248,6 +248,9 @@ HEADLINE = [
     # full-mechanics md5 replay)
     "ann_ivf_balance_monitor",
     "dedup_simhash_band_recall",
+    # round 11: quantizer-staleness leg of the IVF health triple
+    # (O(cells x dim) aggregate over the same published asset)
+    "ann_ivf_drift_monitor",
 ]
 
 

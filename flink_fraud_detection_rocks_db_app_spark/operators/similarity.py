@@ -1103,6 +1103,78 @@ def ann_ivf_balance_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_drift_monitor",
+    oracle=f"""{_IVF_ASSIGN_CTES},
+m AS (
+  SELECT cell, pos, round(avg(val), 6) AS mc
+  FROM (SELECT cell, unnest(v) AS val, unnest(range(len(v))) AS pos FROM assigned)
+  GROUP BY cell, pos
+),
+mv AS (SELECT cell, list(mc ORDER BY pos) AS mvec FROM m GROUP BY cell),
+occ AS (SELECT cell, COUNT(*)::BIGINT AS n_vectors FROM assigned GROUP BY cell)
+SELECT c.cell,
+       COALESCE(o.n_vectors, 0)::BIGINT AS n_vectors,
+       round(list_distance(c.cv, mv.mvec), 6) AS drift
+FROM cents c
+LEFT JOIN occ o USING (cell)
+LEFT JOIN mv USING (cell)
+""",
+    doc="Third leg of the IVF index-health triple (recall@k, balance, "
+    "DRIFT): per cell, the L2 distance between the FROZEN coarse "
+    "centroid and the true mean of the vectors currently assigned to "
+    "it — the quantizer-staleness signal. A drifted cell means the "
+    "data the cell actually holds no longer sits where the quantizer "
+    "thinks it does (appends shifted the distribution, or the seed "
+    "quantizer never matched it), degrading both probe recall and "
+    "balance — the second re-train trigger next to hot cells. Mean "
+    "components are 6dp-rounded BEFORE the distance (the "
+    "_kmeans_recompute convention) and the emitted drift is "
+    "6dp-rounded (q15 pattern), so fp summation order cannot flip the "
+    "hash. The 100 TB path: one posexplode + (cell, pos) hash "
+    "aggregate with map-side partials — O(cells x dim) groups "
+    "regardless of corpus size — then an O(cells)-row join against "
+    "the broadcast quantizer frame; dead cells surface with NULL "
+    "drift instead of vanishing.",
+    tags=("similarity", "ann", "eval", "warehouse"),
+)
+def ann_ivf_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ensure_ivf_index(spark, sf_dir)
+    inv = spark.read.parquet(idx).select(
+        F.col("cell").cast("long").alias("cell"), "v"
+    )
+    m = (
+        inv.select("cell", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("mc"))
+        .groupBy("cell")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(pos, mc))), x -> x.mc)"
+            ).alias("mvec")
+        )
+    )
+    occ = inv.groupBy("cell").agg(F.count("*").alias("n_vectors"))
+    cents = _ivf_centroids(_vectors(spark, sf_dir)).select(
+        F.col("cell").cast("long").alias("cell"), "cv"
+    )
+    drift = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(cv, mvec, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+        )
+    )
+    return (
+        cents.join(F.broadcast(occ), "cell", "left")
+        .join(F.broadcast(m), "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("n_vectors", F.lit(0)).cast("long").alias("n_vectors"),
+            F.round(drift, 6).alias("drift"),
+        )
+    )
+
+
 # --- appending-corpus SemDeDup -------------------------------------------
 # The same contract dedup_incremental_lsh established for signatures,
 # bm25_incremental_index_topk for postings and ann_ivf_incremental_topk

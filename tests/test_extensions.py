@@ -183,6 +183,37 @@ def test_ivf_balance_monitor_accounts_for_every_vector(spark):
         assert abs(r.load_ratio - r.n_vectors * IVF_CELLS / total) < 1e-6
 
 
+def test_ivf_drift_monitor_matches_python_recompute(spark):
+    """Drift = L2(frozen centroid, 6dp-rounded assigned-mean) — verify
+    one cell end-to-end against a pure-Python recompute from the raw
+    embeddings, so the monitor can't silently measure the wrong frame."""
+    import math
+
+    from flink_fraud_detection_rocks_db_app_spark.operators.similarity import (
+        IVF_CELLS,
+        _ivf_assigned,
+        _ivf_centroids,
+        _vectors,
+    )
+
+    rows = {r.cell: r for r in _rows(spark, "ann_ivf_drift_monitor")}
+    assert sorted(rows) == list(range(IVF_CELLS))
+    assert all(r.drift >= 0 for r in rows.values())
+
+    e = _vectors(spark, SF_SMALL)
+    assigned = _ivf_assigned(e, _ivf_centroids(e)).collect()
+    cents = {r.cell: r.cv for r in _ivf_centroids(e).collect()}
+    cell0 = min(cents)
+    members = [r.v for r in assigned if r.cell == cell0]
+    assert len(members) == rows[cell0].n_vectors
+    dim = len(members[0])
+    mean = [round(sum(v[i] for v in members) / len(members), 6) for i in range(dim)]
+    want = round(
+        math.sqrt(sum((c - m) ** 2 for c, m in zip(cents[cell0], mean))), 6
+    )
+    assert abs(rows[cell0].drift - want) < 1e-9, (rows[cell0].drift, want)
+
+
 def test_multimodal_stub_contract(spark):
     from flink_fraud_detection_rocks_db_app_spark.operators.multimodal import (
         FEATURE_DIM,
