@@ -251,6 +251,9 @@ HEADLINE = [
     # round 11: quantizer-staleness leg of the IVF health triple
     # (O(cells x dim) aggregate over the same published asset)
     "ann_ivf_drift_monitor",
+    # round 11: the Z-ordered layout asset's two-dimensional slice
+    # (both range predicates pushed into the clustered scan)
+    "events_zorder_slice",
 ]
 
 

@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     asof,
     dedup,
     detectors,
+    layout,
     multimodal,
     olap,
     pipeline,

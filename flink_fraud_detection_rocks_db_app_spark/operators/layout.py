@@ -1,0 +1,181 @@
+"""Z-order data layout: multi-dimensional clustering for min/max
+skipping.
+
+A 100 TB events table is usually written in arrival (time) order, so
+parquet min/max statistics prune beautifully on `t_ms` and not at all
+on `user_id` — every file spans the whole user domain. Interleaving
+the bits of both columns into one Morton (Z-order) key and clustering
+the table on it bounds EVERY file/row-group to a small rectangle of
+the (user, time) plane, so min/max stats skip on BOTH dimensions —
+the technique behind Delta/Iceberg `OPTIMIZE ZORDER BY`. This module
+materializes that layout as a content-keyed warehouse asset (the
+ensure_index lifecycle the IVF/BM25 indexes use) and serves a
+two-dimensional slice query from it.
+
+What is and isn't claimed: vanilla Spark's parquet reader skips
+ROW GROUPS via pushed min/max predicates at scan time (and table
+formats skip whole files via the same stats); the layout is what makes
+those stats selective. The skipping evidence — per-bucket footer
+statistics cover a bounded rectangle, and a mid-domain predicate
+overlaps only a small fraction of buckets on EITHER dimension — is
+asserted from real parquet footers in tests/test_layout.py. The
+registered query's RESULT is layout-invariant by construction, which
+is exactly what its oracle (the same slice off the raw table) checks.
+
+Reference parity anchor: the reference keys all state by account id
+(master/src/main/java/InorderTumblingWindow/FraudDetectionJob.java
+keyBy) and scans by time; this face is the batch-warehouse answer to
+serving both access paths from one copy of the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures import load
+from ..registry import register
+
+# 8 bits per dimension -> 16-bit Morton key; the top ZBUCKET_BITS
+# (2 per dimension) name the coarse write bucket: a 4x4 grid of
+# (user, time) rectangles, one output directory + file each.
+Z_DIM_BITS = 8
+ZBUCKET_BITS = 4
+_Z_MAX = (1 << Z_DIM_BITS) - 1
+
+
+def _morton_expr(a: str, b: str) -> str:
+    """SQL expression interleaving the low Z_DIM_BITS of `a` (even bit
+    lanes) and `b` (odd lanes) — pure shifts/masks, whole-stage
+    codegen-friendly, and spelled identically in DuckDB."""
+    terms = []
+    for i in range(Z_DIM_BITS):
+        terms.append(f"(((({a}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({b}) >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def zorder_events(ev: DataFrame) -> DataFrame:
+    """Attach z / zbucket to an events frame carrying `user_id` and
+    epoch-nanos `ts` (fixtures.load shape)."""
+    ev = ev.withColumn("t_ms", F.expr("CAST(ts div 1000000 AS BIGINT)"))
+    stats = ev.agg(
+        F.min("user_id").alias("u_min"),
+        F.max("user_id").alias("u_max"),
+        F.min("t_ms").alias("t_min"),
+        F.max("t_ms").alias("t_max"),
+    )
+    un = (
+        f"CAST(((user_id - u_min) * {_Z_MAX}) div "
+        f"greatest(CAST(1 AS BIGINT), u_max - u_min) AS BIGINT)"
+    )
+    tn = (
+        f"CAST(((t_ms - t_min) * {_Z_MAX}) div "
+        f"greatest(CAST(1 AS BIGINT), t_max - t_min) AS BIGINT)"
+    )
+    z = _morton_expr(f"({un})", f"({tn})")
+    return (
+        ev.join(F.broadcast(stats))
+        .withColumn("z", F.expr(f"CAST({z} AS BIGINT)"))
+        .withColumn(
+            "zbucket",
+            F.expr(f"CAST(z >> {2 * Z_DIM_BITS - ZBUCKET_BITS} AS BIGINT)"),
+        )
+        .drop("u_min", "u_max", "t_min", "t_max")
+    )
+
+
+def write_zorder_layout(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the z-clustered copy of events: one directory (and
+    file) per coarse zbucket, rows sorted by the full Morton key inside
+    it so row-group min/max stats stay tight at any row-group size."""
+    zed = zorder_events(load(spark, sf_dir, "events"))
+    (
+        zed.repartition("zbucket")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .partitionBy("zbucket")
+        .parquet(path)
+    )
+
+
+def ensure_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
+    from .indexcache import ensure_index
+
+    return ensure_index(
+        "zorder_events",
+        sf_dir,
+        "events",
+        lambda tmp: write_zorder_layout(spark, sf_dir, tmp),
+    )
+
+
+# The slice bounds are derived from the domain with integer tenths so
+# both engines compute identical literals: the central
+# [min + 4/10 span, min + 6/10 span] band on each dimension.
+_SLICE_ORACLE = """
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) AS t_ms, event_type, value FROM events
+),
+bounds AS (
+  SELECT min(user_id) AS u_min, max(user_id) AS u_max,
+         min(t_ms) AS t_min, max(t_ms) AS t_max
+  FROM ev
+)
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_events,
+       round(SUM(value), 6) AS sum_value
+FROM ev CROSS JOIN bounds
+WHERE user_id BETWEEN u_min + ((u_max - u_min) * 4) // 10
+                  AND u_min + ((u_max - u_min) * 6) // 10
+  AND t_ms BETWEEN t_min + ((t_max - t_min) * 4) // 10
+               AND t_min + ((t_max - t_min) * 6) // 10
+GROUP BY event_type
+"""
+
+
+@register(
+    "events_zorder_slice",
+    oracle=_SLICE_ORACLE,
+    doc="Two-dimensional slice (central user band x central time band, "
+    "integer-tenth bounds) served from the MATERIALIZED Z-ordered "
+    "copy of events (ensure_zorder_layout: Morton-interleaved "
+    "user/time bits, coarse-bucket directories, z-sorted rows — the "
+    "OPTIMIZE ZORDER layout as a content-keyed asset). Both filters "
+    "push to the parquet scan, and because every file/row-group "
+    "covers a bounded rectangle of the (user, time) plane, min/max "
+    "stats skip on BOTH dimensions — arrival-order layouts skip on "
+    "time only (footer-stats evidence in tests/test_layout.py). The "
+    "result is layout-invariant by contract, which is exactly what "
+    "the oracle (the same slice off the raw table) certifies; the "
+    "count and 6dp-rounded sum make the hash order-stable.",
+    tags=("batch", "warehouse", "layout"),
+)
+def events_zorder_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = ensure_zorder_layout(spark, sf_dir)
+    zed = spark.read.parquet(path)
+    # Contract-bounded driver collect (4 scalars — the probed-cells
+    # convention from ann_ivf_topk_indexed): LITERAL bounds are what
+    # lets the parquet source push both range predicates into the scan
+    # (PushedFilters), which is the entire point of the layout.
+    b = zed.agg(
+        F.min("user_id").alias("u_min"),
+        F.max("user_id").alias("u_max"),
+        F.min("t_ms").alias("t_min"),
+        F.max("t_ms").alias("t_max"),
+    ).collect()[0]
+    u_lo = b.u_min + ((b.u_max - b.u_min) * 4) // 10
+    u_hi = b.u_min + ((b.u_max - b.u_min) * 6) // 10
+    t_lo = b.t_min + ((b.t_max - b.t_min) * 4) // 10
+    t_hi = b.t_min + ((b.t_max - b.t_min) * 6) // 10
+    return (
+        zed.where(
+            F.col("user_id").between(F.lit(u_lo), F.lit(u_hi))
+            & F.col("t_ms").between(F.lit(t_lo), F.lit(t_hi))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )

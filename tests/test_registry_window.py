@@ -108,6 +108,11 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "setop": "EXCEPT lowers to the same physical left-anti join the "
     "driver-gated tpch_q21 NOT EXISTS half plans (r7 rotation "
     "rationale); the EXCEPT spelling stays full-suite verified",
+    "layout": "the z-order face's RESULT is layout-invariant by "
+    "contract (its oracle certifies exactly that), so a driver hash "
+    "row cannot see what the face exists to provide; the layout "
+    "claims — bounded per-file rectangles, both predicates pushed — "
+    "are pinned by tests/test_layout.py footer-stats evidence",
 }
 # r7: "warehouse" and "chunking" left the allowlist — ann_ivf_topk_indexed
 # and doc_chunk_windows rotated INTO the window (registry.py comments).
