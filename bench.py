@@ -254,6 +254,9 @@ HEADLINE = [
     # round 11: the Z-ordered layout asset's two-dimensional slice
     # (both range predicates pushed into the clustered scan)
     "events_zorder_slice",
+    # round 11: post-ingest health report over the stream-built IVF
+    # index (balance + drift vs the monolithic replay oracle)
+    "stream_ivf_health_replay",
 ]
 
 

@@ -1103,6 +1103,80 @@ def ann_ivf_balance_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_health_report(inv: DataFrame, cents: DataFrame) -> DataFrame:
+    """Combined balance + drift report over arbitrary inverted-lists
+    (`cell`, `v`) and quantizer (`cell`, `cv`) frames — the shared
+    computation behind the batch monitors and their streamed twin
+    (stream_ivf_health_replay), so the health semantics have one
+    definition regardless of how the index was built."""
+    inv = inv.select(F.col("cell").cast("long").alias("cell"), "v")
+    occ = inv.groupBy("cell").agg(F.count("*").alias("n_vectors"))
+    m = (
+        inv.select("cell", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("mc"))
+        .groupBy("cell")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(pos, mc))), x -> x.mc)"
+            ).alias("mvec")
+        )
+    )
+    cents = cents.select(F.col("cell").cast("long").alias("cell"), "cv")
+    total = occ.agg(F.sum("n_vectors").alias("total"))
+    n = F.coalesce("n_vectors", F.lit(0)).cast("long")
+    scaled = n * IVF_CELLS
+    drift = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(cv, mvec, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+        )
+    )
+    return (
+        cents.join(F.broadcast(occ), "cell", "left")
+        .join(F.broadcast(m), "cell", "left")
+        .join(F.broadcast(total))
+        .select(
+            "cell",
+            n.alias("n_vectors"),
+            F.round(scaled.cast("double") / F.col("total").cast("double"), 6).alias(
+                "load_ratio"
+            ),
+            (scaled > IVF_HOT_FACTOR * F.col("total")).alias("hot"),
+            (n == 0).alias("dead"),
+            F.round(drift, 6).alias("drift"),
+        )
+    )
+
+
+# Combined health oracle over the shared assignment CTEs — the
+# streamed twin compares the STREAM-BUILT index's report against this
+# monolithic replay (assignment under frozen centroids is
+# segmentation-independent, so micro-batch layout cannot move a count
+# or a mean).
+IVF_HEALTH_ORACLE = f"""{_IVF_ASSIGN_CTES},
+occ AS (SELECT cell, COUNT(*)::BIGINT AS n_vectors FROM assigned GROUP BY cell),
+tot AS (SELECT SUM(n_vectors)::BIGINT AS total FROM occ),
+m AS (
+  SELECT cell, pos, round(avg(val), 6) AS mc
+  FROM (SELECT cell, unnest(v) AS val, unnest(range(len(v))) AS pos FROM assigned)
+  GROUP BY cell, pos
+),
+mv AS (SELECT cell, list(mc ORDER BY pos) AS mvec FROM m GROUP BY cell)
+SELECT c.cell,
+       COALESCE(o.n_vectors, 0)::BIGINT AS n_vectors,
+       round((COALESCE(o.n_vectors, 0) * {IVF_CELLS})::DOUBLE / total::DOUBLE, 6)
+         AS load_ratio,
+       (COALESCE(o.n_vectors, 0) * {IVF_CELLS} > {IVF_HOT_FACTOR} * total) AS hot,
+       (COALESCE(o.n_vectors, 0) = 0) AS dead,
+       round(list_distance(c.cv, mv.mvec), 6) AS drift
+FROM cents c
+LEFT JOIN occ o USING (cell)
+LEFT JOIN mv USING (cell)
+CROSS JOIN tot
+"""
+
+
 @register(
     "ann_ivf_drift_monitor",
     oracle=f"""{_IVF_ASSIGN_CTES},

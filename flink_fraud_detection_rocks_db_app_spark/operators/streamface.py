@@ -1510,6 +1510,67 @@ def stream_corpus_prep_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def _stream_build_ivf(spark: SparkSession, sf_dir: str, scratch: str) -> str:
+    """Replay the embeddings as 3 arrival chunks through a file stream
+    whose foreachBatch bootstraps then appends the IVF index under the
+    frozen quantizer — the shared ingest plumbing of
+    stream_ivf_ingest_replay and stream_ivf_health_replay. Returns the
+    stream-built index path (centroids/ + lists/) inside `scratch`."""
+    import time as _time
+
+    from ..fixtures import load
+    from .similarity import (
+        IVF_CELLS,
+        _ivf_assigned,
+        _ivf_centroids,
+        _vectors_over,
+        append_to_ivf_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    src = os.path.join(scratch, "arrivals")
+    chunk = F.when(F.col("vec_id") < IVF_CELLS, F.lit(0)).otherwise(
+        F.pmod(F.xxhash64("vec_id"), F.lit(3))
+    )
+    base = _time.time()
+    seen: set[str] = set()
+    for i in range(3):
+        emb.where(chunk == i).coalesce(1).write.mode("append").parquet(src)
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if f.endswith(".parquet") and p not in seen:
+                os.utime(p, (base + i, base + i))
+                seen.add(p)
+
+    idx = os.path.join(scratch, "idx")
+    cents_dir = os.path.join(idx, "centroids")
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        if batch.isEmpty():
+            return
+        vecs = _vectors_over(batch)
+        if not os.path.isdir(cents_dir):
+            cents = _ivf_centroids(vecs)
+            cents.write.mode("overwrite").parquet(cents_dir)
+            _ivf_assigned(vecs, cents).write.mode("overwrite").partitionBy(
+                "cell"
+            ).parquet(os.path.join(idx, "lists"))
+        else:
+            append_to_ivf_index(vecs, idx)
+
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return idx
+
+
 @register(
     "stream_ivf_ingest_replay",
     oracle=_STREAM_IVF_ORACLE,
@@ -1530,65 +1591,14 @@ def stream_corpus_prep_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "similarity", "ann", "ivf", "warehouse", "parity"),
 )
 def stream_ivf_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import time as _time
-
-    from ..fixtures import load
-    from .similarity import (
-        IVF_CELLS,
-        _ivf_assigned,
-        _ivf_centroids,
-        _ivf_probes,
-        _ivf_rerank,
-        _vectors,
-        _vectors_over,
-        append_to_ivf_index,
-    )
+    from .similarity import _ivf_probes, _ivf_rerank, _vectors
 
     name = f"ivfingest_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        emb = load(spark, sf_dir, "embeddings")
-        src = os.path.join(scratch, "arrivals")
-        chunk = F.when(F.col("vec_id") < IVF_CELLS, F.lit(0)).otherwise(
-            F.pmod(F.xxhash64("vec_id"), F.lit(3))
-        )
-        base = _time.time()
-        seen: set[str] = set()
-        for i in range(3):
-            emb.where(chunk == i).coalesce(1).write.mode("append").parquet(src)
-            for f in os.listdir(src):
-                p = os.path.join(src, f)
-                if f.endswith(".parquet") and p not in seen:
-                    os.utime(p, (base + i, base + i))
-                    seen.add(p)
-
-        idx = os.path.join(scratch, "idx")
+        idx = _stream_build_ivf(spark, sf_dir, scratch)
         cents_dir = os.path.join(idx, "centroids")
-
-        def sink(batch: DataFrame, _bid: int) -> None:
-            if batch.isEmpty():
-                return
-            vecs = _vectors_over(batch)
-            if not os.path.isdir(cents_dir):
-                cents = _ivf_centroids(vecs)
-                cents.write.mode("overwrite").parquet(cents_dir)
-                _ivf_assigned(vecs, cents).write.mode("overwrite").partitionBy(
-                    "cell"
-                ).parquet(os.path.join(idx, "lists"))
-            else:
-                append_to_ivf_index(vecs, idx)
-
-        q = (
-            spark.readStream.schema(emb.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-            .writeStream.foreachBatch(sink)
-            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
 
         e = _vectors(spark, sf_dir)
         cents = spark.read.parquet(cents_dir)
@@ -1601,6 +1611,52 @@ def stream_ivf_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = _ivf_rerank(inv, probes)
         rows = out.collect()  # bounded: N_QUERIES x TOP_K rows
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _ivf_health_oracle() -> str:
+    from .similarity import IVF_HEALTH_ORACLE
+
+    return IVF_HEALTH_ORACLE
+
+
+@register(
+    "stream_ivf_health_replay",
+    oracle=_ivf_health_oracle(),
+    doc="The index-health triple's STREAMED leg: after the same "
+    "3-chunk streaming ingestion stream_ivf_ingest_replay runs "
+    "(bootstrap, then frozen-quantizer appends), emit the combined "
+    "balance + drift report over the STREAM-BUILT inverted lists — "
+    "occupancy, load_ratio, integer-exact hot/dead triggers and "
+    "per-cell quantizer drift, i.e. the numbers an operator reads "
+    "right after an ingest cycle, when re-train decisions are made. "
+    "The oracle is the MONOLITHIC health replay (shared "
+    "IVF_HEALTH_ORACLE): per-vector assignment under frozen centroids "
+    "is segmentation-independent and count/mean are "
+    "arrival-order-free, so the micro-batch layout cannot move a "
+    "single occupancy count or 6dp-rounded mean — a regression in "
+    "EITHER the append path (lost/duplicated rows) or the monitor "
+    "math flips this row red. Health computation itself is "
+    "ivf_health_report, the same function the batch monitors "
+    "decompose.",
+    tags=("streaming", "similarity", "ann", "ivf", "eval", "parity"),
+)
+def stream_ivf_health_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import ivf_health_report
+
+    name = f"ivfhealth_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        idx = _stream_build_ivf(spark, sf_dir, scratch)
+        inv = spark.read.parquet(os.path.join(idx, "lists"))
+        cents = spark.read.parquet(os.path.join(idx, "centroids")).select(
+            "cell", "cv"
+        )
+        out = ivf_health_report(inv, cents)
+        rows = out.collect()  # bounded: IVF_CELLS rows
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
