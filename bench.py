@@ -257,6 +257,9 @@ HEADLINE = [
     # round 11: post-ingest health report over the stream-built IVF
     # index (balance + drift vs the monolithic replay oracle)
     "stream_ivf_health_replay",
+    # round 11: the appending z-ordered table (frozen-bounds bucket
+    # placement, touched-bucket duplicate guard; recluster tested)
+    "events_zorder_slice_incremental",
 ]
 
 

@@ -139,16 +139,21 @@ def compact_parquet_table(
     table_dir: str,
     partition_col: str | None = None,
     merge=None,
+    sort_col: str | None = None,
 ) -> int:
     """Rewrite an append-accreted parquet table as its compact
     equivalent: one part-file per `partition_col` value (or one file
     total), optionally pre-merging rows with `merge(df) -> df` when the
     downstream reader aggregates them associatively anyway (the BM25
     stats rows — the probe sums them, so compact-then-probe ==
-    probe). Crash-safe whole-directory swap (the compact_prep_ledger
-    pattern): a crash leaves either the old table intact or the new one
-    published. Returns the number of part-files compacted away
-    (0 = already compact, no-op)."""
+    probe), and optionally re-sorting each partition's rows by
+    `sort_col` (the z-order recluster: appends land in the right
+    coarse bucket but interleave z runs, so row-group min/max stats
+    loosen until the rewrite re-sorts them). Crash-safe
+    whole-directory swap (the compact_prep_ledger pattern): a crash
+    leaves either the old table intact or the new one published.
+    Returns the number of part-files compacted away (0 = already
+    compact, no-op)."""
     from pyspark.sql import functions as F
 
     files_before = _parquet_part_files(table_dir)
@@ -166,9 +171,10 @@ def compact_parquet_table(
                 return 0
         # repartition on the partition column: every value's rows land
         # in one task, so partitionBy writes exactly one file per value
-        df.repartition(F.col(partition_col)).write.mode("overwrite").partitionBy(
-            partition_col
-        ).parquet(tmp)
+        part = df.repartition(F.col(partition_col))
+        if sort_col:
+            part = part.sortWithinPartitions(sort_col)
+        part.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
     else:
         if merge is None and len(files_before) <= 1:
             return 0

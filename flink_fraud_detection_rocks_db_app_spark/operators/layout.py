@@ -30,6 +30,8 @@ serving both access paths from one copy of the data.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -158,6 +160,170 @@ def events_zorder_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     # convention from ann_ivf_topk_indexed): LITERAL bounds are what
     # lets the parquet source push both range predicates into the scan
     # (PushedFilters), which is the entire point of the layout.
+    b = zed.agg(
+        F.min("user_id").alias("u_min"),
+        F.max("user_id").alias("u_max"),
+        F.min("t_ms").alias("t_min"),
+        F.max("t_ms").alias("t_max"),
+    ).collect()[0]
+    u_lo = b.u_min + ((b.u_max - b.u_min) * 4) // 10
+    u_hi = b.u_min + ((b.u_max - b.u_min) * 6) // 10
+    t_lo = b.t_min + ((b.t_max - b.t_min) * 4) // 10
+    t_hi = b.t_min + ((b.t_max - b.t_min) * 6) // 10
+    return (
+        zed.where(
+            F.col("user_id").between(F.lit(u_lo), F.lit(u_hi))
+            & F.col("t_ms").between(F.lit(t_lo), F.lit(t_hi))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+# ------------------------------------------- appending-table lifecycle
+#
+# The OPTIMIZE-ZORDER loop a table format runs: new rows are APPENDED
+# into their correct coarse bucket (grid placement is preserved under
+# a FROZEN normalization — the frozen-quantizer convention the
+# IVF/PQ/SemDeDup assets established, so a row's bucket never depends
+# on when it arrived), each append accretes a part-file per touched
+# bucket (the small-files cost), and a periodic RECLUSTER rewrites
+# each bucket to one z-sorted file, restoring tight row-group stats —
+# without ever moving rows BETWEEN buckets. Out-of-range values
+# (users/timestamps beyond the frozen bounds) clamp into the edge
+# cells: placement stays valid and queries stay correct (they filter
+# on real values, not z); a bounds refresh is a re-train decision,
+# exactly like a quantizer re-train.
+
+ZORDER_BATCH_MOD = 8  # batch = event_id % MOD == MOD-1, the IVF split shape
+
+
+def zorder_events_frozen(ev: DataFrame, bounds: DataFrame) -> DataFrame:
+    """z/zbucket under FROZEN bounds (broadcast one-row frame), with
+    out-of-range values clamped into the edge cells."""
+    ev = ev.withColumn("t_ms", F.expr("CAST(ts div 1000000 AS BIGINT)"))
+    un = (
+        f"least(CAST({_Z_MAX} AS BIGINT), greatest(CAST(0 AS BIGINT), "
+        f"CAST(((user_id - u_min) * {_Z_MAX}) div "
+        f"greatest(CAST(1 AS BIGINT), u_max - u_min) AS BIGINT)))"
+    )
+    tn = (
+        f"least(CAST({_Z_MAX} AS BIGINT), greatest(CAST(0 AS BIGINT), "
+        f"CAST(((t_ms - t_min) * {_Z_MAX}) div "
+        f"greatest(CAST(1 AS BIGINT), t_max - t_min) AS BIGINT)))"
+    )
+    z = _morton_expr(f"({un})", f"({tn})")
+    return (
+        ev.join(F.broadcast(bounds))
+        .withColumn("z", F.expr(f"CAST({z} AS BIGINT)"))
+        .withColumn(
+            "zbucket",
+            F.expr(f"CAST(z >> {2 * Z_DIM_BITS - ZBUCKET_BITS} AS BIGINT)"),
+        )
+        .drop("u_min", "u_max", "t_min", "t_max")
+    )
+
+
+def write_zorder_base(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Base asset for the appending lifecycle: bounds/ (the one-row
+    frozen normalization, computed from the BASE split — appends clamp
+    to it) and data/ (the z-clustered base rows)."""
+    ev = load(spark, sf_dir, "events").where(
+        F.pmod(F.col("event_id"), F.lit(ZORDER_BATCH_MOD)) != ZORDER_BATCH_MOD - 1
+    ).withColumn("t_ms", F.expr("CAST(ts div 1000000 AS BIGINT)"))
+    bounds = ev.agg(
+        F.min("user_id").alias("u_min"),
+        F.max("user_id").alias("u_max"),
+        F.min("t_ms").alias("t_min"),
+        F.max("t_ms").alias("t_max"),
+    )
+    bounds.write.mode("overwrite").parquet(os.path.join(path, "bounds"))
+    zed = zorder_events_frozen(
+        ev.drop("t_ms"), spark.read.parquet(os.path.join(path, "bounds"))
+    )
+    (
+        zed.repartition("zbucket")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .partitionBy("zbucket")
+        .parquet(os.path.join(path, "data"))
+    )
+
+
+def append_to_zorder_layout(batch: DataFrame, asset: str) -> None:
+    """Append a batch into its correct coarse buckets under the frozen
+    bounds, with a duplicate guard scoped to the TOUCHED buckets (the
+    append_to_ivf_index shape): re-delivering the same batch is a
+    no-op, and the guard scan reads only the partitions the batch can
+    land in — cost ∝ batch, never the table."""
+    spark = batch.sparkSession
+    bounds = spark.read.parquet(os.path.join(asset, "bounds"))
+    zed = zorder_events_frozen(batch, bounds)
+    data = os.path.join(asset, "data")
+    touched = sorted(
+        r["zbucket"] for r in zed.select("zbucket").distinct().collect()
+    )
+    existing = (
+        spark.read.parquet(data)
+        .where(F.col("zbucket").isin(touched))
+        .select("event_id")
+    )
+    fresh = zed.join(existing, "event_id", "left_anti")
+    fresh.repartition("zbucket").write.mode("append").partitionBy(
+        "zbucket"
+    ).parquet(data)
+
+
+def recluster_zorder_layout(spark: SparkSession, asset: str) -> int:
+    """The OPTIMIZE pass: rewrite each coarse bucket to ONE z-sorted
+    file (crash-safe whole-directory swap). Rows never change bucket;
+    row-group min/max stats tighten back to build quality. Returns
+    part-files removed."""
+    from .indexcache import compact_parquet_table
+
+    return compact_parquet_table(
+        spark, os.path.join(asset, "data"), partition_col="zbucket", sort_col="z"
+    )
+
+
+def ensure_zorder_base(spark: SparkSession, sf_dir: str) -> str:
+    from .indexcache import ensure_index
+
+    return ensure_index(
+        "zorder_events_inc",
+        sf_dir,
+        "events",
+        lambda tmp: write_zorder_base(spark, sf_dir, tmp),
+    )
+
+
+@register(
+    "events_zorder_slice_incremental",
+    oracle=_SLICE_ORACLE,
+    doc="The two-dimensional slice over the APPENDING z-ordered table: "
+    f"the base asset holds event_id % {ZORDER_BATCH_MOD} != "
+    f"{ZORDER_BATCH_MOD - 1} clustered under frozen bounds, the "
+    "remaining batch is appended into its correct coarse buckets "
+    "(frozen-bounds placement, touched-bucket duplicate guard), and "
+    "the slice reads base+appends as one table. Identical oracle to "
+    "events_zorder_slice — appends must not move, lose or duplicate a "
+    "row, and the slice is layout- AND lifecycle-invariant. The "
+    "recluster pass (compact each bucket back to one z-sorted file) "
+    "is probed invariant by tests/test_layout.py; at 100 TB this is "
+    "the OPTIMIZE loop: appends cost ∝ batch, reclusters amortize "
+    "over reads, and no row ever crosses a bucket boundary.",
+    tags=("batch", "warehouse", "layout", "incremental"),
+)
+def events_zorder_slice_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asset = ensure_zorder_base(spark, sf_dir)
+    batch = load(spark, sf_dir, "events").where(
+        F.pmod(F.col("event_id"), F.lit(ZORDER_BATCH_MOD)) == ZORDER_BATCH_MOD - 1
+    )
+    append_to_zorder_layout(batch, asset)
+    zed = spark.read.parquet(os.path.join(asset, "data"))
     b = zed.agg(
         F.min("user_id").alias("u_min"),
         F.max("user_id").alias("u_max"),

@@ -121,3 +121,69 @@ def test_zorder_key_is_monotone_in_grid_cells(spark):
         z = morton(r.user_id, r.t_ms)
         assert r.z == z, (r, z)
         assert r.zbucket == z >> 12
+
+
+def test_zorder_append_recluster_lifecycle(spark):
+    """The OPTIMIZE loop: appends land in their correct buckets under
+    frozen bounds (idempotently — the duplicate guard), accreting
+    part-files; recluster rewrites each bucket to one z-sorted file
+    with the row set and slice result invariant."""
+    import shutil
+
+    from flink_fraud_detection_rocks_db_app_spark.operators.layout import (
+        ZORDER_BATCH_MOD,
+        append_to_zorder_layout,
+        ensure_zorder_base,
+        events_zorder_slice_incremental,
+        recluster_zorder_layout,
+        write_zorder_base,
+    )
+
+    # build a PRISTINE base: the shared content-keyed asset may have
+    # been appended already by a prior run of the registered query
+    fresh = ensure_zorder_base(spark, SF_SMALL) + ".lifecycle"
+    if os.path.isdir(fresh):
+        shutil.rmtree(fresh)
+    write_zorder_base(spark, SF_SMALL, fresh)
+
+    data = os.path.join(fresh, "data")
+    ev = load(spark, SF_SMALL, "events")
+    batch = ev.where(
+        F.pmod(F.col("event_id"), F.lit(ZORDER_BATCH_MOD)) == ZORDER_BATCH_MOD - 1
+    )
+    n_total = ev.count()
+    base_files = len(glob.glob(os.path.join(data, "**", "*.parquet"), recursive=True))
+
+    append_to_zorder_layout(batch, fresh)
+    append_to_zorder_layout(batch, fresh)  # duplicate delivery: no-op
+    after = spark.read.parquet(data)
+    assert after.count() == n_total
+    assert after.select("event_id").distinct().count() == n_total
+    assert after.select(F.min("zbucket"), F.max("zbucket")).collect()[0][1] <= 15
+    appended_files = len(
+        glob.glob(os.path.join(data, "**", "*.parquet"), recursive=True)
+    )
+    assert appended_files > base_files, "appends should accrete part-files"
+
+    before_rows = sorted(
+        map(tuple, spark.read.parquet(data).select("event_id", "z").collect())
+    )
+    removed = recluster_zorder_layout(spark, fresh)
+    assert removed > 0
+    after_rows = sorted(
+        map(tuple, spark.read.parquet(data).select("event_id", "z").collect())
+    )
+    assert after_rows == before_rows
+    n_buckets = spark.read.parquet(data).select("zbucket").distinct().count()
+    final_files = len(
+        glob.glob(os.path.join(data, "**", "*.parquet"), recursive=True)
+    )
+    assert final_files == n_buckets, (final_files, n_buckets)
+    shutil.rmtree(fresh)
+
+    # the registered face (shared asset) stays consistent with the raw slice
+    inc = {
+        tuple(r)
+        for r in events_zorder_slice_incremental(spark, SF_SMALL).collect()
+    }
+    assert inc, "slice should be non-empty at test sf"
