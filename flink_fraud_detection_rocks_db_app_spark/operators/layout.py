@@ -41,20 +41,35 @@ from ..registry import register
 # 8 bits per dimension -> 16-bit Morton key; the top ZBUCKET_BITS
 # (2 per dimension) name the coarse write bucket: a 4x4 grid of
 # (user, time) rectangles, one output directory + file each.
+#
+# Relationship to warehouse.write_zordered (the earlier, suite-only
+# generic writer): that path quantile-ranks two arbitrary columns
+# (skew-adaptive, approxQuantile boundaries) and range-partitions by
+# the Morton code; THIS module is the registered, asset-lifecycle
+# face — min-max INTEGER normalization (freezable + clampable for the
+# append path, deterministic with no sketch), explicit coarse-bucket
+# directories so appends land in-place, and the OPTIMIZE recluster.
+# The bit interleave itself is shared: warehouse.zorder_value.
 Z_DIM_BITS = 8
 ZBUCKET_BITS = 4
 _Z_MAX = (1 << Z_DIM_BITS) - 1
 
 
-def _morton_expr(a: str, b: str) -> str:
-    """SQL expression interleaving the low Z_DIM_BITS of `a` (even bit
-    lanes) and `b` (odd lanes) — pure shifts/masks, whole-stage
-    codegen-friendly, and spelled identically in DuckDB."""
-    terms = []
-    for i in range(Z_DIM_BITS):
-        terms.append(f"(((({a}) >> {i}) & 1) << {2 * i})")
-        terms.append(f"(((({b}) >> {i}) & 1) << {2 * i + 1})")
-    return " + ".join(terms)
+def _with_z(ev: DataFrame, un: str, tn: str) -> DataFrame:
+    """Attach z (warehouse.zorder_value over the two rank expressions)
+    and the coarse zbucket."""
+    from ..warehouse import zorder_value
+
+    return (
+        ev.withColumn("_un", F.expr(un))
+        .withColumn("_tn", F.expr(tn))
+        .withColumn("z", zorder_value("_un", "_tn", Z_DIM_BITS))
+        .withColumn(
+            "zbucket",
+            F.expr(f"CAST(z >> {2 * Z_DIM_BITS - ZBUCKET_BITS} AS BIGINT)"),
+        )
+        .drop("_un", "_tn")
+    )
 
 
 def zorder_events(ev: DataFrame) -> DataFrame:
@@ -75,16 +90,9 @@ def zorder_events(ev: DataFrame) -> DataFrame:
         f"CAST(((t_ms - t_min) * {_Z_MAX}) div "
         f"greatest(CAST(1 AS BIGINT), t_max - t_min) AS BIGINT)"
     )
-    z = _morton_expr(f"({un})", f"({tn})")
-    return (
-        ev.join(F.broadcast(stats))
-        .withColumn("z", F.expr(f"CAST({z} AS BIGINT)"))
-        .withColumn(
-            "zbucket",
-            F.expr(f"CAST(z >> {2 * Z_DIM_BITS - ZBUCKET_BITS} AS BIGINT)"),
-        )
-        .drop("u_min", "u_max", "t_min", "t_max")
-    )
+    return _with_z(
+        ev.join(F.broadcast(stats)), un, tn
+    ).drop("u_min", "u_max", "t_min", "t_max")
 
 
 def write_zorder_layout(spark: SparkSession, sf_dir: str, path: str) -> None:
@@ -215,16 +223,9 @@ def zorder_events_frozen(ev: DataFrame, bounds: DataFrame) -> DataFrame:
         f"CAST(((t_ms - t_min) * {_Z_MAX}) div "
         f"greatest(CAST(1 AS BIGINT), t_max - t_min) AS BIGINT)))"
     )
-    z = _morton_expr(f"({un})", f"({tn})")
-    return (
-        ev.join(F.broadcast(bounds))
-        .withColumn("z", F.expr(f"CAST({z} AS BIGINT)"))
-        .withColumn(
-            "zbucket",
-            F.expr(f"CAST(z >> {2 * Z_DIM_BITS - ZBUCKET_BITS} AS BIGINT)"),
-        )
-        .drop("u_min", "u_max", "t_min", "t_max")
-    )
+    return _with_z(
+        ev.join(F.broadcast(bounds)), un, tn
+    ).drop("u_min", "u_max", "t_min", "t_max")
 
 
 def write_zorder_base(spark: SparkSession, sf_dir: str, path: str) -> None:

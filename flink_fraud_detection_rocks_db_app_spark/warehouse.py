@@ -148,7 +148,11 @@ def write_zordered(
     behind Delta's OPTIMIZE ZORDER, public): bucket each column into
     2^bits quantile ranks (approxQuantile — a mergeable sketch, driver
     receives only the 2^bits boundaries), interleave the rank bits into
-    a Morton code, then range-partition + sort files by it. Every
+    a Morton code, then range-partition + sort files by it. This is
+    the generic two-column writer (quantile ranks adapt to skew); the
+    registered, appendable asset faces — frozen min-max bounds,
+    coarse-bucket directories, duplicate-guarded appends, OPTIMIZE
+    recluster — live in operators/layout.py and share zorder_value. Every
     output file then covers a small hyper-rectangle of (col_a, col_b),
     so parquet min/max footer stats prune files/row-groups for
     predicates on EITHER column — unlike a single-column sort, which
