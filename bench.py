@@ -260,6 +260,9 @@ HEADLINE = [
     # round 11: the appending z-ordered table (frozen-bounds bucket
     # placement, touched-bucket duplicate guard; recluster tested)
     "events_zorder_slice_incremental",
+    # round 11: per-ingest-batch data-drift gate (PSI over the shared
+    # quality-score deciles, dense spine, one-row totals broadcast)
+    "quality_psi_drift",
 ]
 
 

@@ -107,6 +107,99 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("doc_id", quality.alias("quality"))
 
 
+PSI_BATCH_MOD = 8  # batch = doc_id % MOD == MOD-1, the IVF/zorder split
+PSI_BUCKETS = 10
+
+
+@register(
+    "quality_psi_drift",
+    oracle=f"""
+WITH {QUALITY_SQL_CTES},
+scored AS (
+  SELECT doc_id, LEAST({PSI_BUCKETS - 1}, FLOOR(quality * {PSI_BUCKETS})::BIGINT)
+           AS bucket,
+         (doc_id % {PSI_BATCH_MOD} = {PSI_BATCH_MOD - 1}) AS is_batch
+  FROM quality
+),
+counts AS (
+  SELECT bucket,
+         SUM(CASE WHEN NOT is_batch THEN 1 ELSE 0 END)::BIGINT AS n_base,
+         SUM(CASE WHEN is_batch THEN 1 ELSE 0 END)::BIGINT AS n_batch
+  FROM scored GROUP BY bucket
+),
+spine AS (SELECT unnest(range({PSI_BUCKETS})) AS bucket),
+dense AS (
+  SELECT s.bucket, COALESCE(c.n_base, 0) AS n_base, COALESCE(c.n_batch, 0) AS n_batch
+  FROM spine s LEFT JOIN counts c USING (bucket)
+),
+tot AS (SELECT SUM(n_base)::BIGINT AS tb, SUM(n_batch)::BIGINT AS tq FROM dense)
+SELECT bucket, n_base, n_batch,
+       round(((n_batch + 1)::DOUBLE / (tq + {PSI_BUCKETS})
+            - (n_base + 1)::DOUBLE / (tb + {PSI_BUCKETS}))
+           * ln(((n_batch + 1)::DOUBLE / (tq + {PSI_BUCKETS}))
+              / ((n_base + 1)::DOUBLE / (tb + {PSI_BUCKETS}))), 6) AS psi_term
+FROM dense CROSS JOIN tot
+""",
+    doc="Population-stability-index drift monitor over the quality-"
+    "score distribution — the data-drift gate a training pipeline "
+    "runs per ingest batch before letting it into the mix: base "
+    f"corpus (doc_id % {PSI_BATCH_MOD} != {PSI_BATCH_MOD - 1}) vs the "
+    "arriving batch, bucketed into "
+    f"{PSI_BUCKETS} fixed score deciles (dense spine — empty buckets "
+    "surface as zeros, not missing rows), Laplace-smoothed shares, "
+    "per-bucket PSI contribution (sum ≥ 0.2 is the classic alarm). "
+    "Scores come from the SHARED quality formula (QUALITY_SQL_CTES), "
+    "already 6dp-engine-stable; bucket floors act on 6dp multiples so "
+    "they cannot flip, and the emitted psi_term is 6dp-rounded "
+    "(ln is the one libm call — the q15 rounding convention covers "
+    "it). Scale: one scan-local scoring pass, a 10-group aggregate "
+    "with map-side partials, a one-row totals broadcast — cost ∝ "
+    "corpus scan and nothing else; at 100 TB the base distribution "
+    "is a persisted 10-row asset and the monitor prices one batch "
+    "scan.",
+    tags=("text", "eval"),
+)
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = doc_quality_score(spark, sf_dir)
+    scored = q.select(
+        F.least(
+            F.lit(PSI_BUCKETS - 1), F.floor(F.col("quality") * PSI_BUCKETS)
+        )
+        .cast("long")
+        .alias("bucket"),
+        (F.col("doc_id") % PSI_BATCH_MOD == PSI_BATCH_MOD - 1).alias("is_batch"),
+    )
+    return psi_report(scored)
+
+
+def psi_report(scored: DataFrame) -> DataFrame:
+    """PSI contributions from a (bucket, is_batch) frame — the shared
+    computation behind quality_psi_drift, reusable for any bucketed
+    base-vs-batch comparison (language shares, length deciles, ...)."""
+    spark = scored.sparkSession
+    counts = scored.groupBy("bucket").agg(
+        F.sum(F.when(~F.col("is_batch"), 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(F.col("is_batch"), 1).otherwise(0)).alias("n_batch"),
+    )
+    spine = spark.range(PSI_BUCKETS).select(F.col("id").alias("bucket"))
+    dense = spine.join(F.broadcast(counts), "bucket", "left").select(
+        "bucket",
+        F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+        F.coalesce("n_batch", F.lit(0)).cast("long").alias("n_batch"),
+    )
+    tot = dense.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_batch").alias("tq")
+    )
+    p = (F.col("n_base") + 1).cast("double") / (F.col("tb") + PSI_BUCKETS)
+    qq = (F.col("n_batch") + 1).cast("double") / (F.col("tq") + PSI_BUCKETS)
+    return dense.join(F.broadcast(tot)).select(
+        "bucket",
+        "n_base",
+        "n_batch",
+        F.round((qq - p) * F.log(qq / p), 6).alias("psi_term"),
+    )
+
+
 def _langid_sql_duck() -> str:
     score_cols = []
     for lang, markers in LANG_MARKERS.items():

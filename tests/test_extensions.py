@@ -214,6 +214,37 @@ def test_ivf_drift_monitor_matches_python_recompute(spark):
     assert abs(rows[cell0].drift - want) < 1e-9, (rows[cell0].drift, want)
 
 
+def test_quality_psi_drift_detects_planted_drift(spark):
+    """A uniform mod-split of one corpus must read as stable (total
+    PSI well under the 0.2 alarm); a batch deliberately drawn from the
+    low-quality tail must trip it. Spine is always dense (10 rows)."""
+    from pyspark.sql import functions as F
+
+    from flink_fraud_detection_rocks_db_app_spark.operators.text import (
+        PSI_BUCKETS,
+        doc_quality_score,
+        psi_report,
+    )
+
+    rows = _rows(spark, "quality_psi_drift")
+    assert len(rows) == PSI_BUCKETS
+    assert sorted(r.bucket for r in rows) == list(range(PSI_BUCKETS))
+    total = sum(r.psi_term for r in rows)
+    assert total >= 0  # PSI terms are individually non-negative
+    assert total < 0.2, f"mod-split of one corpus reads as drifted: {total}"
+
+    q = doc_quality_score(spark, SF_SMALL)
+    med = q.approxQuantile("quality", [0.25], 0.001)[0]
+    planted = q.select(
+        F.least(F.lit(PSI_BUCKETS - 1), F.floor(F.col("quality") * PSI_BUCKETS))
+        .cast("long")
+        .alias("bucket"),
+        (F.col("quality") <= med).alias("is_batch"),
+    )
+    drifted = sum(r.psi_term for r in psi_report(planted).collect())
+    assert drifted > 0.2, f"low-quality-tail batch not flagged: {drifted}"
+
+
 def test_multimodal_stub_contract(spark):
     from flink_fraud_detection_rocks_db_app_spark.operators.multimodal import (
         FEATURE_DIM,

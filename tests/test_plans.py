@@ -215,6 +215,10 @@ BNLJ_OK = {
     # (the q11/tfidf scalar-gate shape); the occupancy join itself is
     # a broadcast equi join on cell
     "ann_ivf_balance_monitor",
+    # one-row base/batch totals broadcast over the O(buckets) dense
+    # spine (same scalar-gate shape); the spine join is a broadcast
+    # equi join on bucket
+    "quality_psi_drift",
 }
 # Queries whose semantics REQUIRE Python (documented; Arrow-batched).
 PYTHON_OK = {
