@@ -228,10 +228,18 @@ def zorder_events_frozen(ev: DataFrame, bounds: DataFrame) -> DataFrame:
     ).drop("u_min", "u_max", "t_min", "t_max")
 
 
-def write_zorder_base(spark: SparkSession, sf_dir: str, path: str) -> None:
-    """Base asset for the appending lifecycle: bounds/ (the one-row
-    frozen normalization, computed from the BASE split — appends clamp
-    to it) and data/ (the z-clustered base rows)."""
+def write_zorder_base(
+    spark: SparkSession, sf_dir: str, path: str, with_batch: bool = True
+) -> None:
+    """Appendable-lifecycle asset: bounds/ (the one-row frozen
+    normalization, computed from the BASE split — appends clamp to
+    it) and data/ (the z-clustered base rows). With `with_batch`
+    (the default, what ensure_zorder_base publishes) the remaining
+    1/{MOD} split is then APPENDED through append_to_zorder_layout —
+    the real append path runs inside the content-keyed build, so the
+    published asset is base+batch and is never mutated afterwards
+    (the write_ivf_incremental_index convention: idempotent reads,
+    no post-publish races)."""
     ev = load(spark, sf_dir, "events").where(
         F.pmod(F.col("event_id"), F.lit(ZORDER_BATCH_MOD)) != ZORDER_BATCH_MOD - 1
     ).withColumn("t_ms", F.expr("CAST(ts div 1000000 AS BIGINT)"))
@@ -252,14 +260,23 @@ def write_zorder_base(spark: SparkSession, sf_dir: str, path: str) -> None:
         .partitionBy("zbucket")
         .parquet(os.path.join(path, "data"))
     )
+    if with_batch:
+        batch = load(spark, sf_dir, "events").where(
+            F.pmod(F.col("event_id"), F.lit(ZORDER_BATCH_MOD))
+            == ZORDER_BATCH_MOD - 1
+        )
+        append_to_zorder_layout(batch, path)
 
 
 def append_to_zorder_layout(batch: DataFrame, asset: str) -> None:
     """Append a batch into its correct coarse buckets under the frozen
-    bounds, with a duplicate guard scoped to the TOUCHED buckets (the
-    append_to_ivf_index shape): re-delivering the same batch is a
-    no-op, and the guard scan reads only the partitions the batch can
-    land in — cost ∝ batch, never the table."""
+    bounds. The batch's event_ids MUST be new — a duplicate append
+    would double-count every slice aggregate downstream, so (the
+    append_to_ivf_index convention) the contract is ENFORCED here:
+    batch ids are semi-joined against the TOUCHED buckets' existing
+    rows — a column-pruned, partition-scoped scan with a take(1)
+    early-out, cost ∝ batch, never the table — and any overlap raises
+    before a byte is written."""
     spark = batch.sparkSession
     bounds = spark.read.parquet(os.path.join(asset, "bounds"))
     zed = zorder_events_frozen(batch, bounds)
@@ -267,13 +284,21 @@ def append_to_zorder_layout(batch: DataFrame, asset: str) -> None:
     touched = sorted(
         r["zbucket"] for r in zed.select("zbucket").distinct().collect()
     )
-    existing = (
+    batch_ids = zed.select("event_id").distinct()
+    dup = (
         spark.read.parquet(data)
         .where(F.col("zbucket").isin(touched))
         .select("event_id")
+        .join(F.broadcast(batch_ids), "event_id", "left_semi")
+        .take(1)
     )
-    fresh = zed.join(existing, "event_id", "left_anti")
-    fresh.repartition("zbucket").write.mode("append").partitionBy(
+    if dup:
+        raise ValueError(
+            "append_to_zorder_layout: batch contains event_id(s) already "
+            f"in the table (e.g. {dup[0]['event_id']}) — appends must be "
+            "new rows; re-deliveries must be deduplicated upstream"
+        )
+    zed.repartition("zbucket").write.mode("append").partitionBy(
         "zbucket"
     ).parquet(data)
 
@@ -293,11 +318,14 @@ def recluster_zorder_layout(spark: SparkSession, asset: str) -> int:
 def ensure_zorder_base(spark: SparkSession, sf_dir: str) -> str:
     from .indexcache import ensure_index
 
+    # v2: the append moved inside the build (published asset is
+    # base+batch, immutable) — v1 assets were appended post-publish
     return ensure_index(
         "zorder_events_inc",
         sf_dir,
         "events",
         lambda tmp: write_zorder_base(spark, sf_dir, tmp),
+        version=2,
     )
 
 
@@ -305,25 +333,24 @@ def ensure_zorder_base(spark: SparkSession, sf_dir: str) -> str:
     "events_zorder_slice_incremental",
     oracle=_SLICE_ORACLE,
     doc="The two-dimensional slice over the APPENDING z-ordered table: "
-    f"the base asset holds event_id % {ZORDER_BATCH_MOD} != "
-    f"{ZORDER_BATCH_MOD - 1} clustered under frozen bounds, the "
-    "remaining batch is appended into its correct coarse buckets "
-    "(frozen-bounds placement, touched-bucket duplicate guard), and "
-    "the slice reads base+appends as one table. Identical oracle to "
-    "events_zorder_slice — appends must not move, lose or duplicate a "
-    "row, and the slice is layout- AND lifecycle-invariant. The "
-    "recluster pass (compact each bucket back to one z-sorted file) "
-    "is probed invariant by tests/test_layout.py; at 100 TB this is "
-    "the OPTIMIZE loop: appends cost ∝ batch, reclusters amortize "
-    "over reads, and no row ever crosses a bucket boundary.",
+    f"the base (event_id % {ZORDER_BATCH_MOD} != {ZORDER_BATCH_MOD - 1}) "
+    "is clustered under frozen bounds and the remaining batch is "
+    "appended into its correct coarse buckets through the real append "
+    "path (frozen-bounds placement, fail-loudly touched-bucket "
+    "duplicate guard) INSIDE the content-keyed build — the "
+    "write_ivf_incremental_index convention, so the published asset "
+    "is base+batch and never mutated after publish. Identical oracle "
+    "to events_zorder_slice — the append must not move, lose or "
+    "duplicate a row, and the slice is layout- AND "
+    "lifecycle-invariant. The recluster pass (compact each bucket "
+    "back to one z-sorted file) is probed invariant by "
+    "tests/test_layout.py; at 100 TB this is the OPTIMIZE loop: "
+    "appends cost ∝ batch, reclusters amortize over reads, and no "
+    "row ever crosses a bucket boundary.",
     tags=("batch", "warehouse", "layout", "incremental"),
 )
 def events_zorder_slice_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     asset = ensure_zorder_base(spark, sf_dir)
-    batch = load(spark, sf_dir, "events").where(
-        F.pmod(F.col("event_id"), F.lit(ZORDER_BATCH_MOD)) == ZORDER_BATCH_MOD - 1
-    )
-    append_to_zorder_layout(batch, asset)
     zed = spark.read.parquet(os.path.join(asset, "data"))
     b = zed.agg(
         F.min("user_id").alias("u_min"),

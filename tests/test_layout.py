@@ -125,10 +125,12 @@ def test_zorder_key_is_monotone_in_grid_cells(spark):
 
 def test_zorder_append_recluster_lifecycle(spark):
     """The OPTIMIZE loop: appends land in their correct buckets under
-    frozen bounds (idempotently — the duplicate guard), accreting
-    part-files; recluster rewrites each bucket to one z-sorted file
-    with the row set and slice result invariant."""
+    frozen bounds, accreting part-files; a duplicate delivery RAISES
+    (the append_to_ivf_index fail-loudly contract); recluster rewrites
+    each bucket to one z-sorted file with the row set invariant."""
     import shutil
+
+    import pytest
 
     from flink_fraud_detection_rocks_db_app_spark.operators.layout import (
         ZORDER_BATCH_MOD,
@@ -139,12 +141,11 @@ def test_zorder_append_recluster_lifecycle(spark):
         write_zorder_base,
     )
 
-    # build a PRISTINE base: the shared content-keyed asset may have
-    # been appended already by a prior run of the registered query
+    # build a PRISTINE base (no batch) to drive the append path by hand
     fresh = ensure_zorder_base(spark, SF_SMALL) + ".lifecycle"
     if os.path.isdir(fresh):
         shutil.rmtree(fresh)
-    write_zorder_base(spark, SF_SMALL, fresh)
+    write_zorder_base(spark, SF_SMALL, fresh, with_batch=False)
 
     data = os.path.join(fresh, "data")
     ev = load(spark, SF_SMALL, "events")
@@ -155,7 +156,8 @@ def test_zorder_append_recluster_lifecycle(spark):
     base_files = len(glob.glob(os.path.join(data, "**", "*.parquet"), recursive=True))
 
     append_to_zorder_layout(batch, fresh)
-    append_to_zorder_layout(batch, fresh)  # duplicate delivery: no-op
+    with pytest.raises(ValueError, match="already in the table"):
+        append_to_zorder_layout(batch, fresh)  # duplicate delivery
     after = spark.read.parquet(data)
     assert after.count() == n_total
     assert after.select("event_id").distinct().count() == n_total
