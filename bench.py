@@ -263,6 +263,9 @@ HEADLINE = [
     # round 11: per-ingest-batch data-drift gate (PSI over the shared
     # quality-score deciles, dense spine, one-row totals broadcast)
     "quality_psi_drift",
+    # round 11: compressed-domain codebook staleness (the PQ twin of
+    # the IVF drift monitor; O(M x KS x SUBDIM) aggregate)
+    "ann_pq_drift_monitor",
 ]
 
 

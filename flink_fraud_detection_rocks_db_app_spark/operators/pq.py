@@ -531,3 +531,88 @@ def ann_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import recall_vs_exact
 
     return recall_vs_exact(spark, sf_dir, ann_ivfpq_topk(spark, sf_dir))
+
+
+@register(
+    "ann_pq_drift_monitor",
+    oracle=f"""
+WITH {_PQ_CTES},
+asn AS (
+  SELECT enc.vec_id, enc.m, enc.code, sub.sv
+  FROM enc JOIN sub ON enc.vec_id = sub.vec_id AND enc.m = sub.m
+),
+mm AS (
+  SELECT m, code, pos, round(avg(val), 6) AS mc
+  FROM (SELECT m, code, unnest(sv) AS val, unnest(range(len(sv))) AS pos FROM asn)
+  GROUP BY 1, 2, 3
+),
+mv AS (SELECT m, code, list(mc ORDER BY pos) AS mvec FROM mm GROUP BY 1, 2),
+occ AS (SELECT m, code, COUNT(*)::BIGINT AS n_vectors FROM enc GROUP BY 1, 2)
+SELECT cb.m::BIGINT AS m, cb.code::BIGINT AS code,
+       COALESCE(occ.n_vectors, 0)::BIGINT AS n_vectors,
+       round(list_distance(cb.cv, mv.mvec), 6) AS drift
+FROM cb
+LEFT JOIN occ USING (m, code)
+LEFT JOIN mv USING (m, code)
+""",
+    doc="Codebook-staleness monitor for the COMPRESSED domain — the PQ "
+    "twin of ann_ivf_drift_monitor: per (subspace, codeword), how many "
+    "subvectors encode to it and the L2 distance between the codeword "
+    "and the 6dp-rounded mean of what it actually encodes. A drifted "
+    "codeword means ADC lookup distances are systematically off for "
+    "every vector using it — quantization error the recall monitor "
+    "sees only as a composite; this face localizes WHICH subspace/"
+    "codeword to retrain. Unused codewords surface with NULL drift "
+    "(wasted codebook capacity), never vanish. Scale: encoding is the "
+    "scan-local literal-codebook pass the PQ family already uses; the "
+    "drift aggregate shuffles O(M x KS x SUBDIM) partial means with "
+    "map-side combine — independent of corpus size — and the final "
+    "joins touch the 32-row codebook frame.",
+    tags=("similarity", "ann", "pq", "eval"),
+)
+def ann_pq_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vectors(spark, sf_dir)
+    cb = _codebook_from_vectors(e)
+    enc = _encoded_over(e, cb)
+    subs = _with_subs(e).select("vec_id", "subs")
+    pairs = (
+        enc.join(subs, "vec_id")
+        .select("vec_id", F.posexplode(F.arrays_zip("codes", "subs")).alias("m", "cs"))
+        .select(
+            F.col("m").cast("long").alias("m"),
+            F.col("cs.codes").cast("long").alias("code"),
+            F.col("cs.subs").alias("sv"),
+        )
+    )
+    mm = (
+        pairs.select("m", "code", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("m", "code", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("mc"))
+        .groupBy("m", "code")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(pos, mc))), x -> x.mc)"
+            ).alias("mvec")
+        )
+    )
+    occ = pairs.groupBy("m", "code").agg(F.count("*").alias("n_vectors"))
+    cw = spark.createDataFrame(
+        [(m, c, cb[m][c]) for m in range(PQ_M) for c in range(PQ_KS)],
+        "m long, code long, cv array<double>",
+    )
+    drift = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(cv, mvec, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+        )
+    )
+    return (
+        cw.join(F.broadcast(occ), ["m", "code"], "left")
+        .join(F.broadcast(mm), ["m", "code"], "left")
+        .select(
+            "m",
+            "code",
+            F.coalesce("n_vectors", F.lit(0)).cast("long").alias("n_vectors"),
+            F.round(drift, 6).alias("drift"),
+        )
+    )

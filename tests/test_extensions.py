@@ -214,6 +214,53 @@ def test_ivf_drift_monitor_matches_python_recompute(spark):
     assert abs(rows[cell0].drift - want) < 1e-9, (rows[cell0].drift, want)
 
 
+def test_pq_drift_monitor_matches_python_recompute(spark):
+    """Every (subspace, codeword) appears; occupancy sums to
+    corpus x M; one cell's drift is verified against a pure-Python
+    recompute from the raw embeddings."""
+    import math
+
+    from flink_fraud_detection_rocks_db_app_spark.operators.pq import (
+        PQ_KS,
+        PQ_M,
+        PQ_SUBDIM,
+        _codebook_from_vectors,
+    )
+    from flink_fraud_detection_rocks_db_app_spark.operators.similarity import (
+        _vectors,
+    )
+
+    rows = {(r.m, r.code): r for r in _rows(spark, "ann_pq_drift_monitor")}
+    assert len(rows) == PQ_M * PQ_KS
+    e = _vectors(spark, SF_SMALL)
+    n = e.count()
+    assert sum(r.n_vectors for r in rows.values()) == n * PQ_M
+
+    cb = _codebook_from_vectors(e)
+    vecs = [list(r.v) for r in e.select("v").collect()]
+    m = 0
+    # python re-encode subspace 0 with the oracle's rounded-distance
+    # argmin (lowest code wins ties)
+    assigned: dict[int, list[list[float]]] = {}
+    for v in vecs:
+        sv = v[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        dists = [
+            round(sum((x - y) ** 2 for x, y in zip(sv, cv)), 6) for cv in cb[m]
+        ]
+        code = dists.index(min(dists))
+        assigned.setdefault(code, []).append(sv)
+    for code, svs in assigned.items():
+        r = rows[(m, code)]
+        assert r.n_vectors == len(svs)
+        mean = [
+            round(sum(s[i] for s in svs) / len(svs), 6) for i in range(PQ_SUBDIM)
+        ]
+        want = round(
+            math.sqrt(sum((c - x) ** 2 for c, x in zip(cb[m][code], mean))), 6
+        )
+        assert abs(r.drift - want) < 1e-9, (code, r.drift, want)
+
+
 def test_quality_psi_drift_detects_planted_drift(spark):
     """A uniform mod-split of one corpus must read as stable (total
     PSI well under the 0.2 alarm); a batch deliberately drawn from the
