@@ -266,6 +266,9 @@ HEADLINE = [
     # round 11: compressed-domain codebook staleness (the PQ twin of
     # the IVF drift monitor; O(M x KS x SUBDIM) aggregate)
     "ann_pq_drift_monitor",
+    # round 11: the drift gate under streaming ingestion (per-batch
+    # 10-row histogram segments, associative merge == monolithic PSI)
+    "stream_quality_psi_replay",
 ]
 
 

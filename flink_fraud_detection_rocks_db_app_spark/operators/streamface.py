@@ -1510,6 +1510,101 @@ def stream_corpus_prep_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def _psi_oracle() -> str:
+    from .text import _PSI_ORACLE
+
+    return _PSI_ORACLE
+
+
+@register(
+    "stream_quality_psi_replay",
+    oracle=_psi_oracle(),
+    doc="The data-drift gate under streaming INGESTION — the PSI "
+    "sibling of stream_corpus_prep_replay: the batch split "
+    "(doc_id % 8 == 7) arrives as 3 document chunks; each micro-batch "
+    "scores ONLY its arrivals with the shared quality bucketing "
+    "(text.quality_buckets_over) and appends a 10-row histogram "
+    "segment to a persisted ledger (per-batch-id path, so a "
+    "foreachBatch retry overwrites its own segment instead of "
+    "double-counting); the probe sums segments into the batch "
+    "histogram, joins the base corpus' histogram, and must hash-equal "
+    "quality_psi_drift's monolithic replay — bucket counts are "
+    "associative, so the merge is arrival-order free by construction. "
+    "At 100 TB the ledger rows are 10 ints per batch: drift "
+    "monitoring costs one scan of EACH batch at arrival plus an "
+    "O(batches x buckets) merge at read — the raw text is never "
+    "rescanned.",
+    tags=("streaming", "text", "eval", "parity"),
+)
+def stream_quality_psi_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import load
+    from .text import (
+        PSI_BATCH_MOD,
+        psi_from_counts,
+        quality_buckets_over,
+    )
+
+    name = f"psiingest_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        docs = load(spark, sf_dir, "documents")
+        batch_docs = docs.where(
+            F.pmod(F.col("doc_id"), F.lit(PSI_BATCH_MOD)) == PSI_BATCH_MOD - 1
+        )
+        src = os.path.join(scratch, "arrivals")
+        for i in range(3):
+            batch_docs.where(
+                F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        ledger = os.path.join(scratch, "ledger")
+
+        def sink(b: DataFrame, bid: int) -> None:
+            if b.isEmpty():
+                return
+            (
+                quality_buckets_over(b)
+                .groupBy("bucket")
+                .agg(F.count("*").alias("n"))
+                .write.mode("overwrite")
+                .parquet(os.path.join(ledger, f"seg={bid}"))
+            )
+
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        batch_counts = (
+            spark.read.parquet(ledger)
+            .groupBy("bucket")
+            .agg(F.sum("n").alias("n_batch"))
+        )
+        base_counts = (
+            quality_buckets_over(
+                docs.where(
+                    F.pmod(F.col("doc_id"), F.lit(PSI_BATCH_MOD))
+                    != PSI_BATCH_MOD - 1
+                )
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_base"))
+        )
+        counts = base_counts.join(batch_counts, "bucket", "full_outer")
+        out = psi_from_counts(counts)
+        rows = out.collect()  # bounded: PSI_BUCKETS rows
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def _stream_build_ivf(spark: SparkSession, sf_dir: str, scratch: str) -> str:
     """Replay the embeddings as 3 arrival chunks through a file stream
     whose foreachBatch bootstraps then appends the IVF index under the

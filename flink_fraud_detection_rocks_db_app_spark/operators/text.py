@@ -111,9 +111,9 @@ PSI_BATCH_MOD = 8  # batch = doc_id % MOD == MOD-1, the IVF/zorder split
 PSI_BUCKETS = 10
 
 
-@register(
-    "quality_psi_drift",
-    oracle=f"""
+# Shared by the batch face and its streaming-ledger twin
+# (stream_quality_psi_replay): one definition of the PSI replay.
+_PSI_ORACLE = f"""
 WITH {QUALITY_SQL_CTES},
 scored AS (
   SELECT doc_id, LEAST({PSI_BUCKETS - 1}, FLOOR(quality * {PSI_BUCKETS})::BIGINT)
@@ -139,7 +139,12 @@ SELECT bucket, n_base, n_batch,
            * ln(((n_batch + 1)::DOUBLE / (tq + {PSI_BUCKETS}))
               / ((n_base + 1)::DOUBLE / (tb + {PSI_BUCKETS}))), 6) AS psi_term
 FROM dense CROSS JOIN tot
-""",
+"""
+
+
+@register(
+    "quality_psi_drift",
+    oracle=_PSI_ORACLE,
     doc="Population-stability-index drift monitor over the quality-"
     "score distribution — the data-drift gate a training pipeline "
     "runs per ingest batch before letting it into the mix: base "
@@ -176,11 +181,20 @@ def psi_report(scored: DataFrame) -> DataFrame:
     """PSI contributions from a (bucket, is_batch) frame — the shared
     computation behind quality_psi_drift, reusable for any bucketed
     base-vs-batch comparison (language shares, length deciles, ...)."""
-    spark = scored.sparkSession
     counts = scored.groupBy("bucket").agg(
         F.sum(F.when(~F.col("is_batch"), 1).otherwise(0)).alias("n_base"),
         F.sum(F.when(F.col("is_batch"), 1).otherwise(0)).alias("n_batch"),
     )
+    return psi_from_counts(counts)
+
+
+def psi_from_counts(counts: DataFrame) -> DataFrame:
+    """PSI contributions from a sparse (bucket, n_base, n_batch)
+    counts frame — the mergeable-histogram entry point: per-batch
+    bucket counts are associative, so a streaming ledger of 10-row
+    histogram segments sums into the same report
+    (stream_quality_psi_replay)."""
+    spark = counts.sparkSession
     spine = spark.range(PSI_BUCKETS).select(F.col("id").alias("bucket"))
     dense = spine.join(F.broadcast(counts), "bucket", "left").select(
         "bucket",
@@ -197,6 +211,32 @@ def psi_report(scored: DataFrame) -> DataFrame:
         "n_base",
         "n_batch",
         F.round((qq - p) * F.log(qq / p), 6).alias("psi_term"),
+    )
+
+
+def quality_buckets_over(docs: DataFrame) -> DataFrame:
+    """(doc_id, bucket) over any documents frame — the one bucketing
+    definition (identical expressions to doc_quality_score + the
+    decile floor), shared by the batch face's scorer and the streaming
+    ledger's per-chunk segments."""
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    m = docs.selectExpr(
+        "doc_id",
+        "size(split(lower(text), ' ')) AS n_tokens",
+        "size(array_distinct(split(lower(text), ' '))) / CAST(size(split(lower(text), ' ')) AS DOUBLE) AS distinct_ratio",
+        f"size(filter(split(lower(text), ' '), x -> x IN ({stop_list}))) / CAST(size(split(lower(text), ' ')) AS DOUBLE) AS stop_ratio",
+    )
+    quality = F.round(
+        0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + 0.4 * F.col("distinct_ratio")
+        + 0.2 * (1.0 - F.abs(F.col("stop_ratio") - 0.4)),
+        6,
+    )
+    return m.select(
+        "doc_id",
+        F.least(F.lit(PSI_BUCKETS - 1), F.floor(quality * PSI_BUCKETS))
+        .cast("long")
+        .alias("bucket"),
     )
 
 
