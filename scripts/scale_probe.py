@@ -137,6 +137,24 @@ PROBED = [
     # the cost that must NOT scale with the corpus (modulo fixed-K
     # cluster growth; see the probe docstring)
     "semdedup_append_fixed_batch",
+    # r11: the banding recall monitor — its truth arm is the exact
+    # postings join; disjoint-copy scaling replicates true pairs per
+    # copy, so pair volume (and the monitor) should ride ~linearly
+    "dedup_simhash_band_recall",
+    # r11: the PSI gate (one scan + a 10-group aggregate) and the PQ
+    # codebook drift (scan-local encode + O(M x KS x SUBDIM) partials)
+    # — both should be pure corpus-scan slopes
+    "quality_psi_drift",
+    "ann_pq_drift_monitor",
+    # r11: the z-ordered slice (content-keyed asset rebuilt per scale
+    # on first touch; min-of-2 keeps the warm probe — the production
+    # per-query cost of the published layout)
+    "events_zorder_slice",
+    # r11: IVF health legs over the published asset (warm reads:
+    # balance projects the partition column only, drift aggregates
+    # O(cells x dim) partials off the same lists)
+    "ann_ivf_balance_monitor",
+    "ann_ivf_drift_monitor",
 ]
 
 
