@@ -269,6 +269,10 @@ HEADLINE = [
     # round 11: the drift gate under streaming ingestion (per-batch
     # 10-row histogram segments, associative merge == monolithic PSI)
     "stream_quality_psi_replay",
+    # round 11: the FAISS refine stage (exact re-rank of the 3k-wide
+    # ADC pool) and its recall column (prices the REFINE_FACTOR knob)
+    "ann_ivfpq_refine_topk",
+    "ann_ivfpq_refine_recall_at_k",
 ]
 
 

@@ -214,6 +214,30 @@ def test_ivf_drift_monitor_matches_python_recompute(spark):
     assert abs(rows[cell0].drift - want) < 1e-9, (rows[cell0].drift, want)
 
 
+def test_ivfpq_refine_dominates_plain_per_query(spark):
+    """Refine selects the exact-cosine-best k from a pool that is a
+    SUPERSET of the ADC top-k, so every exact-top-k member the plain
+    path finds is also found by refine: per-query recall(refine) >=
+    recall(plain), provably — and the refined list itself must be
+    ordered by true cosine."""
+    plain = {r.query_id: r.n_hits for r in _rows(spark, "ann_ivfpq_recall_at_k")}
+    ref = {
+        r.query_id: r.n_hits
+        for r in _rows(spark, "ann_ivfpq_refine_recall_at_k")
+    }
+    assert set(plain) == set(ref)
+    for qid in plain:
+        assert ref[qid] >= plain[qid], (qid, ref[qid], plain[qid])
+
+    from flink_fraud_detection_rocks_db_app_spark.operators.similarity import TOP_K
+
+    rows = _rows(spark, "ann_ivfpq_refine_topk")
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert all(len(rs) <= TOP_K for rs in by_q.values())
+
+
 def test_pq_drift_monitor_matches_python_recompute(spark):
     """Every (subspace, codeword) appears; occupancy sums to
     corpus x M; one cell's drift is verified against a pure-Python

@@ -167,6 +167,11 @@ BNLJ_OK = {
     "ann_pq_recall_at_k",
     # same composition over the IVFPQ arm
     "ann_ivfpq_recall_at_k",
+    # inherits ann_ivfpq_topk's documented quantizer/LUT broadcasts in
+    # the pool stage; the refine join itself is an id-keyed equi join
+    "ann_ivfpq_refine_topk",
+    # composes the refine face with ann_cosine_topk (both above)
+    "ann_ivfpq_refine_recall_at_k",
     "tpch_q22_dormant_high_balance",
     # one-row scalar-aggregate gate broadcast into the HAVING filter
     "tpch_q11_important_stock",
