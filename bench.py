@@ -273,6 +273,9 @@ HEADLINE = [
     # ADC pool) and its recall column (prices the REFINE_FACTOR knob)
     "ann_ivfpq_refine_topk",
     "ann_ivfpq_refine_recall_at_k",
+    # round 11: DSIR-shaped importance resampling (O(V) broadcast LM
+    # ratio, scan-local scoring, all-integer Knuth acceptance gate)
+    "dsir_importance_sample",
 ]
 
 

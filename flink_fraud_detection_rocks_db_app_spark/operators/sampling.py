@@ -29,25 +29,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..fixtures import load
+from ..functions.hashing import HASH_DUCK, HASH_MOD, HASH_SPARK, HASH_TMPL, KNUTH
 from ..registry import register
 from .text import QUALITY_SQL_CTES
 
-# Knuth's multiplicative constant (golden-ratio reciprocal * 2^32).
-_KNUTH = 2654435761
-_MOD = 4294967296  # 2^32
-
-# (doc_id * _KNUTH) mod 2^32 via 16-bit split multiply — identical to
-# the naive product for every id, but every intermediate stays < 2^49
-# so int64 can never wrap (asserted for random 63-bit ids in
-# tests/test_extensions.py). Only `{idiv}` differs per engine
-# (Spark `div`, DuckDB `//`); all other operators behave identically
-# on the non-negative operands this produces.
-_HASH_TMPL = (
-    "((((((doc_id % 4294967296) {idiv} 65536) * 2654435761) % 4294967296)"
-    " * 65536 + (doc_id % 65536) * 2654435761) % 4294967296)"
-)
-_HASH_SPARK = _HASH_TMPL.format(idiv="div")
-_HASH_DUCK = _HASH_TMPL.format(idiv="//")
+# Knuth multiplicative hash, shared with the DSIR gate — definition
+# and overflow analysis in functions/hashing.py. Local aliases keep
+# this module's oracle strings and tests unchanged.
+_KNUTH = KNUTH
+_MOD = HASH_MOD
+_HASH_TMPL = HASH_TMPL
+_HASH_SPARK = HASH_SPARK
+_HASH_DUCK = HASH_DUCK
 
 # per-stratum keep rates in 1/100ths applied to the 32-bit hash space;
 # stratification axis is (lang): high-resource languages are downsampled

@@ -12,6 +12,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..fixtures import load
+from ..functions.hashing import HASH_DUCK as _HASH_DUCK
+from ..functions.hashing import HASH_SPARK as _HASH_SPARK
 from ..registry import register
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
@@ -686,6 +688,127 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.round(lp_sum / F.size("w"), 6).alias("avg_logprob"),
             n_oov.alias("n_oov"),
+        )
+    )
+
+
+# --------------------------------------- DSIR-style importance sampling
+
+DSIR_TARGET_LANG = "en"  # the fixture's highest-resource language
+
+
+@register(
+    "dsir_importance_sample",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+tf AS (SELECT t, COUNT(*) AS c FROM (SELECT unnest(w) AS t FROM toks) GROUP BY 1),
+vocab AS (SELECT t FROM tf ORDER BY c DESC, t ASC LIMIT {UNIGRAM_V}),
+vt AS (
+  SELECT v.t,
+         COUNT(*) FILTER (lang = '{DSIR_TARGET_LANG}')::BIGINT AS ct,
+         COUNT(*)::BIGINT AS cb
+  FROM (SELECT lang, unnest(w) AS t FROM toks) x
+  JOIN vocab v USING (t)
+  GROUP BY v.t
+),
+tots AS (SELECT SUM(ct) AS tt, SUM(cb) AS tb FROM vt),
+model AS (
+  SELECT t, ln((ct + 1)::DOUBLE / (tt + {UNIGRAM_V}))
+          - ln((cb + 1)::DOUBLE / (tb + {UNIGRAM_V})) AS lr
+  FROM vt CROSS JOIN tots
+),
+scored AS (
+  SELECT doc_id, lang, round(AVG(coalesce(lr, 0.0)), 6) AS logw
+  FROM (SELECT doc_id, lang, unnest(w) AS t FROM toks)
+  LEFT JOIN model USING (t)
+  GROUP BY doc_id, lang
+),
+mx AS (SELECT MAX(logw) AS wmax FROM scored)
+SELECT doc_id, lang, logw,
+       ({_HASH_DUCK} <
+        CAST(FLOOR(round(exp(logw - wmax), 6) * 4294967296) AS BIGINT)) AS kept
+FROM scored CROSS JOIN mx
+""",
+    doc=f"DSIR-shaped importance resampling (Xie et al. 2023, hashed "
+    "n-gram LM importance weights — here the unigram flavor over the "
+    f"shared top-{UNIGRAM_V} vocab): per document, logw = mean "
+    "log-likelihood RATIO between a Laplace-smoothed "
+    f"'{DSIR_TARGET_LANG}'-target unigram LM and the whole-corpus LM "
+    "(OOV tokens contribute 0 — ratios live on the shared vocab "
+    "support), then rejection-sample toward the target: keep iff the "
+    "overflow-free Knuth hash of doc_id falls under "
+    "exp(logw - max logw) of the 32-bit hash space — acceptance ∝ "
+    "importance weight, deterministic across engines (logw and the "
+    "acceptance ratio are 6dp-rounded before the all-integer gate "
+    "compare; ln/exp are the libm calls the q15 convention covers). "
+    "Scale: both LMs collapse to ONE O(V) broadcast map row, scoring "
+    "is the scan-local aggregate doc_unigram_logprob established, the "
+    "max is a one-row broadcast — the corpus shuffles only for the "
+    "O(V) vocab build. The gate needs no normalizing constant beyond "
+    "the max: a second pass nowhere, sampled membership stable under "
+    "partitioning (hash-gated, not RNG). Behavioral note: on a corpus "
+    "already close to the target (this fixture's shared synthetic "
+    "vocabulary) acceptance ratios sit near 1 and the gate removes "
+    "little — the CORRECT proportional behavior; the weights still "
+    "rank the target language first (test-pinned), and on a divergent "
+    "corpus the same gate thins non-target mass aggressively.",
+    tags=("text", "sampling", "quality"),
+)
+def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split(F.lower(F.col("text")), " ").alias("w")
+    )
+    tf = toks.select(F.explode("w").alias("t")).groupBy("t").agg(
+        F.count("*").alias("c")
+    )
+    vocab = tf.orderBy(F.desc("c"), F.asc("t")).limit(UNIGRAM_V).select("t")
+    vt = (
+        toks.select("lang", F.explode("w").alias("t"))
+        .join(F.broadcast(vocab), "t", "left_semi")
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            ).alias("ct"),
+            F.count("*").alias("cb"),
+        )
+    )
+    tots = vt.agg(F.sum("ct").alias("tt"), F.sum("cb").alias("tb"))
+    lr = F.log(
+        (F.col("ct") + 1).cast("double") / (F.col("tt") + UNIGRAM_V)
+    ) - F.log((F.col("cb") + 1).cast("double") / (F.col("tb") + UNIGRAM_V))
+    model_row = (
+        vt.join(F.broadcast(tots))
+        .select("t", lr.alias("lr"))
+        .agg(
+            F.map_from_entries(
+                F.expr("sort_array(collect_list(struct(t, lr)))")
+            ).alias("m")
+        )
+    )
+    lr_sum = F.expr(
+        "aggregate(w, CAST(0.0 AS DOUBLE), "
+        "(s, x) -> s + coalesce(element_at(m, x), CAST(0.0 AS DOUBLE)))"
+    )
+    scored = (
+        toks.join(F.broadcast(model_row))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(lr_sum / F.size("w"), 6).alias("logw"),
+        )
+    )
+    mx = scored.agg(F.max("logw").alias("wmax"))
+    thresh = F.floor(
+        F.round(F.exp(F.col("logw") - F.col("wmax")), 6) * F.lit(4294967296)
+    ).cast("long")
+    return (
+        scored.join(F.broadcast(mx))
+        .select(
+            "doc_id",
+            "lang",
+            "logw",
+            (F.expr(_HASH_SPARK) < thresh).alias("kept"),
         )
     )
 

@@ -214,6 +214,39 @@ def test_ivf_drift_monitor_matches_python_recompute(spark):
     assert abs(rows[cell0].drift - want) < 1e-9, (rows[cell0].drift, want)
 
 
+def test_dsir_weights_rank_target_language_first(spark):
+    """The importance weights must rank the target language's docs
+    highest on average (that's the entire point of the LM ratio), and
+    the keep gate must be exactly the documented Knuth-hash compare —
+    recomputed in Python per row."""
+    import math
+
+    from flink_fraud_detection_rocks_db_app_spark.operators.text import (
+        DSIR_TARGET_LANG,
+    )
+
+    rows = _rows(spark, "dsir_importance_sample")
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert DSIR_TARGET_LANG in by_lang and len(by_lang) > 1
+    avg = {
+        lang: sum(r.logw for r in rs) / len(rs) for lang, rs in by_lang.items()
+    }
+    for lang, a in avg.items():
+        if lang != DSIR_TARGET_LANG:
+            assert avg[DSIR_TARGET_LANG] > a, (lang, avg)
+
+    wmax = max(r.logw for r in rows)
+    for r in rows:
+        h = (
+            ((r.doc_id % 2**32) // 65536 * 2654435761) % 2**32 * 65536
+            + (r.doc_id % 65536) * 2654435761
+        ) % 2**32
+        thresh = math.floor(round(math.exp(r.logw - wmax), 6) * 2**32)
+        assert r.kept == (h < thresh), r
+
+
 def test_ivfpq_refine_dominates_plain_per_query(spark):
     """Refine selects the exact-cosine-best k from a pool that is a
     SUPERSET of the ADC top-k, so every exact-top-k member the plain

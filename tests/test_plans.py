@@ -224,6 +224,10 @@ BNLJ_OK = {
     # spine (same scalar-gate shape); the spine join is a broadcast
     # equi join on bucket
     "quality_psi_drift",
+    # the doc_unigram_logprob shape: one-row O(V) LM-ratio map + the
+    # one-row totals and max-logw broadcasts; scoring and the gate are
+    # scan-local expressions, not joins
+    "dsir_importance_sample",
 }
 # Queries whose semantics REQUIRE Python (documented; Arrow-batched).
 PYTHON_OK = {
