@@ -155,6 +155,11 @@ PROBED = [
     # O(cells x dim) partials off the same lists)
     "ann_ivf_balance_monitor",
     "ann_ivf_drift_monitor",
+    # r11: the refine stage (pool join touches O(queries x R) rows —
+    # its slope should track the compressed scan, not the corpus) and
+    # the DSIR gate (vocab build + scan-local scoring, ~linear)
+    "ann_ivfpq_refine_topk",
+    "dsir_importance_sample",
 ]
 
 
