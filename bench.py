@@ -276,6 +276,9 @@ HEADLINE = [
     # round 11: DSIR-shaped importance resampling (O(V) broadcast LM
     # ratio, scan-local scoring, all-integer Knuth acceptance gate)
     "dsir_importance_sample",
+    # round 11: the z-ordered table maintained under streaming arrival
+    # (frozen-bounds placement, retry-safe per-batch segments)
+    "stream_zorder_ingest_replay",
 ]
 
 

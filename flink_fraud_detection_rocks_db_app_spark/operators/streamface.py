@@ -1510,6 +1510,136 @@ def stream_corpus_prep_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def _zorder_slice_oracle() -> str:
+    from .layout import _SLICE_ORACLE
+
+    return _SLICE_ORACLE
+
+
+@register(
+    "stream_zorder_ingest_replay",
+    oracle=_zorder_slice_oracle(),
+    doc="The z-ordered table maintained under streaming INGESTION — "
+    "the layout pillar's ingest leg, same shape as the BM25/IVF "
+    "ingest faces: the first arrival chunk carries the BASE split "
+    "(a deployment lays out its table before appends exist), its "
+    "foreachBatch freezes the normalization bounds and writes the "
+    "clustered base as segment 0; each later micro-batch places its "
+    "rows into their correct coarse buckets UNDER THE FROZEN BOUNDS "
+    "and writes them as its own segment directory (seg=<batch_id>, "
+    "overwritten on foreachBatch retry — the corpus-prep ledger's "
+    "retry-safety convention, which is why this face does not need "
+    "the batch-API append's fail-loudly duplicate guard), so the "
+    "table accretes seg x zbucket partitions; a recluster pass "
+    "(compact_parquet_table with a drop-seg merge + z sort, "
+    "tests/test_layout.py) later collapses segments to one z-sorted "
+    "file per bucket. The probe slices "
+    "base+segments as ONE table and must hash-equal the raw-table "
+    "slice oracle: placement is arrival-order free (frozen bounds), "
+    "and no row may be lost, moved or doubled by the segmentation. "
+    "At 100 TB each append costs ∝ batch; bucket pruning still holds "
+    "(zbucket remains a partition column under seg).",
+    tags=("streaming", "warehouse", "layout", "parity"),
+)
+def stream_zorder_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import load
+    from .layout import (
+        ZORDER_BATCH_MOD,
+        zorder_events,
+        zorder_events_frozen,
+    )
+
+    name = f"zingest_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        ev = load(spark, sf_dir, "events")
+        is_batch = (
+            F.pmod(F.col("event_id"), F.lit(ZORDER_BATCH_MOD))
+            == ZORDER_BATCH_MOD - 1
+        )
+        chunk = F.when(~is_batch, F.lit(0)).otherwise(
+            F.pmod(F.xxhash64("event_id"), F.lit(2)) + 1
+        )
+        src = os.path.join(scratch, "arrivals")
+        import time as _time
+
+        base_t = _time.time()
+        seen: set[str] = set()
+        for i in range(3):
+            ev.where(chunk == i).coalesce(1).write.mode("append").parquet(src)
+            for f in os.listdir(src):
+                p = os.path.join(src, f)
+                if f.endswith(".parquet") and p not in seen:
+                    os.utime(p, (base_t + i, base_t + i))
+                    seen.add(p)
+
+        asset = os.path.join(scratch, "ztable")
+        bounds_dir = os.path.join(asset, "bounds")
+        data = os.path.join(asset, "data")
+
+        def sink(batch: DataFrame, bid: int) -> None:
+            if batch.isEmpty():
+                return
+            if not os.path.isdir(bounds_dir):
+                zed = zorder_events(batch)
+                t_ms = F.expr("CAST(ts div 1000000 AS BIGINT)")
+                batch.select(
+                    F.min("user_id").alias("u_min"),
+                    F.max("user_id").alias("u_max"),
+                    F.min(t_ms).alias("t_min"),
+                    F.max(t_ms).alias("t_max"),
+                ).write.mode("overwrite").parquet(bounds_dir)
+            else:
+                bounds = batch.sparkSession.read.parquet(bounds_dir)
+                zed = zorder_events_frozen(batch, bounds)
+            (
+                zed.repartition("zbucket")
+                .sortWithinPartitions("z")
+                .write.mode("overwrite")
+                .partitionBy("zbucket")
+                .parquet(os.path.join(data, f"seg={bid}"))
+            )
+
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        zed = spark.read.parquet(data)
+        b = zed.agg(
+            F.min("user_id").alias("u_min"),
+            F.max("user_id").alias("u_max"),
+            F.min("t_ms").alias("t_min"),
+            F.max("t_ms").alias("t_max"),
+        ).collect()[0]
+        u_lo = b.u_min + ((b.u_max - b.u_min) * 4) // 10
+        u_hi = b.u_min + ((b.u_max - b.u_min) * 6) // 10
+        t_lo = b.t_min + ((b.t_max - b.t_min) * 4) // 10
+        t_hi = b.t_min + ((b.t_max - b.t_min) * 6) // 10
+        out = (
+            zed.where(
+                F.col("user_id").between(F.lit(u_lo), F.lit(u_hi))
+                & F.col("t_ms").between(F.lit(t_lo), F.lit(t_hi))
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+            )
+        )
+        rows = out.collect()  # bounded: one row per event_type
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def _psi_oracle() -> str:
     from .text import _PSI_ORACLE
 

@@ -189,3 +189,58 @@ def test_zorder_append_recluster_lifecycle(spark):
         for r in events_zorder_slice_incremental(spark, SF_SMALL).collect()
     }
     assert inc, "slice should be non-empty at test sf"
+
+
+def test_segmented_zorder_recluster_collapses_segments(spark, scratch):
+    """The streamed table's recluster: per-batch segment dirs collapse
+    to one z-sorted file per bucket via compact_parquet_table's merge
+    hook (drop the seg bookkeeping column) — row set and slice results
+    invariant, seg gone from the compacted table."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.indexcache import (
+        compact_parquet_table,
+    )
+    from flink_fraud_detection_rocks_db_app_spark.operators.layout import (
+        ZORDER_BATCH_MOD,
+        zorder_events,
+        zorder_events_frozen,
+    )
+
+    ev = load(spark, SF_SMALL, "events")
+    is_batch = (
+        F.pmod(F.col("event_id"), F.lit(ZORDER_BATCH_MOD)) == ZORDER_BATCH_MOD - 1
+    )
+    data = os.path.join(scratch, "data")
+    base = zorder_events(ev.where(~is_batch))
+    base.repartition("zbucket").sortWithinPartitions("z").write.mode(
+        "overwrite"
+    ).partitionBy("zbucket").parquet(os.path.join(data, "seg=0"))
+    bounds = base.agg(
+        F.min("user_id").alias("u_min"),
+        F.max("user_id").alias("u_max"),
+        F.min("t_ms").alias("t_min"),
+        F.max("t_ms").alias("t_max"),
+    )
+    zorder_events_frozen(ev.where(is_batch), bounds).repartition(
+        "zbucket"
+    ).write.mode("overwrite").partitionBy("zbucket").parquet(
+        os.path.join(data, "seg=1")
+    )
+
+    before = sorted(
+        map(tuple, spark.read.parquet(data).select("event_id", "z").collect())
+    )
+    removed = compact_parquet_table(
+        spark,
+        data,
+        partition_col="zbucket",
+        merge=lambda df: df.drop("seg"),
+        sort_col="z",
+    )
+    assert removed > 0
+    compacted = spark.read.parquet(data)
+    assert "seg" not in compacted.columns
+    after = sorted(map(tuple, compacted.select("event_id", "z").collect()))
+    assert after == before
+    n_buckets = compacted.select("zbucket").distinct().count()
+    files = len(glob.glob(os.path.join(data, "**", "*.parquet"), recursive=True))
+    assert files == n_buckets, (files, n_buckets)
