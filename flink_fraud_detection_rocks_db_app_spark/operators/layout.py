@@ -303,6 +303,45 @@ def append_to_zorder_layout(batch: DataFrame, asset: str) -> None:
     ).parquet(data)
 
 
+def zorder_stream_sink(asset: str):
+    """foreachBatch sink maintaining a z-ordered table under arrival
+    (used by stream_zorder_ingest_replay, importable for restart
+    tests): the FIRST batch freezes the normalization bounds and lays
+    out the base as segment 0's peers; every later batch places its
+    rows under the frozen bounds into its own seg=<batch_id> directory
+    — overwritten on re-delivery, so a foreachBatch retry after a
+    crash leaves exactly one copy (the corpus-prep ledger's
+    idempotence convention, replacing the batch-API append's
+    fail-loudly duplicate guard)."""
+    bounds_dir = os.path.join(asset, "bounds")
+    data = os.path.join(asset, "data")
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        if batch.isEmpty():
+            return
+        if not os.path.isdir(bounds_dir):
+            zed = zorder_events(batch)
+            t_ms = F.expr("CAST(ts div 1000000 AS BIGINT)")
+            batch.select(
+                F.min("user_id").alias("u_min"),
+                F.max("user_id").alias("u_max"),
+                F.min(t_ms).alias("t_min"),
+                F.max(t_ms).alias("t_max"),
+            ).write.mode("overwrite").parquet(bounds_dir)
+        else:
+            bounds = batch.sparkSession.read.parquet(bounds_dir)
+            zed = zorder_events_frozen(batch, bounds)
+        (
+            zed.repartition("zbucket")
+            .sortWithinPartitions("z")
+            .write.mode("overwrite")
+            .partitionBy("zbucket")
+            .parquet(os.path.join(data, f"seg={bid}"))
+        )
+
+    return sink
+
+
 def recluster_zorder_layout(spark: SparkSession, asset: str) -> int:
     """The OPTIMIZE pass: rewrite each coarse bucket to ONE z-sorted
     file (crash-safe whole-directory swap). Rows never change bucket;

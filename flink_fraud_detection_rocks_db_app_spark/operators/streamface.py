@@ -1543,11 +1543,7 @@ def _zorder_slice_oracle() -> str:
 )
 def stream_zorder_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..fixtures import load
-    from .layout import (
-        ZORDER_BATCH_MOD,
-        zorder_events,
-        zorder_events_frozen,
-    )
+    from .layout import ZORDER_BATCH_MOD, zorder_stream_sink
 
     name = f"zingest_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
@@ -1575,31 +1571,8 @@ def stream_zorder_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                     seen.add(p)
 
         asset = os.path.join(scratch, "ztable")
-        bounds_dir = os.path.join(asset, "bounds")
         data = os.path.join(asset, "data")
-
-        def sink(batch: DataFrame, bid: int) -> None:
-            if batch.isEmpty():
-                return
-            if not os.path.isdir(bounds_dir):
-                zed = zorder_events(batch)
-                t_ms = F.expr("CAST(ts div 1000000 AS BIGINT)")
-                batch.select(
-                    F.min("user_id").alias("u_min"),
-                    F.max("user_id").alias("u_max"),
-                    F.min(t_ms).alias("t_min"),
-                    F.max(t_ms).alias("t_max"),
-                ).write.mode("overwrite").parquet(bounds_dir)
-            else:
-                bounds = batch.sparkSession.read.parquet(bounds_dir)
-                zed = zorder_events_frozen(batch, bounds)
-            (
-                zed.repartition("zbucket")
-                .sortWithinPartitions("z")
-                .write.mode("overwrite")
-                .partitionBy("zbucket")
-                .parquet(os.path.join(data, f"seg={bid}"))
-            )
+        sink = zorder_stream_sink(asset)
 
         q = (
             spark.readStream.schema(ev.schema)
