@@ -279,6 +279,9 @@ HEADLINE = [
     # round 11: the z-ordered table maintained under streaming arrival
     # (frozen-bounds placement, retry-safe per-batch segments)
     "stream_zorder_ingest_replay",
+    # round 11: graded ranking quality of the served hybrid (nDCG@k
+    # vs the exact-arm gold; shares the indexed-MLT arm)
+    "hybrid_ndcg_at_k",
 ]
 
 

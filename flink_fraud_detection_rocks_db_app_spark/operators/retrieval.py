@@ -40,6 +40,8 @@ surface.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -647,6 +649,113 @@ def hybrid_overlap_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             n.alias("n_hits"),
             F.round(n / F.lit(float(MLT_TOP_K)), 6).alias("overlap"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lex.unpersist()
+    return out
+
+
+# ---- graded ranking quality: nDCG@k -------------------------------------
+
+# Ideal DCG for a fully-graded top-k list — a CONSTANT for fixed k,
+# computed once in Python and embedded as the same IEEE literal in
+# both engines (repr round-trips doubles exactly).
+_IDCG_AT_K = sum(
+    (MLT_TOP_K + 1 - p) / math.log2(p + 1) for p in range(1, MLT_TOP_K + 1)
+)
+
+
+def _hybrid_ndcg_oracle() -> str:
+    return f"""
+WITH exact_h AS ({_HYBRID_ORACLE}),
+idx_h AS ({_hybrid_idx_oracle()}),
+sysr AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY rrf DESC, neighbor_id ASC
+         ) AS p
+  FROM idx_h
+),
+gold AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY rrf DESC, neighbor_id ASC
+         ) AS r
+  FROM exact_h
+),
+dcg AS (
+  SELECT s.query_id,
+         COUNT(g.r)::BIGINT AS n_rel,
+         SUM(CASE WHEN g.r IS NULL THEN 0.0
+             ELSE ({MLT_TOP_K} + 1 - g.r) / log2(s.p + 1) END) AS dcg
+  FROM sysr s
+  LEFT JOIN gold g
+    ON s.query_id = g.query_id AND s.neighbor_id = g.neighbor_id
+  GROUP BY 1
+)
+SELECT q.query_id,
+       COALESCE(d.n_rel, 0)::BIGINT AS n_rel,
+       round(COALESCE(d.dcg, 0.0) / CAST({_IDCG_AT_K!r} AS DOUBLE), 6) AS ndcg
+FROM (SELECT DISTINCT query_id FROM exact_h) q
+LEFT JOIN dcg d USING (query_id)
+"""
+
+
+@register(
+    "hybrid_ndcg_at_k",
+    oracle=_hybrid_ndcg_oracle(),
+    doc=f"Graded ranking quality of the SERVED (indexed-arm) hybrid "
+    "against the exact-arm hybrid as gold: relevance of a fused "
+    f"neighbor = {MLT_TOP_K}+1-r for its gold rank r (0 if absent), "
+    "DCG discounts by log2(position+1), normalized by the constant "
+    "ideal DCG — nDCG@k, the graded refinement of hybrid_overlap_at_k "
+    "(overlap counts set membership; nDCG also charges the index for "
+    "putting the right documents in the WRONG ORDER — the number a "
+    "retrieval deployment actually tracks). Both rankings order by "
+    "the 6dp-rounded rrf with neighbor-id ties, so positions are "
+    "engine-exact; the per-query DCG sums ≤ k log2 terms and is "
+    "6dp-rounded (the q15 convention covers the libm call); the ideal "
+    "DCG is one Python-computed IEEE literal shared by both engines. "
+    "Same bounded composition economics as the overlap monitor: one "
+    "shared indexed-MLT arm, O(queries × k) frames end to end.",
+    tags=("text", "retrieval", "similarity", "eval"),
+)
+def hybrid_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lex = _mlt_ranked_indexed(spark, sf_dir).persist()
+    exact_h = _rrf_fuse(lex, _sem_ranked(spark, sf_dir))
+    idx_h = _rrf_fuse(lex, _sem_ranked_ivfpq_indexed(spark, sf_dir))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("neighbor_id")
+    )
+    sysr = idx_h.select(
+        "query_id", "neighbor_id", F.row_number().over(wp).alias("p")
+    )
+    gold = exact_h.select(
+        "query_id", "neighbor_id", F.row_number().over(wp).alias("r")
+    )
+    gain = (F.lit(MLT_TOP_K) + 1 - F.col("r")).cast("double")
+    dcg = (
+        sysr.join(gold, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("r").alias("n_rel"),
+            F.sum(
+                F.when(F.col("r").isNull(), F.lit(0.0)).otherwise(
+                    gain / F.log2(F.col("p") + 1)
+                )
+            ).alias("dcg"),
+        )
+    )
+    qs = exact_h.select("query_id").distinct()
+    out = (
+        qs.join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_rel", F.lit(0)).cast("long").alias("n_rel"),
+            F.round(
+                F.coalesce("dcg", F.lit(0.0)) / F.lit(_IDCG_AT_K), 6
+            ).alias("ndcg"),
         )
         .localCheckpoint(eager=True)
     )

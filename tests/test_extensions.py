@@ -1321,3 +1321,15 @@ def test_export_shard_manifest_dense_and_subset_stable(spark):
     assert {r.doc_id for r in half} == half_ids
     for r in half:
         assert r.shard == shard_of[r.doc_id], r.doc_id
+
+
+def test_hybrid_ndcg_consistent_with_overlap(spark):
+    """nDCG@k and overlap@k grade the same two rankings: n_rel must
+    equal the overlap monitor's n_hits per query, ndcg lives in [0,1],
+    and a query with full overlap AND identical order would hit 1."""
+    ndcg = {r.query_id: r for r in _rows(spark, "hybrid_ndcg_at_k")}
+    over = {r.query_id: r for r in _rows(spark, "hybrid_overlap_at_k")}
+    assert set(ndcg) == set(over)
+    for qid in ndcg:
+        assert ndcg[qid].n_rel == over[qid].n_hits, qid
+        assert 0.0 <= ndcg[qid].ndcg <= 1.0, ndcg[qid]
