@@ -282,6 +282,9 @@ HEADLINE = [
     # round 11: graded ranking quality of the served hybrid (nDCG@k
     # vs the exact-arm gold; shares the indexed-MLT arm)
     "hybrid_ndcg_at_k",
+    # round 11: grid-balance leg of the layout pillar (partition-
+    # column-only scan of the appending z-table, re-layout triggers)
+    "zorder_balance_monitor",
 ]
 
 

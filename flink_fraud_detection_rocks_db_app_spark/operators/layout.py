@@ -303,6 +303,97 @@ def append_to_zorder_layout(batch: DataFrame, asset: str) -> None:
     ).parquet(data)
 
 
+def _morton_sql(a: str, b: str) -> str:
+    """The interleave as PORTABLE SQL text (shifts/masks only — parses
+    and evaluates identically in Spark SQL and DuckDB), for oracles
+    that must replay bucket assignment; the Spark execution path uses
+    warehouse.zorder_value (same math as a Column expression)."""
+    terms = []
+    for i in range(Z_DIM_BITS):
+        terms.append(f"(((({a}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({b}) >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+ZORDER_HOT_FACTOR = 4  # a bucket holding > 4x the mean occupancy is hot
+
+
+@register(
+    "zorder_balance_monitor",
+    oracle=f"""
+WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS t_ms FROM events),
+base AS (SELECT * FROM ev WHERE event_id % {ZORDER_BATCH_MOD} != {ZORDER_BATCH_MOD - 1}),
+b AS (
+  SELECT min(user_id) AS u_min, max(user_id) AS u_max,
+         min(t_ms) AS t_min, max(t_ms) AS t_max
+  FROM base
+),
+n AS (
+  SELECT event_id,
+         LEAST({_Z_MAX}, GREATEST(0,
+           ((user_id - u_min) * {_Z_MAX}) // GREATEST(1, u_max - u_min))) AS un,
+         LEAST({_Z_MAX}, GREATEST(0,
+           ((t_ms - t_min) * {_Z_MAX}) // GREATEST(1, t_max - t_min))) AS tn
+  FROM ev CROSS JOIN b
+),
+zz AS (SELECT event_id, ({_morton_sql("un", "tn")}) AS z FROM n),
+occ AS (
+  SELECT (z >> {2 * Z_DIM_BITS - ZBUCKET_BITS}) AS zbucket,
+         COUNT(*)::BIGINT AS n_rows
+  FROM zz GROUP BY 1
+),
+spine AS (SELECT unnest(range({1 << ZBUCKET_BITS})) AS zbucket),
+tot AS (SELECT SUM(n_rows)::BIGINT AS total FROM occ)
+SELECT s.zbucket,
+       COALESCE(o.n_rows, 0)::BIGINT AS n_rows,
+       round((COALESCE(o.n_rows, 0) * {1 << ZBUCKET_BITS})::DOUBLE
+             / total::DOUBLE, 6) AS load_ratio,
+       (COALESCE(o.n_rows, 0) * {1 << ZBUCKET_BITS}
+        > {ZORDER_HOT_FACTOR} * total) AS hot,
+       (COALESCE(o.n_rows, 0) = 0) AS empty
+FROM spine s LEFT JOIN occ o USING (zbucket) CROSS JOIN tot
+""",
+    doc="Layout-health monitor — the balance-monitor pattern applied "
+    "to the z-ordered table's coarse grid: per-bucket occupancy of "
+    "the appending asset with load_ratio, an integer-exact hot "
+    f"trigger (> {ZORDER_HOT_FACTOR}x mean: the frozen bounds no "
+    "longer match the data distribution — appends clamp-pile into "
+    "edge cells, a hot file stops skipping — time to re-derive bounds "
+    "and re-layout, the quantizer-re-train decision for layouts) and "
+    "empty buckets (grid capacity wasted on unpopulated rectangles). "
+    "FULL-mechanics replay oracle: the frozen-bounds normalization, "
+    "Morton interleave and bucket id are pure integer arithmetic "
+    "spelled identically in both engines. Scale: the scan projects "
+    "ONLY the asset's zbucket partition column (row counts from "
+    "parquet metadata), aggregates map-side to O(buckets) rows, one "
+    "one-row total broadcast — the IVF balance monitor's cost shape.",
+    tags=("batch", "warehouse", "layout", "eval"),
+)
+def zorder_balance_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asset = ensure_zorder_base(spark, sf_dir)
+    occ = (
+        spark.read.parquet(os.path.join(asset, "data"))
+        .groupBy(F.col("zbucket").cast("long").alias("zbucket"))
+        .agg(F.count("*").alias("n_rows"))
+    )
+    n_buckets = 1 << ZBUCKET_BITS
+    spine = spark.range(n_buckets).select(F.col("id").alias("zbucket"))
+    dense = spine.join(F.broadcast(occ), "zbucket", "left").select(
+        "zbucket", F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows")
+    )
+    total = dense.agg(F.sum("n_rows").alias("total"))
+    scaled = F.col("n_rows") * n_buckets
+    return dense.join(F.broadcast(total)).select(
+        "zbucket",
+        "n_rows",
+        F.round(scaled.cast("double") / F.col("total").cast("double"), 6).alias(
+            "load_ratio"
+        ),
+        (scaled > ZORDER_HOT_FACTOR * F.col("total")).alias("hot"),
+        (F.col("n_rows") == 0).alias("empty"),
+    )
+
+
 def zorder_stream_sink(asset: str):
     """foreachBatch sink maintaining a z-ordered table under arrival
     (used by stream_zorder_ingest_replay, importable for restart

@@ -320,3 +320,25 @@ def test_zorder_stream_sink_restart_and_redelivery(spark, scratch):
     za = sorted(map(tuple, base_like.select("event_id", "z", "zbucket").collect()))
     zb = sorted(map(tuple, got.select("event_id", "z", "zbucket").collect()))
     assert za == zb
+
+
+def test_zorder_balance_monitor_accounts_for_every_row(spark):
+    """Occupancy sums to the full corpus (base+batch asset), the spine
+    is dense, and the hot/empty gates are the documented integer
+    comparisons."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.layout import (
+        ZBUCKET_BITS,
+        ZORDER_HOT_FACTOR,
+        zorder_balance_monitor,
+    )
+
+    rows = zorder_balance_monitor(spark, SF_SMALL).collect()
+    n_buckets = 1 << ZBUCKET_BITS
+    assert len(rows) == n_buckets
+    assert sorted(r.zbucket for r in rows) == list(range(n_buckets))
+    total = sum(r.n_rows for r in rows)
+    assert total == load(spark, SF_SMALL, "events").count()
+    for r in rows:
+        assert r.hot == (r.n_rows * n_buckets > ZORDER_HOT_FACTOR * total)
+        assert r.empty == (r.n_rows == 0)
+        assert abs(r.load_ratio - r.n_rows * n_buckets / total) < 1e-6

@@ -228,6 +228,10 @@ BNLJ_OK = {
     # one-row totals and max-logw broadcasts; scoring and the gate are
     # scan-local expressions, not joins
     "dsir_importance_sample",
+    # the ann_ivf_balance_monitor shape: one-row corpus-total broadcast
+    # over the O(buckets) dense spine; the spine join is a broadcast
+    # equi join on zbucket
+    "zorder_balance_monitor",
 }
 # Queries whose semantics REQUIRE Python (documented; Arrow-batched).
 PYTHON_OK = {
