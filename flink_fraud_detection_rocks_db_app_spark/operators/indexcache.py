@@ -173,7 +173,12 @@ def compact_parquet_table(
         # in one task, so partitionBy writes exactly one file per value
         part = df.repartition(F.col(partition_col))
         if sort_col:
-            part = part.sortWithinPartitions(sort_col)
+            # include the partition column so the partitionBy writer's
+            # required ordering [partition_col] is already satisfied —
+            # otherwise V1Writes inserts its own sort on partition_col
+            # and per-partition sort_col order survives only by sort
+            # stability (lost on spill merges)
+            part = part.sortWithinPartitions(partition_col, sort_col)
         part.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
     else:
         if merge is None and len(files_before) <= 1:

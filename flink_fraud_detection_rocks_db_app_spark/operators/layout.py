@@ -31,6 +31,7 @@ serving both access paths from one copy of the data.
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -102,7 +103,10 @@ def write_zorder_layout(spark: SparkSession, sf_dir: str, path: str) -> None:
     zed = zorder_events(load(spark, sf_dir, "events"))
     (
         zed.repartition("zbucket")
-        .sortWithinPartitions("z")
+        # leading zbucket satisfies the partitionBy writer's required
+        # ordering, so no extra sort is inserted and per-bucket z order
+        # is guaranteed rather than sort-stability-dependent
+        .sortWithinPartitions("zbucket", "z")
         .write.mode("overwrite")
         .partitionBy("zbucket")
         .parquet(path)
@@ -255,7 +259,10 @@ def write_zorder_base(
     )
     (
         zed.repartition("zbucket")
-        .sortWithinPartitions("z")
+        # leading zbucket satisfies the partitionBy writer's required
+        # ordering, so no extra sort is inserted and per-bucket z order
+        # is guaranteed rather than sort-stability-dependent
+        .sortWithinPartitions("zbucket", "z")
         .write.mode("overwrite")
         .partitionBy("zbucket")
         .parquet(os.path.join(path, "data"))
@@ -413,18 +420,24 @@ def zorder_stream_sink(asset: str):
         if not os.path.isdir(bounds_dir):
             zed = zorder_events(batch)
             t_ms = F.expr("CAST(ts div 1000000 AS BIGINT)")
+            # publish the frozen bounds atomically (write-tmp-then-
+            # rename): a crash mid-write must not leave bounds_dir
+            # present-but-partial, or the foreachBatch retry would take
+            # the frozen-bounds branch and read uncommitted bounds
+            tmp = f"{bounds_dir}.tmp-{uuid.uuid4().hex[:8]}"
             batch.select(
                 F.min("user_id").alias("u_min"),
                 F.max("user_id").alias("u_max"),
                 F.min(t_ms).alias("t_min"),
                 F.max(t_ms).alias("t_max"),
-            ).write.mode("overwrite").parquet(bounds_dir)
+            ).write.mode("overwrite").parquet(tmp)
+            os.rename(tmp, bounds_dir)
         else:
             bounds = batch.sparkSession.read.parquet(bounds_dir)
             zed = zorder_events_frozen(batch, bounds)
         (
             zed.repartition("zbucket")
-            .sortWithinPartitions("z")
+            .sortWithinPartitions("zbucket", "z")
             .write.mode("overwrite")
             .partitionBy("zbucket")
             .parquet(os.path.join(data, f"seg={bid}"))

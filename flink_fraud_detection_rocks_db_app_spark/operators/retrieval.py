@@ -658,12 +658,24 @@ def hybrid_overlap_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- graded ranking quality: nDCG@k -------------------------------------
 
-# Ideal DCG for a fully-graded top-k list — a CONSTANT for fixed k,
-# computed once in Python and embedded as the same IEEE literal in
-# both engines (repr round-trips doubles exactly).
-_IDCG_AT_K = sum(
-    (MLT_TOP_K + 1 - p) / math.log2(p + 1) for p in range(1, MLT_TOP_K + 1)
-)
+# Ideal DCG by gold-list length: _IDCG_BY_LEN[n] is the DCG of a
+# perfect ranking of an n-item gold list (gains k+1-r at positions
+# 1..n). A short fused gold list (< k rows at small fixture scales)
+# must be normalized by ITS OWN ideal, not the full-depth constant —
+# otherwise a perfect ranking of it can never reach ndcg=1 (ADVICE
+# r11 #3). Computed once in Python, embedded as the same IEEE
+# literals in both engines (repr round-trips doubles exactly), and
+# indexed by n_gold at query time, so the only runtime float ops
+# (one divide, one round) are engine-identical.
+_IDCG_BY_LEN: list[float] = [0.0]
+for _p in range(1, MLT_TOP_K + 1):
+    _IDCG_BY_LEN.append(
+        _IDCG_BY_LEN[-1] + (MLT_TOP_K + 1 - _p) / math.log2(_p + 1)
+    )
+
+
+def _idcg_literals() -> str:
+    return ", ".join(f"CAST({v!r} AS DOUBLE)" for v in _IDCG_BY_LEN)
 
 
 def _hybrid_ndcg_oracle() -> str:
@@ -693,11 +705,16 @@ dcg AS (
   LEFT JOIN gold g
     ON s.query_id = g.query_id AND s.neighbor_id = g.neighbor_id
   GROUP BY 1
+),
+gold_n AS (
+  SELECT query_id, COUNT(*)::BIGINT AS n_gold FROM gold GROUP BY 1
 )
 SELECT q.query_id,
        COALESCE(d.n_rel, 0)::BIGINT AS n_rel,
-       round(COALESCE(d.dcg, 0.0) / CAST({_IDCG_AT_K!r} AS DOUBLE), 6) AS ndcg
+       round(COALESCE(d.dcg, 0.0) /
+             list_extract([{_idcg_literals()}], gn.n_gold + 1), 6) AS ndcg
 FROM (SELECT DISTINCT query_id FROM exact_h) q
+JOIN gold_n gn USING (query_id)
 LEFT JOIN dcg d USING (query_id)
 """
 
@@ -708,15 +725,18 @@ LEFT JOIN dcg d USING (query_id)
     doc=f"Graded ranking quality of the SERVED (indexed-arm) hybrid "
     "against the exact-arm hybrid as gold: relevance of a fused "
     f"neighbor = {MLT_TOP_K}+1-r for its gold rank r (0 if absent), "
-    "DCG discounts by log2(position+1), normalized by the constant "
-    "ideal DCG — nDCG@k, the graded refinement of hybrid_overlap_at_k "
+    "DCG discounts by log2(position+1), normalized by the PER-QUERY "
+    "ideal DCG of the gold list's actual length (ADVICE r11 #3: a "
+    "short gold list's perfect ranking reaches ndcg=1) — nDCG@k, the "
+    "graded refinement of hybrid_overlap_at_k "
     "(overlap counts set membership; nDCG also charges the index for "
     "putting the right documents in the WRONG ORDER — the number a "
     "retrieval deployment actually tracks). Both rankings order by "
     "the 6dp-rounded rrf with neighbor-id ties, so positions are "
     "engine-exact; the per-query DCG sums ≤ k log2 terms and is "
     "6dp-rounded (the q15 convention covers the libm call); the ideal "
-    "DCG is one Python-computed IEEE literal shared by both engines. "
+    "DCGs are k+1 Python-computed IEEE literals indexed by gold-list "
+    "length, shared by both engines. "
     "Same bounded composition economics as the overlap monitor: one "
     "shared indexed-MLT arm, O(queries × k) frames end to end.",
     tags=("text", "retrieval", "similarity", "eval"),
@@ -747,15 +767,21 @@ def hybrid_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dcg"),
         )
     )
+    gold_n = gold.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_gold")
+    )
+    idcg = F.element_at(
+        F.array(*[F.lit(v) for v in _IDCG_BY_LEN]),
+        (F.col("n_gold") + 1).cast("int"),
+    )
     qs = exact_h.select("query_id").distinct()
     out = (
-        qs.join(dcg, "query_id", "left")
+        qs.join(gold_n, "query_id")
+        .join(dcg, "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_rel", F.lit(0)).cast("long").alias("n_rel"),
-            F.round(
-                F.coalesce("dcg", F.lit(0.0)) / F.lit(_IDCG_AT_K), 6
-            ).alias("ndcg"),
+            F.round(F.coalesce("dcg", F.lit(0.0)) / idcg, 6).alias("ndcg"),
         )
         .localCheckpoint(eager=True)
     )

@@ -1323,6 +1323,27 @@ def test_export_shard_manifest_dense_and_subset_stable(spark):
         assert r.shard == shard_of[r.doc_id], r.doc_id
 
 
+def test_idcg_by_len_table():
+    """The per-query ideal-DCG table (ADVICE r11 #3): one entry per
+    gold-list length 0..k, strictly increasing, each the closed-form
+    DCG of a perfect ranking of that many graded items."""
+    import math
+
+    from flink_fraud_detection_rocks_db_app_spark.operators.retrieval import (
+        _IDCG_BY_LEN,
+        MLT_TOP_K,
+    )
+
+    assert len(_IDCG_BY_LEN) == MLT_TOP_K + 1
+    assert _IDCG_BY_LEN[0] == 0.0
+    for n in range(1, MLT_TOP_K + 1):
+        assert _IDCG_BY_LEN[n] > _IDCG_BY_LEN[n - 1]
+        closed = sum(
+            (MLT_TOP_K + 1 - p) / math.log2(p + 1) for p in range(1, n + 1)
+        )
+        assert math.isclose(_IDCG_BY_LEN[n], closed, rel_tol=0, abs_tol=1e-12)
+
+
 def test_hybrid_ndcg_consistent_with_overlap(spark):
     """nDCG@k and overlap@k grade the same two rankings: n_rel must
     equal the overlap monitor's n_hits per query, ndcg lives in [0,1],
