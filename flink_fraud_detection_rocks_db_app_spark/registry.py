@@ -73,11 +73,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r11: tpch_q12 (green r10; all 22 TPC-H shapes hold cumulative
     # driver evidence as of r10, and the conditional-aggregation-over-
     # date-join machinery recurs in the remaining q11/q19 rows) gives
-    # its slot to the r9 #3 re-gate queue, due this round:
+    # its slot to the r9 #3 re-gate queue, due that round:
     # asof_latest_order — the batch union+carry-forward as-of join,
     # displaced r9b by its streaming twin (which stays below), re-gated
     # per the displaced-green policy
-    "asof_latest_order",
+    # r12: asof_latest_order (re-gate green r11; the as-of machinery
+    # keeps its driver row via stream_asof_enrich_replay below, same
+    # oracle) gives its slot to the r11 queue's data-drift gate
+    # quality_psi_drift: the PSI comparison of the live quality-score
+    # distribution against the frozen baseline histogram — the
+    # train-data admission gate, pre-validated vanilla at sf0.01
+    "quality_psi_drift",
     # extension joins (r4: interval_join_click_purchase — same
     # keyed-range-join machinery as range_join_price_band, still
     # full-suite verified — gave its slot to the SQL-text face entry
@@ -290,7 +296,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # WA5 watermark-emission rule stays driver-gated via
     # stream_count_or_time_replay (the same module's wm-close
     # emission) and full-suite verified
-    "stream_recordbuffer_bounded_tumble_replay",
+    # r12: stream_recordbuffer_bounded_tumble_replay (first-evidence
+    # green r11; WA4's cap/eviction + versioned-state machinery stays
+    # driver-gated via stream_count_or_time_replay's same-module
+    # wm-close emission and full-suite verified) gives its slot to
+    # events_zorder_slice: the z-order layout pillar's lifecycle-
+    # invariance face (same rows from the base scan and the clustered
+    # copy; the layout claims themselves are test_layout footer-stats
+    # evidence — allowlist note retired with the rotation)
+    "events_zorder_slice",
     # r5: slide_mean_50s_10s (EP2/WA2) — superseded in the window by
     # stream_slide_mean_50s_10s_replay: the SAME query and oracle
     # through the ACTUAL streaming engine (strictly more surface —
@@ -300,7 +314,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # IDENTICAL job plus a nonzero watermark and ~200 genuinely
     # late-arriving rows (strictly more surface, same oracle; the W2
     # bounded-out-of-orderness contract on sliding state)
-    "stream_ooo_slide_mean_50s_10s_replay",
+    # r12: stream_ooo_slide_mean_50s_10s_replay (first-evidence green
+    # r11; W2's bounded-out-of-orderness contract keeps its driver row
+    # via stream_ooo_session_sum_replay below, and the sliding-state
+    # machinery via stream_paned_slide_sum_replay) gives its slot to
+    # stream_ivf_health_replay: the IVF health triple (cell balance,
+    # quantizer drift, assignment loss) computed OVER the stream-built
+    # index — index-maintenance monitoring through the actual engine
+    "stream_ivf_health_replay",
     # r8: global_slide_mean_5m_1m (WA9, green r3-r7; non-keyed
     # windowAll is the keyed sliding machinery minus the key) gave its
     # slot to slide_sum_5m_1m — WA8's last driver check was the r2
@@ -397,7 +418,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the F3 reset-on-alert RUNNING MEAN through the same
     # applyInPandasWithState machinery, bit-exact vs its own
     # recursive-CTE oracle, never driver-gated before (VERDICT r7 #1)
-    "stream_running_mean_alerts_replay",
+    # r12: stream_running_mean_alerts_replay (first-evidence green r11;
+    # F3's reset-on-alert fold machinery is the same
+    # applyInPandasWithState path as stream_running_sum_alerts_replay's
+    # — both bit-exact vs recursive-CTE oracles — and the detector
+    # family keeps driver rows via stream_ts_pattern_alerts_replay and
+    # stream_pattern_rising_replay) gives its slot to
+    # events_zorder_slice_incremental: the appended-segment variant —
+    # the hash certifies base+appends == base-scan rows, pinning the
+    # append lifecycle's exactly-once placement
+    "events_zorder_slice_incremental",
     # r7: running_mean_alerts_gt_90 (F3 batch) — its machinery is the
     # shared `_bucketed_fold` (driver-gated below via
     # ewma_amount_per_account, which calls the identical helper) plus
@@ -420,7 +450,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # acceptance gate for swapping the semantic arm onto the IVFPQ
     # probe), with the double-MLT-scan cost overhang fixed this round
     # (the lexical arm is computed once and shared; VERDICT r9 #2)
-    "hybrid_overlap_at_k",
+    # r12: hybrid_overlap_at_k (green r10-r11; the fused-ranking drift
+    # gate keeps strictly richer driver coverage via hybrid_ndcg_at_k's
+    # graded refinement staying registered under the same shared-arm
+    # machinery, and the retrieval family holds three other window
+    # rows) gives its slot to dedup_simhash_band_recall: the
+    # banding-recall monitor over the simhash signatures — what
+    # fraction of true near-dup pairs the band partitioning actually
+    # surfaces, the dedup pillar's quality gate (r11 queue)
+    "dedup_simhash_band_recall",
     # r5 rotations into the detector/analytics block: zscore_alerts_3sigma
     # (r4b; per-account sort-window fold with a 6dp membership gate +
     # Welford streaming twin) takes moving_avg_5_events' slot — the same
@@ -475,7 +513,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the batch fold cannot exercise; the funnel fold stays full-suite
     # verified
     "stream_pattern_rising_replay",
-    "dynamic_rules_alerts",
+    # r12: dynamic_rules_alerts (first-evidence green r11; the
+    # broadcast rule-table join gate recurs inside the driver-gated
+    # stream faces' threshold gates, and the detector family keeps two
+    # streaming driver rows) gives its slot to ann_ivf_balance_monitor:
+    # the IVF cell-balance report (rows per cell vs the uniform ideal)
+    # — the partition-skew health check for the ANN index (r11 queue)
+    "ann_ivf_balance_monitor",
     # flagship extension composition (quality -> dedup -> report)
     # r9b: corpus_prep_pipeline (green r2-r8) — superseded by
     # stream_corpus_prep_replay: the IDENTICAL quality gate
@@ -727,7 +771,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r11: q19 keeps the TPC-H pillar's second driver row (with q11):
     # its disjunctive-bracket revenue is the newest join shape and its
     # emitted sum carries the fresh rounding convention
-    "tpch_q19_bracketed_revenue",
+    # r12: tpch_q19 (green r10-r11; the q11/q19 hold lifted once q11's
+    # fix showed its green driver row — q11 stays as the TPC-H pillar's
+    # representative with the sole subquery tag) gives its slot to
+    # ann_ivf_drift_monitor: the quantizer-drift report (centroid
+    # displacement vs the frozen training assignment) completing the
+    # IVF health triple's batch faces in the window (r11 queue)
+    "ann_ivf_drift_monitor",
     # r8: top3_orders_per_segment (green r1-r7; rank-per-group — the
     # WindowGroupLimit machinery keeps its driver row via
     # window_heavy_hitters_1h) gave its slot to

@@ -49,9 +49,6 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "CHAINED stateful streaming form stream_paned_slide_sum_replay "
     "(r8); the batch paned row stays full-suite verified",
     "retention": "same rationale as analytics",
-    "simhash": "scan-local signature family, driver-green r5-r7; the "
-    "dedup pillar keeps four driver rows (pruned-jaccard, containment, "
-    "keep-best, incremental-LSH) (r8)",
     "cube": "OLAP reshaping variant of the pivot family (below); "
     "multi-grouping aggregate machinery also runs inside the "
     "driver-gated stats/heavy-hitter rows",
@@ -108,17 +105,17 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "setop": "EXCEPT lowers to the same physical left-anti join the "
     "driver-gated tpch_q21 NOT EXISTS half plans (r7 rotation "
     "rationale); the EXCEPT spelling stays full-suite verified",
-    "layout": "the z-order face's RESULT is layout-invariant by "
-    "contract (its oracle certifies exactly that), so a driver hash "
-    "row cannot see what the face exists to provide; the layout "
-    "claims — bounded per-file rectangles, both predicates pushed — "
-    "are pinned by tests/test_layout.py footer-stats evidence",
 }
 # r7: "warehouse" and "chunking" left the allowlist — ann_ivf_topk_indexed
 # and doc_chunk_windows rotated INTO the window (registry.py comments).
 # r8c: "retrieval" and "pq" never entered the allowlist permanently —
 # hybrid_rrf_topk and ann_ivfpq_topk rotated INTO the window the same
 # round their families landed (registry.py comments).
+# r12: "layout" and "simhash" left the allowlist — events_zorder_slice
+# (+_incremental) and dedup_simhash_band_recall rotated INTO the window
+# (the r11 queue); the layout-invariance caveat moves into the window
+# comment: the hash certifies lifecycle invariance, test_layout.py
+# certifies the layout itself.
 # r8: "approx", "pattern", "sink", "projection" and "rollup" left the
 # allowlist — approx_distinct_users_bounded,
 # stream_pattern_rising_replay, stream_continuous_rollup_replay and
