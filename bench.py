@@ -285,6 +285,15 @@ HEADLINE = [
     # round 11: grid-balance leg of the layout pillar (partition-
     # column-only scan of the appending z-table, re-layout triggers)
     "zorder_balance_monitor",
+    # round 12: the temporal/CDC pillar — SCD2 run-length history in
+    # one exchange + one sort, changelog compaction under the partial
+    # WindowGroupLimit plan, and the snapshot-as-of prefix read
+    "scd2_user_tier_history",
+    "cdc_upsert_snapshot",
+    "cdc_snapshot_asof",
+    # round 12: the compaction maintained as a complete-mode streaming
+    # state table (one aggregate row per key)
+    "stream_cdc_upsert_replay",
 ]
 
 

@@ -35,6 +35,7 @@ from .indexcache import ensure_index
 from .detectors import _RISING_ORACLE
 from .pipeline import PREP_ORACLE
 from .stateful import EWMA_ORACLE, sql_count_or_time, sql_running_alerts
+from .temporal import CDC_ORACLE
 from .similarity import _IVF_ORACLE as _STREAM_IVF_ORACLE
 from .text import _BM25_ORACLE
 from .timeseries import sql_znorm_alerts
@@ -2143,3 +2144,67 @@ def stream_ts_pattern_alerts_replay(spark: SparkSession, sf_dir: str) -> DataFra
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(name)
+
+
+@register(
+    "stream_cdc_upsert_replay",
+    oracle=CDC_ORACLE,
+    doc="Changelog compaction as a CONTINUOUS query: the replayed event "
+    "stream, read as upserts/tombstones on the user key (the "
+    "temporal-pillar adapter), maintained as a latest-op-wins state "
+    "table by a complete-mode streaming aggregation — max_by over the "
+    "(t_ms, event_id) arrival order plus the change count, the "
+    "declarative form of the reference's ValueState read-modify-write "
+    "per key (master/src/main/java/InorderTumblingWindow/"
+    "FraudDetector.java:55-65). State is ONE aggregate row per key — "
+    "the dimension cardinality, not the changelog length — which is "
+    "the same working-set invariant the batch face's WindowGroupLimit "
+    "plan carries. The final state must hash-equal the batch "
+    "compaction oracle: tombstoned keys absent, every survivor "
+    "carrying its latest value and total change count.",
+    tags=("streaming", "temporal", "cdc", "parity"),
+)
+def stream_cdc_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import read_replay_stream, run_to_memory, write_replay_chunks
+
+    name = f"streamcdc_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        chunks = write_replay_chunks(
+            spark, sf_dir, scratch, n_chunks=6, with_event_type=True
+        )
+        src = read_replay_stream(spark, chunks, with_event_type=True)
+        ch = src.select(
+            F.col("account_id").alias("user_id"),
+            # rank on ms (the oracle's epoch_ms grain), not the raw
+            # microsecond event_time: two changes inside the same ms
+            # must tie-break on event_id in BOTH engines
+            F.unix_millis("event_time").alias("t_ms"),
+            "event_id",
+            F.col("amount").alias("value"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        st = ch.groupBy("user_id").agg(
+            F.max_by(
+                F.struct("value", "op", "t_ms"),
+                F.struct("t_ms", "event_id"),
+            ).alias("last"),
+            F.count("*").cast("long").alias("n_changes"),
+        )
+        with _bounded_state_partitions(spark):
+            run_to_memory(st, name, output_mode="complete")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return (
+        spark.table(name)
+        .where(F.col("last.op") == "U")
+        .select(
+            "user_id",
+            F.col("last.value").alias("cur_value"),
+            F.col("last.t_ms").alias("updated_ms"),
+            "n_changes",
+        )
+    )

@@ -1,0 +1,249 @@
+"""Temporal-table / CDC operators: SCD2 history compression, changelog
+upsert compaction (the MERGE/latest-op-wins shape), and time-travel
+snapshot reads.
+
+The reference's data model is an append-only transaction stream with
+keyed state holding "the latest per key" (ValueState read-modify-write,
+master/src/main/java/InorderTumblingWindow/FraudDetector.java:55-65 and
+the RocksDB merge in FraudDetectionJob.java:128-160). These faces are
+the WAREHOUSE-side expression of that same contract: a changelog in, a
+keyed current-state (or versioned-history) table out — what a
+training-data pipeline needs to maintain dimension/metadata tables
+under continuous upserts (the Hudi/Delta MERGE INTO compaction shape,
+here as pure declarative DataFrame ops).
+
+Scale design:
+- SCD2 compression (gaps-and-islands) is ONE exchange on the entity
+  key: the change flag and row numbers window over a (user_id)
+  partitioned sort, the island-start filter preserves that
+  partitioning AND ordering, and the second window pass (version,
+  validity lead, event-count gap) reuses the same exchange and sort.
+  No self-join, no per-island groupBy — the naive formulations pay a
+  predecessor join or two extra shuffles of the compressed history.
+- Changelog compaction is the rank-1-per-key pattern: row_number()
+  over (key ORDER BY t DESC) = 1 lowers to WindowGroupLimit, so each
+  shuffle partition keeps one candidate row per key before the final
+  filter — state per key, not per event. At 100 TB of changelog the
+  working set is the KEY cardinality (the dimension size), which is
+  exactly the invariant the streaming twin's complete-mode aggregation
+  state carries.
+- Time-travel (`AS OF`) is the same plan with the cutoff predicate
+  pushed to the scan (PushedFilters on the ms column), so a snapshot
+  read prunes every later partition of a date-partitioned changelog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..fixtures import load
+from ..registry import register
+
+# 2024-01-16 00:00:00 UTC — mid-span of the fixture's Jan-2024 event
+# window at every SF, so the snapshot sees roughly half the changelog.
+SNAPSHOT_CUTOFF_MS = 1_705_363_200_000
+
+# value-bucket "tier" — the slowly-changing attribute whose run-length
+# compression the SCD2 face materializes. Boundaries are exact-double
+# comparisons on untouched parquet values, identical in both engines.
+_TIER_SQL = (
+    "CASE WHEN value < 50 THEN 'low' "
+    "WHEN value < 150 THEN 'mid' ELSE 'high' END"
+)
+
+SCD2_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS t_ms, event_id,
+         {_TIER_SQL} AS tier
+  FROM events
+),
+m AS (
+  SELECT *, CASE WHEN lag(tier) OVER w IS DISTINCT FROM tier
+                 THEN 1 ELSE 0 END AS chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)
+),
+i AS (
+  SELECT *, SUM(chg) OVER (
+    PARTITION BY user_id ORDER BY t_ms, event_id
+    ROWS UNBOUNDED PRECEDING
+  ) AS ver
+  FROM m
+),
+g AS (
+  SELECT user_id, CAST(ver AS BIGINT) AS version, min(tier) AS tier,
+         min(t_ms) AS valid_from_ms, CAST(count(*) AS BIGINT) AS n_events
+  FROM i GROUP BY 1, 2
+)
+SELECT user_id, version, tier, valid_from_ms,
+       lead(valid_from_ms) OVER (
+         PARTITION BY user_id ORDER BY version
+       ) AS valid_to_ms,
+       n_events,
+       (lead(valid_from_ms) OVER (
+         PARTITION BY user_id ORDER BY version
+       ) IS NULL) AS is_current
+FROM g
+"""
+
+
+@register(
+    "scd2_user_tier_history",
+    oracle=SCD2_ORACLE,
+    doc="SCD Type-2 history build by run-length compression "
+    "(gaps-and-islands): per user, consecutive events sharing the same "
+    "value-tier collapse into one versioned row with half-open "
+    "[valid_from_ms, valid_to_ms) validity, valid_to_ms NULL (and "
+    "is_current true) on the open head version. Change flag, island "
+    "id and the validity lead() all window over the same "
+    "(user_id)-partitioned sort — one exchange for the whole history "
+    "build, no self-join.",
+    tags=("temporal", "scd2", "window_function"),
+)
+def scd2_user_tier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One-exchange formulation: instead of groupBy(user, island) (a
+    # second shuffle) + lead over (user) (a third), keep only each
+    # island's FIRST row (chg=1) and derive everything from window
+    # functions over the same user_id partitioning — the filter
+    # preserves both the partitioning and the (t_ms, event_id) sort, so
+    # the second window pass reuses the first's exchange and sort:
+    # version is the rank among island starts, n_events is the gap to
+    # the next start's global row number, valid_to is the next start's
+    # timestamp. The whole SCD2 build is one shuffle + one sort.
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 1000000").alias("t_ms"),
+        "event_id",
+        F.expr(_TIER_SQL).alias("tier"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_ms", "event_id")
+    prev = F.lag("tier").over(w)
+    chg = F.when(prev.isNull() | (prev != F.col("tier")), 1).otherwise(0)
+    rows = ev.select(
+        "user_id",
+        "t_ms",
+        "tier",
+        chg.alias("chg"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("cnt"),
+        "event_id",
+    )
+    starts = rows.where(F.col("chg") == 1)
+    ws = Window.partitionBy("user_id").orderBy("t_ms", "event_id")
+    valid_to = F.lead("t_ms").over(ws)
+    return starts.select(
+        "user_id",
+        F.row_number().over(ws).cast("long").alias("version"),
+        "tier",
+        F.col("t_ms").alias("valid_from_ms"),
+        valid_to.alias("valid_to_ms"),
+        (
+            F.coalesce(F.lead("rn").over(ws), F.col("cnt") + 1) - F.col("rn")
+        ).cast("long").alias("n_events"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+def _cdc_oracle(cutoff_ms: int | None) -> str:
+    where = f"WHERE epoch_ms(ts) <= {cutoff_ms}" if cutoff_ms else ""
+    return f"""
+WITH c AS (
+  SELECT user_id, epoch_ms(ts) AS t_ms, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events {where}
+),
+r AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY t_ms DESC, event_id DESC
+         ) AS rn,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes
+  FROM c
+)
+SELECT user_id, value AS cur_value, t_ms AS updated_ms, n_changes
+FROM r WHERE rn = 1 AND op = 'U'
+"""
+
+
+# Shared by the batch compaction face and its streaming twin (one
+# definition of the truth, the ASOF_ORACLE convention).
+CDC_ORACLE = _cdc_oracle(None)
+
+
+def _cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture stream read AS a changelog: every event is an upsert
+    of its value onto the user key, except 'error' events which are
+    tombstones (deletes). The op mapping is a fixture adapter — the
+    faces exist to exercise MERGE semantics, not the mapping."""
+    return load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 1000000").alias("t_ms"),
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+
+
+def _cdc_compact(ch: DataFrame) -> DataFrame:
+    """Latest-op-wins compaction: rank-1 per key by (t_ms, event_id)
+    descending, keys whose latest op is a tombstone vanish.
+
+    n_changes comes from a separate groupBy, NOT count() over the same
+    window: a second window function over the key blocks the
+    WindowGroupLimit rewrite, which is the whole scale story here —
+    with it, each map task forwards ONE candidate row per key into the
+    exchange (partial mode) instead of the full changelog, and the
+    groupBy side ships only (key, count) partials. Both children hash
+    on user_id, so the join adds no third exchange."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("t_ms"), F.desc("event_id")
+    )
+    latest = (
+        ch.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .where(F.col("op") == "U")
+    )
+    counts = ch.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_changes")
+    )
+    return latest.join(counts, "user_id").select(
+        "user_id",
+        F.col("value").alias("cur_value"),
+        F.col("t_ms").alias("updated_ms"),
+        "n_changes",
+    )
+
+
+@register(
+    "cdc_upsert_snapshot",
+    oracle=CDC_ORACLE,
+    doc="Changelog compaction to current state (the MERGE INTO / "
+    "Hudi-Delta upsert-compaction shape): latest op per key wins, a "
+    "trailing tombstone deletes the key. One shuffle on the key; "
+    "row_number()=1 lowers to WindowGroupLimit so per-partition state "
+    "is one row per key before the filter — the working set at 100 TB "
+    "is the key cardinality, not the changelog length.",
+    tags=("temporal", "cdc", "warehouse"),
+)
+def cdc_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cdc_compact(_cdc_changelog(spark, sf_dir))
+
+
+@register(
+    "cdc_snapshot_asof",
+    oracle=_cdc_oracle(SNAPSHOT_CUTOFF_MS),
+    doc="Time-travel read: the same changelog compaction evaluated AS "
+    f"OF {SNAPSHOT_CUTOFF_MS} (2024-01-16T00:00Z, mid-span at every "
+    "SF) — the cutoff is a plain predicate on the ms column, pushed "
+    "to the parquet scan (PushedFilters), so a snapshot read of a "
+    "date-partitioned changelog prunes every later partition before "
+    "the key shuffle.",
+    tags=("temporal", "cdc", "timetravel", "warehouse"),
+)
+def cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = _cdc_changelog(spark, sf_dir).where(
+        F.col("t_ms") <= SNAPSHOT_CUTOFF_MS
+    )
+    return _cdc_compact(ch)

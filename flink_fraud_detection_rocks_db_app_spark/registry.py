@@ -175,7 +175,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # bm25_query_topk — the SCAN-TIME BM25 (tf/df/length-norm computed
     # in one pass, no index asset), the form a user runs before any
     # index exists; last §2-adjacent text face with suite-only evidence
-    "bm25_query_topk",
+    # r12: bm25_query_topk (green r10-r11; the scan-form scoring math
+    # is shadowed by bm25_incremental_index_topk's score-identical
+    # indexed probe and stream_bm25_ingest_replay, all under the same
+    # _BM25_ORACLE) gives its slot to the NEW temporal pillar's SCD2
+    # face scd2_user_tier_history: gaps-and-islands run-length history
+    # with half-open validity, built in ONE exchange + one sort (the
+    # r8c same-round-pillar-rotation precedent)
+    "scd2_user_tier_history",
     # bm25_incremental_index_topk — the appending-corpus BM25: per-batch
     # postings segments merged at probe time under the frozen df/len
     # statistics contract (cost ∝ batch, the ingest-face policy)
@@ -748,7 +755,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # export_shard_manifest — deterministic shard assignment
     # (scan-local hash, docs never move between shards as the corpus
     # grows) + per-shard manifest rollup
-    "export_shard_manifest",
+    # r12: export_shard_manifest (green r10-r11; the export family
+    # keeps its driver row via export_mixture_shards below — the
+    # strictly richer composition over the same shard-hash machinery)
+    # gives its slot to the temporal pillar's time-travel face
+    # cdc_snapshot_asof: changelog compaction AS OF a cutoff — the
+    # latest-op-wins WindowGroupLimit plan plus the pushed snapshot
+    # predicate; its gate also certifies the cdc machinery that
+    # cdc_upsert_snapshot and the streaming twin share
+    "cdc_snapshot_asof",
     # export_mixture_shards — the mixture materialization composed
     # with shard export: epoch-replicated admission feeding the same
     # stable shard assignment, one shard-keyed exchange

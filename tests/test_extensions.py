@@ -1354,3 +1354,143 @@ def test_hybrid_ndcg_consistent_with_overlap(spark):
     for qid in ndcg:
         assert ndcg[qid].n_rel == over[qid].n_hits, qid
         assert 0.0 <= ndcg[qid].ndcg <= 1.0, ndcg[qid]
+
+
+# ---- temporal / CDC pillar ----------------------------------------------
+
+
+def test_scd2_history_invariants(spark):
+    """SCD2 contract: per user, versions are dense from 1, validity
+    intervals are half-open and abut exactly (valid_to == next
+    valid_from), exactly one open (is_current) version per user, and
+    the per-version event counts re-add to the user's event total."""
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+
+    hist = sorted(
+        _rows(spark, "scd2_user_tier_history"),
+        key=lambda r: (r.user_id, r.version),
+    )
+    totals = {
+        r.user_id: r.n
+        for r in load(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    by_user = {}
+    for r in hist:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == set(totals)
+    for uid, rows in by_user.items():
+        assert [r.version for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(r.n_events for r in rows) == totals[uid]
+        assert sum(1 for r in rows if r.is_current) == 1
+        assert rows[-1].is_current and rows[-1].valid_to_ms is None
+        for a, b in zip(rows, rows[1:]):
+            assert not a.is_current
+            assert a.valid_to_ms == b.valid_from_ms
+            assert a.valid_from_ms < a.valid_to_ms or (
+                # a 1-event island whose next change lands in the same ms
+                a.valid_from_ms == a.valid_to_ms
+            )
+        # adjacent versions must actually differ in the tracked attribute
+        for a, b in zip(rows, rows[1:]):
+            assert a.tier != b.tier
+
+
+def test_cdc_snapshot_tombstones_and_counts(spark):
+    """Changelog compaction: a key is absent iff its latest op is a
+    tombstone; survivors carry the latest value; n_changes counts the
+    full changelog including tombstones."""
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+
+    snap = {r.user_id: r for r in _rows(spark, "cdc_upsert_snapshot")}
+    ev = (
+        load(spark, SF_SMALL, "events")
+        .select(
+            "user_id",
+            F.expr("ts div 1000000").alias("t_ms"),
+            "event_id",
+            "value",
+            "event_type",
+        )
+        .collect()
+    )
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, rows in by_user.items():
+        last = max(rows, key=lambda r: (r.t_ms, r.event_id))
+        if last.event_type == "error":
+            assert uid not in snap, uid
+        else:
+            assert uid in snap, uid
+            assert snap[uid].cur_value == last.value
+            assert snap[uid].updated_ms == last.t_ms
+            assert snap[uid].n_changes == len(rows)
+
+
+def test_cdc_snapshot_asof_is_prefix_semantics(spark):
+    """Time travel: the AS OF face must equal compacting only the
+    changelog prefix up to the cutoff — recompute from the raw events
+    and compare row sets exactly."""
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+    from flink_fraud_detection_rocks_db_app_spark.operators.temporal import (
+        SNAPSHOT_CUTOFF_MS,
+    )
+
+    got = {
+        (r.user_id, r.cur_value, r.updated_ms, r.n_changes)
+        for r in _rows(spark, "cdc_snapshot_asof")
+    }
+    ev = (
+        load(spark, SF_SMALL, "events")
+        .select(
+            "user_id",
+            F.expr("ts div 1000000").alias("t_ms"),
+            "event_id",
+            "value",
+            "event_type",
+        )
+        .where(F.col("t_ms") <= SNAPSHOT_CUTOFF_MS)
+        .collect()
+    )
+    assert ev, "cutoff must slice a non-empty prefix at this SF"
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    want = set()
+    for uid, rows in by_user.items():
+        last = max(rows, key=lambda r: (r.t_ms, r.event_id))
+        if last.event_type != "error":
+            want.add((uid, last.value, last.t_ms, len(rows)))
+    assert got == want
+
+
+def test_stream_cdc_upsert_matches_batch_face(spark):
+    """The streaming complete-mode state table and the batch
+    WindowGroupLimit compaction are the same function of the
+    changelog: row sets must be identical."""
+    batch = {tuple(r) for r in _rows(spark, "cdc_upsert_snapshot")}
+    stream = {tuple(r) for r in _rows(spark, "stream_cdc_upsert_replay")}
+    assert stream == batch
+
+
+def test_scd2_plan_is_single_exchange(spark):
+    """The scale contract the module docstring claims: the whole SCD2
+    history build runs on ONE hash exchange and ONE sort (the island
+    filter preserves partitioning + ordering for the second window
+    pass)."""
+    df = all_queries()["scd2_user_tier_history"].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort [") == 1, plan
+
+
+def test_cdc_plan_keeps_window_group_limit(spark):
+    """The compaction's scale contract: rank-1-per-key lowers to
+    WindowGroupLimit (partial + final), so map tasks forward one
+    candidate per key instead of the whole changelog."""
+    df = all_queries()["cdc_upsert_snapshot"].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan
