@@ -294,6 +294,9 @@ HEADLINE = [
     # round 12: the compaction maintained as a complete-mode streaming
     # state table (one aggregate row per key)
     "stream_cdc_upsert_replay",
+    # round 12: reciprocal-rank leg of the served-hybrid grading
+    # family (shares the indexed-MLT arm with overlap/nDCG)
+    "hybrid_mrr_at_k",
 ]
 
 

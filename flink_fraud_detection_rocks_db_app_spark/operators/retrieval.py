@@ -789,6 +789,89 @@ def hybrid_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ---- graded ranking quality: MRR@k --------------------------------------
+
+
+def _hybrid_mrr_oracle() -> str:
+    return f"""
+WITH exact_h AS ({_HYBRID_ORACLE}),
+idx_h AS ({_hybrid_idx_oracle()}),
+sysr AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY rrf DESC, neighbor_id ASC
+         ) AS p
+  FROM idx_h
+),
+hit AS (
+  SELECT s.query_id, CAST(min(s.p) AS BIGINT) AS first_rel
+  FROM sysr s
+  JOIN exact_h g
+    ON s.query_id = g.query_id AND s.neighbor_id = g.neighbor_id
+  GROUP BY 1
+)
+SELECT q.query_id,
+       COALESCE(h.first_rel, 0)::BIGINT AS first_rel,
+       round(CASE WHEN h.first_rel IS NULL THEN 0.0
+                  ELSE 1.0 / h.first_rel END, 6) AS rr
+FROM (SELECT DISTINCT query_id FROM exact_h) q
+LEFT JOIN hit h USING (query_id)
+"""
+
+
+@register(
+    "hybrid_mrr_at_k",
+    oracle=_hybrid_mrr_oracle(),
+    doc="Mean-reciprocal-rank leg of the served-hybrid grading family: "
+    "per query, the first position in the INDEXED-arm fused ranking "
+    "occupied by any exact-arm gold neighbor, emitted as 1/position "
+    "(0 if the gold set is entirely missed) — the navigational-search "
+    "complement of nDCG@k (nDCG grades the whole list; RR grades time-"
+    "to-first-relevant, the number interactive retrieval tracks). "
+    "Positions come from the same 6dp-rounded rrf ordering as the "
+    "overlap/nDCG monitors, so ranks are engine-exact and the only "
+    "float ops (one divide, one round) are identical in both engines. "
+    "Same bounded composition economics: one shared indexed-MLT arm, "
+    "O(queries x k) frames end to end.",
+    tags=("text", "retrieval", "similarity", "eval"),
+)
+def hybrid_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lex = _mlt_ranked_indexed(spark, sf_dir).persist()
+    exact_h = _rrf_fuse(lex, _sem_ranked(spark, sf_dir))
+    idx_h = _rrf_fuse(lex, _sem_ranked_ivfpq_indexed(spark, sf_dir))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("neighbor_id")
+    )
+    sysr = idx_h.select(
+        "query_id", "neighbor_id", F.row_number().over(wp).alias("p")
+    )
+    hit = (
+        sysr.join(
+            exact_h.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.min("p").cast("long").alias("first_rel"))
+    )
+    qs = exact_h.select("query_id").distinct()
+    out = (
+        qs.join(hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("first_rel", F.lit(0)).cast("long").alias("first_rel"),
+            F.round(
+                F.when(F.col("first_rel").isNull(), F.lit(0.0)).otherwise(
+                    F.lit(1.0) / F.col("first_rel")
+                ),
+                6,
+            ).alias("rr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lex.unpersist()
+    return out
+
+
 # ---- hard-negative mining ----------------------------------------------
 
 _HARDNEG_ORACLE = f"""

@@ -1494,3 +1494,25 @@ def test_cdc_plan_keeps_window_group_limit(spark):
     df = all_queries()["cdc_upsert_snapshot"].fn(spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_hybrid_mrr_consistent_with_overlap(spark):
+    """RR and overlap grade the same two rankings: a query has rr=0
+    exactly when the overlap monitor sees zero intersection, rr lives
+    in (0,1] otherwise, and full overlap forces first_rel=1 (the
+    system's top slot must then be a gold member)."""
+    mrr = {r.query_id: r for r in _rows(spark, "hybrid_mrr_at_k")}
+    over = {r.query_id: r for r in _rows(spark, "hybrid_overlap_at_k")}
+    assert set(mrr) == set(over)
+    for qid in mrr:
+        if over[qid].n_hits == 0:
+            assert mrr[qid].first_rel == 0 and mrr[qid].rr == 0.0
+        else:
+            assert 1 <= mrr[qid].first_rel
+            assert 0.0 < mrr[qid].rr <= 1.0
+        from flink_fraud_detection_rocks_db_app_spark.operators.retrieval import (
+            MLT_TOP_K,
+        )
+
+        if over[qid].n_hits == MLT_TOP_K:
+            assert mrr[qid].first_rel == 1
