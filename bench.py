@@ -297,6 +297,9 @@ HEADLINE = [
     # round 12: reciprocal-rank leg of the served-hybrid grading
     # family (shares the indexed-MLT arm with overlap/nDCG)
     "hybrid_mrr_at_k",
+    # round 12: fixed-iteration PageRank, Pregel-as-joins over the
+    # persisted degree-annotated trade edges (5 x join+groupBy)
+    "pagerank_trade_network",
 ]
 
 

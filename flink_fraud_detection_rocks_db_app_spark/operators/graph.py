@@ -1,0 +1,145 @@
+"""Iterative graph analytics over the relational fixtures: PageRank on
+the customer–supplier trade network.
+
+The reference has no graph operators; this extends the engine's
+iterative pillar (connected components in dedup.py, Lloyd k-means in
+similarity.py) with the canonical fixed-iteration-count ranking
+algorithm, expressed Pregel-as-joins — the standard way to run graph
+algorithms on a relational engine without a specialized runtime.
+
+Scale design:
+- The graph is materialized ONCE as a weighted edge frame joined to
+  its out-degrees and persisted: five rank iterations re-read it, so
+  at cluster scale you hash-partition it by src a single time and
+  every iteration's contribution join co-locates against the ranks
+  frame (itself keyed by node from the previous groupBy) without
+  re-exchanging the big side.
+- Each iteration is one join + one groupBy(dst) — the message-passing
+  shuffle — over contributions, each O(|E|). Rank frames are O(|V|),
+  localCheckpoint-ed eagerly per iteration so the lineage (and the
+  re-execution cost of a lost partition) stays one-iteration deep
+  instead of compounding to the full unrolled DAG.
+- Iteration count is FIXED (5), not convergence-tested: a
+  deterministic plan the oracle can unroll, and the shape a scheduled
+  production refresh runs (bounded latency beats exact convergence).
+
+Engine-exactness: all rank arithmetic is IEEE double with identical
+literals on both sides; per-node contribution sums differ only in
+summation order (~1e-15 relative), and the emitted ranks are
+6dp-rounded per the registry convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures import load
+from ..registry import register
+
+PR_ITERS = 5
+PR_DAMPING = 0.85
+
+
+def _pagerank_oracle() -> str:
+    it = """
+r{i} AS (
+  SELECT d.src AS node_id,
+         (1.0 - 0.85) / (SELECT n FROM n) + 0.85 * COALESCE(c.s, 0.0) AS pr
+  FROM deg d
+  LEFT JOIN (
+    SELECT e.dst AS dst, SUM(r.pr / dg.out_deg) AS s
+    FROM edges e
+    JOIN r{p} r ON e.src = r.node_id
+    JOIN deg dg ON e.src = dg.src
+    GROUP BY 1
+  ) c ON d.src = c.dst
+)"""
+    iters = ",".join(it.format(i=i, p=i - 1) for i in range(1, PR_ITERS + 1))
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg FROM edges GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (SELECT src AS node_id, 1.0 / (SELECT n FROM n) AS pr FROM deg),
+{iters}
+SELECT node_id,
+       CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
+       CAST(node_id // 2 AS BIGINT) AS entity_key,
+       round(pr, 6) AS pagerank
+FROM r{PR_ITERS}
+"""
+
+
+@register(
+    "pagerank_trade_network",
+    oracle=_pagerank_oracle(),
+    doc=f"PageRank ({PR_ITERS} fixed iterations, damping {PR_DAMPING}) "
+    "over the symmetrized customer–supplier trade graph (an edge per "
+    "distinct trading pair from orders x lineitem; node ids disjoint "
+    "by parity). Pregel-as-joins: the degree-annotated edge frame is "
+    "built once and persisted, each iteration is one contribution "
+    "join + one groupBy(dst) shuffle, rank frames localCheckpoint "
+    "per iteration to keep lineage one-step deep. Symmetrization "
+    "removes dangling nodes, so total rank mass is conserved at 1 "
+    "(tested). The oracle unrolls the identical five iterations as "
+    "chained CTEs; emitted ranks 6dp-rounded on both sides.",
+    tags=("graph", "iterative", "join", "batch"),
+)
+def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("out_deg"))
+    # degree-annotated edges: the frame every iteration re-reads —
+    # persist it so the join tree above it executes once, not 5x
+    ew = edges.join(deg, "src").persist()
+    n_nodes = deg.count()
+    base = (1.0 - PR_DAMPING) / n_nodes
+    ranks = deg.select(
+        F.col("src").alias("node_id"), F.lit(1.0 / n_nodes).alias("pr")
+    ).localCheckpoint(eager=True)
+    nodes = deg.select(F.col("src").alias("node_id"))
+    for _ in range(PR_ITERS):
+        contribs = (
+            ew.join(ranks, ew.src == ranks.node_id)
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("out_deg")).alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node_id == contribs.dst, "left")
+            .select(
+                "node_id",
+                (
+                    F.lit(base)
+                    + F.lit(PR_DAMPING) * F.coalesce("s", F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    ew.unpersist()
+    return ranks.select(
+        "node_id",
+        F.when(F.col("node_id") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("entity"),
+        (F.col("node_id") / F.lit(2)).cast("long").alias("entity_key"),
+        F.round("pr", 6).alias("pagerank"),
+    )

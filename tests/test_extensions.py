@@ -1516,3 +1516,49 @@ def test_hybrid_mrr_consistent_with_overlap(spark):
 
         if over[qid].n_hits == MLT_TOP_K:
             assert mrr[qid].first_rel == 1
+
+
+def test_pagerank_mass_and_structure(spark):
+    """PageRank invariants on the symmetrized trade graph: total rank
+    mass conserved at 1 (no dangling leakage), every rank positive and
+    at least the teleport floor, node ids partition by parity into
+    customers/suppliers, and entity_key recovers the original keys."""
+    import math
+
+    rows = _rows(spark, "pagerank_trade_network")
+    assert rows
+    mass = sum(r.pagerank for r in rows)
+    assert math.isclose(mass, 1.0, rel_tol=0, abs_tol=1e-3), mass
+    n = len(rows)
+    floor = (1.0 - 0.85) / n
+    for r in rows:
+        assert r.pagerank >= floor - 1e-6, r
+        if r.node_id % 2 == 0:
+            assert r.entity == "customer" and r.entity_key == r.node_id // 2
+        else:
+            assert r.entity == "supplier" and r.entity_key == r.node_id // 2
+
+
+def test_pagerank_degree_monotone_on_suppliers(spark):
+    """Sanity on the ranking itself: among suppliers, rank correlates
+    with trading-partner degree — the max-degree supplier must rank in
+    the top decile of suppliers (a weak but implementation-revealing
+    check: a broken contribution join flattens ranks to the floor)."""
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+
+    rows = [r for r in _rows(spark, "pagerank_trade_network") if r.entity == "supplier"]
+    o = load(spark, SF_SMALL, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_suppkey")
+    deg = {
+        r.l_suppkey: r.n
+        for r in o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    top_deg_supp = max(deg, key=lambda k: deg[k])
+    ranked = sorted(rows, key=lambda r: -r.pagerank)
+    top_decile = {r.entity_key for r in ranked[: max(1, len(ranked) // 10)]}
+    assert top_deg_supp in top_decile
