@@ -300,6 +300,12 @@ HEADLINE = [
     # round 12: fixed-iteration PageRank, Pregel-as-joins over the
     # persisted degree-annotated trade edges (5 x join+groupBy)
     "pagerank_trade_network",
+    # round 12: the temporal-table (FOR SYSTEM_TIME AS OF) dimension
+    # join — union-and-carry-forward, one key shuffle
+    "temporal_join_purchase_status",
+    # round 12: SCD2 maintained by the streaming engine (open versions
+    # in bucketed state, timeout-flushed heads)
+    "stream_scd2_replay",
 ]
 
 

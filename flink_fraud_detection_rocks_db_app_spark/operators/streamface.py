@@ -35,7 +35,7 @@ from .indexcache import ensure_index
 from .detectors import _RISING_ORACLE
 from .pipeline import PREP_ORACLE
 from .stateful import EWMA_ORACLE, sql_count_or_time, sql_running_alerts
-from .temporal import CDC_ORACLE
+from .temporal import CDC_ORACLE, SCD2_ORACLE
 from .similarity import _IVF_ORACLE as _STREAM_IVF_ORACLE
 from .text import _BM25_ORACLE
 from .timeseries import sql_znorm_alerts
@@ -2208,3 +2208,53 @@ def stream_cdc_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_changes",
         )
     )
+
+
+@register(
+    "stream_scd2_replay",
+    oracle=SCD2_ORACLE,
+    doc="The temporal pillar's SCD2 build MAINTAINED by the streaming "
+    "engine: per-account tier islands held as open versions in "
+    "bucketed applyInPandasWithState state across micro-batches, tier "
+    "changes closing-and-emitting the previous version in append "
+    "mode, open heads flushed with NULL validity by the event-time "
+    "timeout once the sentinel-advanced watermark passes the flush "
+    "threshold. Hash-gated against the IDENTICAL batch "
+    "gaps-and-islands oracle as scd2_user_tier_history — a version "
+    "split across a micro-batch boundary, a lost island count, or a "
+    "mis-closed validity bound all flip the row.",
+    tags=("streaming", "temporal", "scd2", "stateful", "parity"),
+)
+def stream_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import transactions
+    from ..streaming import (
+        SENTINEL_ACCOUNT,
+        append_sentinel_chunk,
+        read_replay_stream,
+        run_to_memory,
+        scd2_stream,
+        write_replay_chunks,
+    )
+    from .windows import MS
+
+    name = f"streamscd2_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        max_us = (
+            transactions(spark, sf_dir)
+            .agg(F.max(F.unix_micros("event_time")))
+            .collect()[0][0]
+        )
+        # flush one day past the last real event; the sentinel sits a
+        # further 6 days out, so the closing watermark provably crosses
+        # the flush threshold and the open heads emit exactly once
+        flush_at_ms = max_us // 1000 + MS["d"]
+        append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
+        out = scd2_stream(read_replay_stream(spark, chunks), flush_at_ms)
+        with _bounded_state_partitions(spark):
+            run_to_memory(out, name)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(name).where(F.col("user_id") != SENTINEL_ACCOUNT)

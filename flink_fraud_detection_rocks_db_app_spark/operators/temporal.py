@@ -247,3 +247,115 @@ def cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t_ms") <= SNAPSHOT_CUTOFF_MS
     )
     return _cdc_compact(ch)
+
+
+# ---- temporal (FOR SYSTEM_TIME AS OF) dimension join --------------------
+
+# The dimension changelog: account-status events (signup/error) set the
+# user's status tier; purchases are the facts enriched against it.
+# Dimension and fact substreams are disjoint, so the join is genuinely
+# informative (a fact never observes itself). Visibility is strict
+# (s before p in the global (t_ms, event_id) order): a fact sees the
+# dimension state as of its arrival, the Flink temporal-join contract.
+_TEMPORAL_JOIN_ORACLE = f"""
+WITH st AS (
+  SELECT user_id, epoch_ms(ts) AS t_ms, event_id,
+         {_TIER_SQL} AS tier,
+         CAST(row_number() OVER (
+           PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+         ) AS BIGINT) AS version
+  FROM events WHERE event_type IN ('signup', 'error')
+),
+p AS (
+  SELECT user_id, epoch_ms(ts) AS t_ms, event_id, value
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT p.event_id, p.user_id, p.t_ms, p.value,
+         s.tier, s.version, s.t_ms AS since_ms,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY s.t_ms DESC NULLS LAST, s.event_id DESC NULLS LAST
+         ) AS rn
+  FROM p LEFT JOIN st s
+    ON p.user_id = s.user_id
+   AND (s.t_ms < p.t_ms OR (s.t_ms = p.t_ms AND s.event_id < p.event_id))
+)
+SELECT event_id, user_id, t_ms, value AS amount,
+       tier AS status_tier, version AS status_version,
+       since_ms AS status_since_ms
+FROM j WHERE rn = 1
+"""
+
+
+@register(
+    "temporal_join_purchase_status",
+    oracle=_TEMPORAL_JOIN_ORACLE,
+    doc="Temporal-table join (Flink's FOR SYSTEM_TIME AS OF; the "
+    "reference runtime's headline enrichment pattern): each purchase "
+    "fact joined to the account-status dimension version (tier set by "
+    "the latest signup/error event) valid at the fact's position in "
+    "the global (t_ms, event_id) order — strictly-before visibility, "
+    "NULLs before the first status. Spark side is the as-of "
+    "union-and-carry-forward: tag both substreams, one shuffle on the "
+    "key, last_value(ignore nulls) over the interleaved sort — no "
+    "per-fact probe, no fact x versions blowup; the oracle is the "
+    "independent argmax-per-fact formulation.",
+    tags=("temporal", "join", "asof"),
+)
+def temporal_join_purchase_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 1000000").alias("t_ms"),
+        "event_id",
+        "value",
+        "event_type",
+        F.expr(_TIER_SQL).alias("tier"),
+    )
+    st = ev.where(F.col("event_type").isin("signup", "error")).select(
+        "user_id",
+        "t_ms",
+        "event_id",
+        "tier",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("t_ms", "event_id"))
+        .cast("long")
+        .alias("version"),
+        F.lit(0).alias("is_fact"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "t_ms",
+        "event_id",
+        F.lit(None).cast("string").alias("tier"),
+        F.lit(None).cast("long").alias("version"),
+        F.lit(1).alias("is_fact"),
+        "value",
+    )
+    u = st.unionByName(p)
+    # dimension rows sort before facts at the same (t_ms, event_id)
+    # position — impossible for same event_id, but is_fact keeps the
+    # ordering total and the strict visibility explicit
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_ms", "event_id", "is_fact")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = u.select(
+        "*",
+        F.last("tier", ignorenulls=True).over(w).alias("status_tier"),
+        F.last("version", ignorenulls=True).over(w).alias("status_version"),
+        F.last(
+            F.when(F.col("is_fact") == 0, F.col("t_ms")), ignorenulls=True
+        ).over(w).alias("status_since_ms"),
+    )
+    return c.where(F.col("is_fact") == 1).select(
+        "event_id",
+        "user_id",
+        "t_ms",
+        F.col("value").alias("amount"),
+        "status_tier",
+        "status_version",
+        "status_since_ms",
+    )

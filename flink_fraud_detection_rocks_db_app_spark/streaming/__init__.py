@@ -35,6 +35,7 @@ from .stateful import (  # noqa: F401
     funnel_stream,
     record_buffer_bounded_tumbling_stream,
     record_buffer_tumbling_stream,
+    scd2_stream,
     running_mean_alerts_batch,
     running_mean_alerts_stream,
     running_sum_alerts_batch,

@@ -1046,3 +1046,114 @@ def ts_pattern_stream(stream: DataFrame, threshold: float) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------------------------------ SCD2
+
+# scd2_stream state format version (see RECORD_BUFFER_STATE_V)
+SCD2_STATE_V = 1
+
+SCD2_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("tier", T.StringType()),
+        T.StructField("valid_from_ms", T.LongType()),
+        T.StructField("valid_to_ms", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("is_current", T.BooleanType()),
+    ]
+)
+
+
+def _tier_of(amount: float) -> str:
+    # must mirror operators/temporal._TIER_SQL exactly (same literal
+    # double comparisons on untouched values)
+    return "low" if amount < 50 else ("mid" if amount < 150 else "high")
+
+
+def scd2_stream(stream: DataFrame, flush_at_ms: int) -> DataFrame:
+    """SCD Type-2 history MAINTAINED under streaming arrival: per
+    account, consecutive events sharing a value-tier form an open
+    version in state; a tier change CLOSES the previous version
+    (emitted with valid_to = the new version's valid_from, append
+    mode), and the open head versions flush with NULL valid_to once
+    the watermark passes `flush_at_ms` (a literal past every real
+    event; the replay's sentinel pushes the watermark there). The
+    streamed history must row-for-row equal the batch gaps-and-islands
+    build — version numbers, validity bounds, event counts and the
+    is_current flags all survive micro-batch boundaries.
+
+    State per bucket: {account: [tier, version, valid_from_ms,
+    n_events]} — O(open versions) = O(accounts), the SCD2 analogue of
+    the reference's per-key ValueState. Same bucketed-key design and
+    versioned-JSON state guard as record_buffer_tumbling_stream."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            blob = json.loads(state.get[0])
+            if not isinstance(blob, dict) or blob.get("v") != SCD2_STATE_V:
+                raise ValueError(
+                    "scd2_stream: checkpoint state format "
+                    f"{blob.get('v') if isinstance(blob, dict) else '?'!r} "
+                    f"!= expected v{SCD2_STATE_V} — start from a fresh "
+                    "checkpoint dir"
+                )
+            open_v: dict[int, list] = {
+                int(a): s for a, s in blob["open"].items()
+            }
+        else:
+            open_v = {}
+        rows = []
+        pdf = _group_frame(pdf_iter, ["account_id", "t_us", "event_id"])
+        if pdf is not None:
+            for a, t_us, amt in zip(
+                pdf["account_id"].to_numpy(),
+                pdf["t_us"].to_numpy(),
+                pdf["amount"].to_numpy(),
+            ):
+                a = int(a)
+                t = int(t_us) // 1000
+                tier = _tier_of(float(amt))
+                cur = open_v.get(a)
+                if cur is None:
+                    open_v[a] = [tier, 1, t, 1]
+                elif cur[0] == tier:
+                    cur[3] += 1
+                else:
+                    rows.append(
+                        (a, cur[1], cur[0], cur[2], t, cur[3], False)
+                    )
+                    open_v[a] = [tier, cur[1] + 1, t, 1]
+        wm = state.getCurrentWatermarkMs()
+        if wm >= flush_at_ms:
+            for a in sorted(open_v):
+                tier, ver, vfrom, n = open_v[a]
+                rows.append((a, ver, tier, vfrom, None, n, True))
+            state.remove()
+        else:
+            state.update(
+                (json.dumps({"v": SCD2_STATE_V, "open": open_v}),)
+            )
+            state.setTimeoutTimestamp(max(flush_at_ms, wm + 1))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SCD2_SCHEMA.fields]
+            )
+
+    return (
+        _with_epoch(stream)
+        .withWatermark("event_time", "0 seconds")
+        .withColumn(
+            "_bucket", F.pmod(F.xxhash64("account_id"), F.lit(N_FOLD_BUCKETS))
+        )
+        .groupBy("_bucket")
+        .applyInPandasWithState(
+            fn,
+            SCD2_SCHEMA,
+            T.StructType([T.StructField("open_json", T.StringType())]),
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1562,3 +1562,44 @@ def test_pagerank_degree_monotone_on_suppliers(spark):
     ranked = sorted(rows, key=lambda r: -r.pagerank)
     top_decile = {r.entity_key for r in ranked[: max(1, len(ranked) // 10)]}
     assert top_deg_supp in top_decile
+
+
+def test_stream_scd2_matches_batch_face(spark):
+    """The streamed SCD2 history and the batch gaps-and-islands build
+    are the same function of the event stream: identical row sets,
+    including NULL-validity open heads and version numbering across
+    micro-batch boundaries."""
+    batch = {tuple(r) for r in _rows(spark, "scd2_user_tier_history")}
+    stream = {tuple(r) for r in _rows(spark, "stream_scd2_replay")}
+    assert stream == batch
+
+
+def test_temporal_join_strict_visibility(spark):
+    """Temporal-join contract: every enriched purchase carries the
+    LATEST status event strictly before it in (t_ms, event_id) order,
+    and purchases before any status event carry NULLs."""
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+
+    got = {r.event_id: r for r in _rows(spark, "temporal_join_purchase_status")}
+    ev = load(spark, SF_SMALL, "events").select(
+        "user_id",
+        F.expr("ts div 1000000").alias("t_ms"),
+        "event_id",
+        "event_type",
+    ).collect()
+    st_by_user, purchases = {}, []
+    for r in ev:
+        if r.event_type in ("signup", "error"):
+            st_by_user.setdefault(r.user_id, []).append((r.t_ms, r.event_id))
+        elif r.event_type == "purchase":
+            purchases.append(r)
+    assert {r.event_id for r in purchases} == set(got)
+    for p in purchases:
+        sts = sorted(st_by_user.get(p.user_id, []))
+        before = [s for s in sts if s < (p.t_ms, p.event_id)]
+        row = got[p.event_id]
+        if not before:
+            assert row.status_tier is None and row.status_version is None
+        else:
+            assert row.status_since_ms == before[-1][0]
+            assert row.status_version == len(before)
