@@ -160,6 +160,15 @@ PROBED = [
     # the DSIR gate (vocab build + scan-local scoring, ~linear)
     "ann_ivfpq_refine_topk",
     "dsir_importance_sample",
+    # r12: the temporal pillar under densified events — SCD2 is one
+    # (user)-keyed window pass (islands grow ∝ density), the CDC
+    # compaction's WindowGroupLimit forwards one candidate per key per
+    # map partition (slope should undercut the scan), and the temporal
+    # join is the same union+carry-forward sort as asof_latest_order
+    # with the dimension substream growing alongside the facts
+    "scd2_user_tier_history",
+    "cdc_upsert_snapshot",
+    "temporal_join_purchase_status",
 ]
 
 
