@@ -306,6 +306,9 @@ HEADLINE = [
     # round 12: SCD2 maintained by the streaming engine (open versions
     # in bucketed state, timeout-flushed heads)
     "stream_scd2_replay",
+    # round 12: both-sides-live temporal join (dimension state in the
+    # fold, facts emit enriched in one micro-batch, no timers)
+    "stream_temporal_join_replay",
 ]
 
 

@@ -35,7 +35,7 @@ from .indexcache import ensure_index
 from .detectors import _RISING_ORACLE
 from .pipeline import PREP_ORACLE
 from .stateful import EWMA_ORACLE, sql_count_or_time, sql_running_alerts
-from .temporal import CDC_ORACLE, SCD2_ORACLE
+from .temporal import CDC_ORACLE, SCD2_ORACLE, _TEMPORAL_JOIN_ORACLE
 from .similarity import _IVF_ORACLE as _STREAM_IVF_ORACLE
 from .text import _BM25_ORACLE
 from .timeseries import sql_znorm_alerts
@@ -2258,3 +2258,43 @@ def stream_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(name).where(F.col("user_id") != SENTINEL_ACCOUNT)
+
+
+@register(
+    "stream_temporal_join_replay",
+    oracle=_TEMPORAL_JOIN_ORACLE,
+    doc="The temporal-table join with BOTH sides live in one stream "
+    "(Flink's stream-stream temporal join): signup/error events update "
+    "the per-account status dimension in bucketed "
+    "applyInPandasWithState state, purchase facts emit immediately "
+    "enriched with the version valid strictly before them — no "
+    "timers, enrichment latency one micro-batch, state O(keys). The "
+    "emitted fact set must hash-equal the batch union-carry-forward "
+    "face's argmax oracle: a dimension update lost across a "
+    "micro-batch boundary or a fact seeing its own batch's later "
+    "status both flip the row.",
+    tags=("streaming", "temporal", "join", "asof", "stateful", "parity"),
+)
+def stream_temporal_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import (
+        read_replay_stream,
+        run_to_memory,
+        temporal_join_stream,
+        write_replay_chunks,
+    )
+
+    name = f"streamtpj_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        chunks = write_replay_chunks(
+            spark, sf_dir, scratch, n_chunks=6, with_event_type=True
+        )
+        out = temporal_join_stream(
+            read_replay_stream(spark, chunks, with_event_type=True)
+        )
+        with _bounded_state_partitions(spark):
+            run_to_memory(out, name)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(name)

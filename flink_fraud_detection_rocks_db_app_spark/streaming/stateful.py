@@ -1157,3 +1157,83 @@ def scd2_stream(stream: DataFrame, flush_at_ms: int) -> DataFrame:
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ------------------------------------------------- temporal join (stream)
+
+TEMPORAL_JOIN_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("t_ms", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("status_tier", T.StringType()),
+        T.StructField("status_version", T.LongType()),
+        T.StructField("status_since_ms", T.LongType()),
+    ]
+)
+
+
+def temporal_join_stream(stream: DataFrame) -> DataFrame:
+    """Stream-STREAM temporal join (Flink's temporal table join, both
+    sides live): status events (signup/error) update the per-account
+    dimension state, purchase facts emit immediately enriched with the
+    state as of their position in the (t_ms, event_id) order —
+    strictly-before visibility, exactly the batch face's contract.
+    Other event types pass through the fold untouched (neither
+    dimension nor fact).
+
+    State per bucket: {account: [since_ms, version, tier]} — the
+    latest dimension version per key, the same O(keys) invariant as
+    the CDC compaction state. No timers: facts never wait (the
+    dimension side needs no watermark hold because visibility is
+    strictly historical), so enrichment latency is one micro-batch."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        cur: dict[int, list] = (
+            {int(a): s for a, s in json.loads(state.get[0]).items()}
+            if state.exists
+            else {}
+        )
+        rows = []
+        pdf = _group_frame(pdf_iter, ["account_id", "t_us", "event_id"])
+        if pdf is not None:
+            for a, t_us, amt, et, eid in zip(
+                pdf["account_id"].to_numpy(),
+                pdf["t_us"].to_numpy(),
+                pdf["amount"].to_numpy(),
+                pdf["event_type"].to_numpy(),
+                pdf["event_id"].to_numpy(),
+            ):
+                a = int(a)
+                t = int(t_us) // 1000
+                if et in ("signup", "error"):
+                    prev = cur.get(a)
+                    cur[a] = [t, (prev[1] + 1) if prev else 1, _tier_of(float(amt))]
+                elif et == "purchase":
+                    st = cur.get(a)
+                    rows.append(
+                        (int(eid), a, t, float(amt))
+                        + ((st[2], st[1], st[0]) if st else (None, None, None))
+                    )
+        state.update((json.dumps(cur),))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TEMPORAL_JOIN_SCHEMA.fields]
+            )
+
+    return (
+        _with_epoch(stream)
+        .withColumn(
+            "_bucket", F.pmod(F.xxhash64("account_id"), F.lit(N_FOLD_BUCKETS))
+        )
+        .groupBy("_bucket")
+        .applyInPandasWithState(
+            fn,
+            TEMPORAL_JOIN_SCHEMA,
+            T.StructType([T.StructField("cur_json", T.StringType())]),
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1603,3 +1603,11 @@ def test_temporal_join_strict_visibility(spark):
         else:
             assert row.status_since_ms == before[-1][0]
             assert row.status_version == len(before)
+
+
+def test_stream_temporal_join_matches_batch_face(spark):
+    """Stream-stream temporal join == the batch union-carry-forward
+    face: identical enriched-fact row sets, NULL dimension included."""
+    batch = {tuple(r) for r in _rows(spark, "temporal_join_purchase_status")}
+    stream = {tuple(r) for r in _rows(spark, "stream_temporal_join_replay")}
+    assert stream == batch
