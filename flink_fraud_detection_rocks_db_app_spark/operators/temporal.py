@@ -296,61 +296,53 @@ FROM j WHERE rn = 1
     "fact joined to the account-status dimension version (tier set by "
     "the latest signup/error event) valid at the fact's position in "
     "the global (t_ms, event_id) order — strictly-before visibility, "
-    "NULLs before the first status. Spark side is the as-of "
-    "union-and-carry-forward: tag both substreams, one shuffle on the "
-    "key, last_value(ignore nulls) over the interleaved sort — no "
-    "per-fact probe, no fact x versions blowup; the oracle is the "
-    "independent argmax-per-fact formulation.",
+    "NULLs before the first status. Spark side reads the three "
+    "event types ONCE and derives tier/version/since from conditional "
+    "window aggregates over a single (user_id)-partitioned sort — one "
+    "scan, one exchange, one sort (plan-pinned), no per-fact probe, "
+    "no fact x versions blowup; the oracle is the independent "
+    "argmax-per-fact formulation.",
     tags=("temporal", "join", "asof"),
 )
 def temporal_join_purchase_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").select(
-        "user_id",
-        F.expr("ts div 1000000").alias("t_ms"),
-        "event_id",
-        "value",
-        "event_type",
-        F.expr(_TIER_SQL).alias("tier"),
+    # Single-scan formulation: instead of unioning a row_number-ed
+    # dimension branch with a fact branch (two scans, and the version
+    # numbering pays its own exchange+sort before the union), read the
+    # three relevant event types once and derive everything from
+    # CONDITIONAL window aggregates over one (user_id)-partitioned
+    # (t_ms, event_id) sort: the running count of dimension rows IS
+    # the valid version number, last(tier of dimension rows, ignore
+    # nulls) carries the valid tier, and the strictly-before contract
+    # holds because a fact row contributes nothing to either. One
+    # scan, one exchange, one sort (plan-pinned).
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("signup", "error", "purchase"))
+        .select(
+            "user_id",
+            F.expr("ts div 1000000").alias("t_ms"),
+            "event_id",
+            "value",
+            (F.col("event_type") != "purchase").alias("is_dim"),
+            F.expr(_TIER_SQL).alias("tier"),
+        )
     )
-    st = ev.where(F.col("event_type").isin("signup", "error")).select(
-        "user_id",
-        "t_ms",
-        "event_id",
-        "tier",
-        F.row_number()
-        .over(Window.partitionBy("user_id").orderBy("t_ms", "event_id"))
-        .cast("long")
-        .alias("version"),
-        F.lit(0).alias("is_fact"),
-        F.lit(None).cast("double").alias("value"),
-    )
-    p = ev.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        "t_ms",
-        "event_id",
-        F.lit(None).cast("string").alias("tier"),
-        F.lit(None).cast("long").alias("version"),
-        F.lit(1).alias("is_fact"),
-        "value",
-    )
-    u = st.unionByName(p)
-    # dimension rows sort before facts at the same (t_ms, event_id)
-    # position — impossible for same event_id, but is_fact keeps the
-    # ordering total and the strict visibility explicit
     w = (
         Window.partitionBy("user_id")
-        .orderBy("t_ms", "event_id", "is_fact")
+        .orderBy("t_ms", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = u.select(
+    dim = F.when(F.col("is_dim"), F.col("tier"))
+    n_dim = F.sum(F.when(F.col("is_dim"), 1).otherwise(0)).over(w)
+    c = ev.select(
         "*",
-        F.last("tier", ignorenulls=True).over(w).alias("status_tier"),
-        F.last("version", ignorenulls=True).over(w).alias("status_version"),
+        F.last(dim, ignorenulls=True).over(w).alias("status_tier"),
+        F.when(n_dim > 0, n_dim).cast("long").alias("status_version"),
         F.last(
-            F.when(F.col("is_fact") == 0, F.col("t_ms")), ignorenulls=True
+            F.when(F.col("is_dim"), F.col("t_ms")), ignorenulls=True
         ).over(w).alias("status_since_ms"),
     )
-    return c.where(F.col("is_fact") == 1).select(
+    return c.where(~F.col("is_dim")).select(
         "event_id",
         "user_id",
         "t_ms",

@@ -1611,3 +1611,15 @@ def test_stream_temporal_join_matches_batch_face(spark):
     batch = {tuple(r) for r in _rows(spark, "temporal_join_purchase_status")}
     stream = {tuple(r) for r in _rows(spark, "stream_temporal_join_replay")}
     assert stream == batch
+
+
+def test_temporal_join_plan_is_single_scan_single_exchange(spark):
+    """The temporal join's scale contract: one events scan, one hash
+    exchange, one sort — the conditional-window formulation (a union
+    of a row_number-ed dimension branch would pay two scans and two
+    exchange+sorts)."""
+    df = all_queries()["temporal_join_purchase_status"].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort [") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
