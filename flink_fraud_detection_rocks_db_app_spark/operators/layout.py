@@ -116,11 +116,15 @@ def write_zorder_layout(spark: SparkSession, sf_dir: str, path: str) -> None:
 def ensure_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
     from .indexcache import ensure_index
 
+    # format v2: rows inside each part-file are guaranteed z-sorted
+    # (the (zbucket, z) write sort, ADVICE r11 #1) — a v1 asset's
+    # per-file order was sort-stability luck, so it reads as stale
     return ensure_index(
         "zorder_events",
         sf_dir,
         "events",
         lambda tmp: write_zorder_layout(spark, sf_dir, tmp),
+        version=2,
     )
 
 
@@ -468,7 +472,7 @@ def ensure_zorder_base(spark: SparkSession, sf_dir: str) -> str:
         sf_dir,
         "events",
         lambda tmp: write_zorder_base(spark, sf_dir, tmp),
-        version=2,
+        version=3,  # v3 = the guaranteed per-file z sort (see above)
     )
 
 

@@ -342,3 +342,27 @@ def test_zorder_balance_monitor_accounts_for_every_row(spark):
         assert r.hot == (r.n_rows * n_buckets > ZORDER_HOT_FACTOR * total)
         assert r.empty == (r.n_rows == 0)
         assert abs(r.load_ratio - r.n_rows * n_buckets / total) < 1e-6
+
+
+def test_zorder_files_are_z_sorted_within_each_bucket(spark):
+    """ADVICE r11 #1 made structural: the partitioned write sorts by
+    (zbucket, z), which satisfies the writer's required ordering — so
+    each written part-file's physical row order is non-decreasing in z
+    by guarantee, not by sort-stability luck. Read every part-file of
+    the published layout independently and assert monotone z."""
+    import pyarrow.parquet as pq
+
+    from flink_fraud_detection_rocks_db_app_spark.operators.layout import (
+        ensure_zorder_layout,
+    )
+
+    path = ensure_zorder_layout(spark, SF_SMALL)
+    files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    assert files
+    checked = 0
+    for f in files:
+        zs = pq.read_table(f, columns=["z"]).column("z").to_pylist()
+        if len(zs) > 1:
+            assert all(a <= b for a, b in zip(zs, zs[1:])), f
+            checked += 1
+    assert checked > 0, "expected at least one multi-row part-file"
