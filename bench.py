@@ -309,6 +309,9 @@ HEADLINE = [
     # round 12: both-sides-live temporal join (dimension state in the
     # fold, facts emit enriched in one micro-batch, no timers)
     "stream_temporal_join_replay",
+    # round 12: snapshot reconciliation diff (two WindowGroupLimit
+    # compactions + one co-partitioned full outer join)
+    "cdc_snapshot_diff",
 ]
 
 

@@ -351,3 +351,69 @@ def temporal_join_purchase_status(spark: SparkSession, sf_dir: str) -> DataFrame
         "status_version",
         "status_since_ms",
     )
+
+
+# ---- snapshot diff ------------------------------------------------------
+
+
+def _cdc_diff_oracle() -> str:
+    return f"""
+WITH old_s AS ({_cdc_oracle(SNAPSHOT_CUTOFF_MS)}),
+new_s AS ({_cdc_oracle(None)})
+SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'I'
+            WHEN n.user_id IS NULL THEN 'D'
+            ELSE 'U' END AS op,
+       o.cur_value AS old_value, n.cur_value AS new_value,
+       o.updated_ms AS old_ms, n.updated_ms AS new_ms
+FROM old_s o FULL OUTER JOIN new_s n ON o.user_id = n.user_id
+WHERE o.user_id IS NULL OR n.user_id IS NULL
+   OR o.cur_value <> n.cur_value OR o.updated_ms <> n.updated_ms
+"""
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle=_cdc_diff_oracle(),
+    doc="Snapshot diff: the keyed delta between the AS-OF snapshot "
+    f"(cutoff {SNAPSHOT_CUTOFF_MS}) and the current compaction — "
+    "inserts (key appeared), deletes (key tombstoned away), updates "
+    "(value or update time moved); unchanged keys are suppressed. "
+    "Each side is the WindowGroupLimit-planned compaction, the diff "
+    "is one full outer join on the key — both children hash on "
+    "user_id so the join adds no extra exchange. In production the "
+    "old side is a STORED snapshot table, so the diff prices one "
+    "compaction + one co-partitioned join, the standard warehouse "
+    "reconciliation/backfill-audit query.",
+    tags=("temporal", "cdc", "timetravel", "join"),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = _cdc_changelog(spark, sf_dir)
+    old_s = _cdc_compact(ch.where(F.col("t_ms") <= SNAPSHOT_CUTOFF_MS)).select(
+        F.col("user_id").alias("o_user"),
+        F.col("cur_value").alias("old_value"),
+        F.col("updated_ms").alias("old_ms"),
+    )
+    new_s = _cdc_compact(ch).select(
+        F.col("user_id").alias("n_user"),
+        F.col("cur_value").alias("new_value"),
+        F.col("updated_ms").alias("new_ms"),
+    )
+    j = old_s.join(new_s, old_s.o_user == new_s.n_user, "full_outer")
+    changed = (
+        F.col("o_user").isNull()
+        | F.col("n_user").isNull()
+        | (F.col("old_value") != F.col("new_value"))
+        | (F.col("old_ms") != F.col("new_ms"))
+    )
+    return j.where(changed).select(
+        F.coalesce("o_user", "n_user").alias("user_id"),
+        F.when(F.col("o_user").isNull(), F.lit("I"))
+        .when(F.col("n_user").isNull(), F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "old_value",
+        "new_value",
+        "old_ms",
+        "new_ms",
+    )

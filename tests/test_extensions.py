@@ -1623,3 +1623,28 @@ def test_temporal_join_plan_is_single_scan_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Sort [") == 1, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_cdc_snapshot_diff_reconciles(spark):
+    """Diff contract: applying the diff's semantics to the as-of
+    snapshot must reproduce the current snapshot — inserts are keys
+    only in the new side, deletes only in the old, updates differ, and
+    keys absent from the diff are bit-identical in both snapshots."""
+    old = {r.user_id: r for r in _rows(spark, "cdc_snapshot_asof")}
+    new = {r.user_id: r for r in _rows(spark, "cdc_upsert_snapshot")}
+    diff = {r.user_id: r for r in _rows(spark, "cdc_snapshot_diff")}
+    for uid, d in diff.items():
+        if d.op == "I":
+            assert uid not in old and uid in new
+        elif d.op == "D":
+            assert uid in old and uid not in new
+        else:
+            assert (d.old_value, d.old_ms) != (d.new_value, d.new_ms)
+            assert old[uid].cur_value == d.old_value
+            assert new[uid].cur_value == d.new_value
+    for uid in set(old) | set(new):
+        if uid not in diff:
+            assert (old[uid].cur_value, old[uid].updated_ms) == (
+                new[uid].cur_value,
+                new[uid].updated_ms,
+            )
