@@ -1648,3 +1648,71 @@ def test_cdc_snapshot_diff_reconciles(spark):
                 new[uid].cur_value,
                 new[uid].updated_ms,
             )
+
+
+def test_stream_cdc_absorbs_at_least_once_redelivery(spark):
+    """The at-least-once composition for the CDC state table: with the
+    replay redelivering every 7th event verbatim (the broker delivery
+    model), an event-id dedup stage ahead of the complete-mode
+    aggregation absorbs the duplicates — the final state, INCLUDING
+    the per-key change counts, must equal the canonical batch
+    compaction."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql.functions import col, count, lit, max_by, struct, when, unix_millis
+    from flink_fraud_detection_rocks_db_app_spark.streaming import (
+        read_replay_stream,
+        run_to_memory,
+        write_replay_chunks,
+    )
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        f"cdc-dup-{uuid.uuid4().hex[:8]}",
+    )
+    os.makedirs(scratch, exist_ok=True)
+    name = f"cdcdup_{uuid.uuid4().hex[:8]}"
+    try:
+        chunks = write_replay_chunks(
+            spark, SF_SMALL, scratch, n_chunks=6, dup_every=7, with_event_type=True
+        )
+        src = (
+            read_replay_stream(spark, chunks, with_event_type=True)
+            .withWatermark("event_time", "0 seconds")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        ch = src.select(
+            col("account_id").alias("user_id"),
+            unix_millis("event_time").alias("t_ms"),
+            "event_id",
+            col("amount").alias("value"),
+            when(col("event_type") == "error", lit("D"))
+            .otherwise(lit("U"))
+            .alias("op"),
+        )
+        st = ch.groupBy("user_id").agg(
+            max_by(struct("value", "op", "t_ms"), struct("t_ms", "event_id")).alias(
+                "last"
+            ),
+            count("*").cast("long").alias("n_changes"),
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            run_to_memory(st, name, output_mode="complete")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        got = {
+            (r.user_id, r.last.value, r.last.t_ms, r.n_changes)
+            for r in spark.table(name).where(col("last.op") == "U").collect()
+        }
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    want = {
+        (r.user_id, r.cur_value, r.updated_ms, r.n_changes)
+        for r in _rows(spark, "cdc_upsert_snapshot")
+    }
+    assert got == want
