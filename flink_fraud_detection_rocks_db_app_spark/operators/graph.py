@@ -109,8 +109,10 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("out_deg"))
     # degree-annotated edges: the frame every iteration re-reads —
-    # persist it so the join tree above it executes once, not 5x
-    ew = edges.join(deg, "src").persist()
+    # hash-partition it by src ONCE and persist; the cached relation
+    # advertises that partitioning, so each iteration's contribution
+    # join shuffles only the O(V) rank frame, never the O(E) edges
+    ew = edges.join(deg, "src").repartition(F.col("src")).persist()
     n_nodes = deg.count()
     base = (1.0 - PR_DAMPING) / n_nodes
     ranks = deg.select(
