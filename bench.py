@@ -312,6 +312,9 @@ HEADLINE = [
     # round 12: snapshot reconciliation diff (two WindowGroupLimit
     # compactions + one co-partitioned full outer join)
     "cdc_snapshot_diff",
+    # round 12: deletes-aware SCD2 (tombstones close versions, gaps
+    # allowed; same one-exchange boundary-filter shape)
+    "scd2_tombstoned_history",
 ]
 
 

@@ -417,3 +417,134 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_ms",
         "new_ms",
     )
+
+
+# ---- SCD2 with tombstones ------------------------------------------------
+
+SCD2_TOMBSTONE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS t_ms, event_id,
+         event_type = 'error' AS is_del,
+         CASE WHEN event_type = 'error' THEN NULL
+              ELSE {_TIER_SQL} END AS tier
+  FROM events
+),
+m AS (
+  SELECT *,
+         lag(is_del) OVER w AS prev_del,
+         lag(tier) OVER w AS prev_tier,
+         CAST(SUM(CASE WHEN is_del THEN 0 ELSE 1 END) OVER (
+           PARTITION BY user_id ORDER BY t_ms, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS rn_ne,
+         CAST(SUM(CASE WHEN is_del THEN 0 ELSE 1 END) OVER (
+           PARTITION BY user_id
+         ) AS BIGINT) AS cnt_ne
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)
+),
+b AS (  -- boundary rows: tombstones + version starts
+  SELECT *,
+         (NOT is_del) AND (prev_del IS NULL OR prev_del
+                           OR prev_tier IS DISTINCT FROM tier) AS is_start
+  FROM m
+  WHERE is_del OR (prev_del IS NULL OR prev_del
+                   OR prev_tier IS DISTINCT FROM tier)
+),
+v AS (
+  SELECT *,
+         CAST(SUM(CASE WHEN is_start THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY t_ms, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS version,
+         lead(t_ms) OVER wb AS nb_t,
+         lead(is_del) OVER wb AS nb_del,
+         lead(rn_ne) OVER wb AS nb_rn
+  FROM b WINDOW wb AS (PARTITION BY user_id ORDER BY t_ms, event_id)
+)
+SELECT user_id, version, tier,
+       t_ms AS valid_from_ms,
+       nb_t AS valid_to_ms,
+       CAST(CASE WHEN nb_t IS NULL THEN cnt_ne - rn_ne + 1
+                 WHEN nb_del THEN nb_rn - rn_ne + 1
+                 ELSE nb_rn - rn_ne END AS BIGINT) AS n_events,
+       CASE WHEN nb_t IS NULL THEN NULL
+            WHEN nb_del THEN 'tombstone' ELSE 'change' END AS closed_by,
+       (nb_t IS NULL) AS is_current
+FROM v WHERE is_start
+"""
+
+
+@register(
+    "scd2_tombstoned_history",
+    oracle=SCD2_TOMBSTONE_ORACLE,
+    doc="SCD Type-2 WITH DELETES: tombstone events ('error') close the "
+    "open version at their timestamp without opening a new one — the "
+    "re-activation after a tombstone starts a fresh version even at "
+    "the same tier, and a user can have validity GAPS (deactivated "
+    "spans). Versions stay dense per user; closed_by distinguishes "
+    "attribute-change closes from tombstone closes. Same one-exchange "
+    "one-sort shape as the plain SCD2 build: boundary rows (tombstones "
+    "+ version starts) are filtered from the first window pass and the "
+    "second pass leads over them under the preserved sort.",
+    tags=("temporal", "scd2", "cdc", "window_function"),
+)
+def scd2_tombstoned_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 1000000").alias("t_ms"),
+        "event_id",
+        (F.col("event_type") == "error").alias("is_del"),
+        F.when(
+            F.col("event_type") == "error", F.lit(None).cast("string")
+        ).otherwise(F.expr(_TIER_SQL)).alias("tier"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_ms", "event_id")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ne = F.when(F.col("is_del"), 0).otherwise(1)
+    prev_del = F.lag("is_del").over(w)
+    prev_tier = F.lag("tier").over(w)
+    m = ev.select(
+        "*",
+        prev_del.alias("prev_del"),
+        prev_tier.alias("prev_tier"),
+        F.sum(ne).over(wr).cast("long").alias("rn_ne"),
+        F.sum(ne).over(Window.partitionBy("user_id")).cast("long").alias("cnt_ne"),
+    )
+    new_ctx = (
+        F.col("prev_del").isNull()
+        | F.col("prev_del")
+        | ~(F.col("prev_tier").eqNullSafe(F.col("tier")))
+    )
+    b = m.where(F.col("is_del") | new_ctx).select(
+        "*", (~F.col("is_del") & new_ctx).alias("is_start")
+    )
+    wb = Window.partitionBy("user_id").orderBy("t_ms", "event_id")
+    wbr = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v = b.select(
+        "*",
+        F.sum(F.when(F.col("is_start"), 1).otherwise(0))
+        .over(wbr)
+        .cast("long")
+        .alias("version"),
+        F.lead("t_ms").over(wb).alias("nb_t"),
+        F.lead("is_del").over(wb).alias("nb_del"),
+        F.lead("rn_ne").over(wb).alias("nb_rn"),
+    )
+    n_events = (
+        F.when(F.col("nb_t").isNull(), F.col("cnt_ne") - F.col("rn_ne") + 1)
+        .when(F.col("nb_del"), F.col("nb_rn") - F.col("rn_ne") + 1)
+        .otherwise(F.col("nb_rn") - F.col("rn_ne"))
+    )
+    return v.where("is_start").select(
+        "user_id",
+        "version",
+        "tier",
+        F.col("t_ms").alias("valid_from_ms"),
+        F.col("nb_t").alias("valid_to_ms"),
+        n_events.cast("long").alias("n_events"),
+        F.when(F.col("nb_t").isNull(), F.lit(None).cast("string"))
+        .when(F.col("nb_del"), F.lit("tombstone"))
+        .otherwise(F.lit("change"))
+        .alias("closed_by"),
+        F.col("nb_t").isNull().alias("is_current"),
+    )

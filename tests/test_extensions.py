@@ -1716,3 +1716,54 @@ def test_stream_cdc_absorbs_at_least_once_redelivery(spark):
         for r in _rows(spark, "cdc_upsert_snapshot")
     }
     assert got == want
+
+
+def test_scd2_tombstoned_invariants(spark):
+    """Deletes-aware SCD2: versions dense per user, n_events re-adds to
+    the user's non-tombstone event count, change-closed versions abut
+    their successor exactly, tombstone-closed versions close at the
+    tombstone (leaving a validity gap up to the successor), and at most
+    one open version per user — none if the user's stream ends
+    deactivated."""
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+
+    hist = sorted(
+        _rows(spark, "scd2_tombstoned_history"),
+        key=lambda r: (r.user_id, r.version),
+    )
+    ev = load(spark, SF_SMALL, "events").select(
+        "user_id",
+        F.expr("ts div 1000000").alias("t_ms"),
+        "event_id",
+        "event_type",
+    ).collect()
+    ne_total, last_type = {}, {}
+    for r in sorted(ev, key=lambda r: (r.t_ms, r.event_id)):
+        if r.event_type != "error":
+            ne_total[r.user_id] = ne_total.get(r.user_id, 0) + 1
+        last_type[r.user_id] = r.event_type
+    by_user = {}
+    for r in hist:
+        by_user.setdefault(r.user_id, []).append(r)
+    saw_gap = saw_tombstone = 0
+    for uid, rows in by_user.items():
+        assert [r.version for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(r.n_events for r in rows) == ne_total[uid]
+        opens = [r for r in rows if r.is_current]
+        assert len(opens) <= 1
+        if opens:
+            assert rows[-1].is_current and rows[-1].closed_by is None
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to_ms is not None and a.closed_by in (
+                "change",
+                "tombstone",
+            )
+            if a.closed_by == "change":
+                assert a.valid_to_ms == b.valid_from_ms
+                assert a.tier != b.tier
+            else:
+                saw_tombstone += 1
+                assert a.valid_to_ms <= b.valid_from_ms
+                if a.valid_to_ms < b.valid_from_ms:
+                    saw_gap += 1
+    assert saw_tombstone > 0 and saw_gap > 0, "fixture should exercise gaps"
