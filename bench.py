@@ -315,6 +315,11 @@ HEADLINE = [
     # round 12: deletes-aware SCD2 (tombstones close versions, gaps
     # allowed; same one-exchange boundary-filter shape)
     "scd2_tombstoned_history",
+    # round 12: the iterative pillar's convergence monitor (r4-vs-r5
+    # residual off the shared persisted-edges loop) and the SQL-text
+    # face of the SCD2 build
+    "pagerank_convergence_monitor",
+    "sql_scd2_history",
 ]
 
 

@@ -78,22 +78,10 @@ FROM r{PR_ITERS}
 """
 
 
-@register(
-    "pagerank_trade_network",
-    oracle=_pagerank_oracle(),
-    doc=f"PageRank ({PR_ITERS} fixed iterations, damping {PR_DAMPING}) "
-    "over the symmetrized customer–supplier trade graph (an edge per "
-    "distinct trading pair from orders x lineitem; node ids disjoint "
-    "by parity). Pregel-as-joins: the degree-annotated edge frame is "
-    "built once and persisted, each iteration is one contribution "
-    "join + one groupBy(dst) shuffle, rank frames localCheckpoint "
-    "per iteration to keep lineage one-step deep. Symmetrization "
-    "removes dangling nodes, so total rank mass is conserved at 1 "
-    "(tested). The oracle unrolls the identical five iterations as "
-    "chained CTEs; emitted ranks 6dp-rounded on both sides.",
-    tags=("graph", "iterative", "join", "batch"),
-)
-def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pagerank_loop(spark: SparkSession, sf_dir: str):
+    """Run the persisted-edges iteration shared by the ranking face and
+    the convergence monitor; returns (second-to-last, last) rank
+    frames, both eagerly checkpointed."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -119,12 +107,14 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("node_id"), F.lit(1.0 / n_nodes).alias("pr")
     ).localCheckpoint(eager=True)
     nodes = deg.select(F.col("src").alias("node_id"))
+    prev = ranks
     for _ in range(PR_ITERS):
         contribs = (
             ew.join(ranks, ew.src == ranks.node_id)
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("out_deg")).alias("s"))
         )
+        prev = ranks
         ranks = (
             nodes.join(contribs, nodes.node_id == contribs.dst, "left")
             .select(
@@ -137,11 +127,88 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     ew.unpersist()
+    return prev, ranks
+
+
+_ENTITY = (
+    "CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END"
+)
+
+
+@register(
+    "pagerank_trade_network",
+    oracle=_pagerank_oracle(),
+    doc=f"PageRank ({PR_ITERS} fixed iterations, damping {PR_DAMPING}) "
+    "over the symmetrized customer–supplier trade graph (an edge per "
+    "distinct trading pair from orders x lineitem; node ids disjoint "
+    "by parity). Pregel-as-joins: the degree-annotated edge frame is "
+    "built once and persisted, each iteration is one contribution "
+    "join + one groupBy(dst) shuffle, rank frames localCheckpoint "
+    "per iteration to keep lineage one-step deep. Symmetrization "
+    "removes dangling nodes, so total rank mass is conserved at 1 "
+    "(tested). The oracle unrolls the identical five iterations as "
+    "chained CTEs; emitted ranks 6dp-rounded on both sides.",
+    tags=("graph", "iterative", "join", "batch"),
+)
+def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, ranks = _pagerank_loop(spark, sf_dir)
     return ranks.select(
         "node_id",
-        F.when(F.col("node_id") % 2 == 0, F.lit("customer"))
-        .otherwise(F.lit("supplier"))
-        .alias("entity"),
+        F.expr(_ENTITY).alias("entity"),
         (F.col("node_id") / F.lit(2)).cast("long").alias("entity_key"),
         F.round("pr", 6).alias("pagerank"),
+    )
+
+
+# ---- convergence monitor -------------------------------------------------
+
+# Convergence call on the 6dp-rounded per-node movement between the
+# last two iterations: the fixed-point residual a scheduled refresh
+# checks before deciding whether PR_ITERS still suffices as the graph
+# grows. Threshold compares the ALREADY-ROUNDED delta, so the boolean
+# is engine-exact.
+PR_CONV_TOL = 1e-4
+
+
+def _pagerank_conv_oracle() -> str:
+    base = _pagerank_oracle()
+    # reuse the unrolled CTE chain, swap the final projection for the
+    # r4-vs-r5 residual
+    head = base[: base.index("SELECT node_id,")]
+    return f"""{head}
+SELECT a.node_id,
+       CASE WHEN a.node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
+       round(a.pr, 6) AS pagerank,
+       round(abs(a.pr - b.pr), 6) AS delta,
+       (round(abs(a.pr - b.pr), 6) <= {PR_CONV_TOL!r}) AS converged
+FROM r{PR_ITERS} a JOIN r{PR_ITERS - 1} b USING (node_id)
+"""
+
+
+@register(
+    "pagerank_convergence_monitor",
+    oracle=_pagerank_conv_oracle(),
+    doc=f"Convergence monitor for the iterative pillar: per-node "
+    f"|r{PR_ITERS} - r{PR_ITERS - 1}| residual of the PageRank fixed "
+    f"point, 6dp-rounded, with a converged flag at {PR_CONV_TOL!r} — "
+    "the analogue of the index-health monitors for iterative "
+    "algorithms (is the FIXED iteration budget still enough as the "
+    "graph grows, or does the refresh need another round?). Runs the "
+    "same persisted-edges loop keeping the last two rank frames; the "
+    "oracle reuses the unrolled CTE chain with an r4-vs-r5 residual "
+    "projection, so monitor math and ranking math cannot drift.",
+    tags=("graph", "iterative", "eval"),
+)
+def pagerank_convergence_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prev, ranks = _pagerank_loop(spark, sf_dir)
+    d = F.round(F.abs(F.col("pr") - F.col("p_pr")), 6)
+    return ranks.join(
+        prev.select(F.col("node_id").alias("p_node"), F.col("pr").alias("p_pr")),
+        ranks.node_id == F.col("p_node"),
+    ).select(
+        "node_id",
+        F.expr(_ENTITY).alias("entity"),
+        F.round("pr", 6).alias("pagerank"),
+        d.alias("delta"),
+        (d <= F.lit(PR_CONV_TOL)).alias("converged"),
     )

@@ -171,3 +171,55 @@ def sql_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL VIEW explode(sequence(0, greatest(size(w) - 1, 0), 48)) AS st
         """
     )
+
+
+def _install_sql_scd2() -> None:
+    """Register sql_scd2_history sharing the temporal pillar's oracle
+    object (imported, not re-spelled), so the SQL face and the
+    DataFrame face can never drift to different oracle strings."""
+    from .temporal import SCD2_ORACLE
+
+    def sql_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(
+            """
+            WITH e AS (
+              SELECT user_id, ts div 1000000 AS t_ms, event_id,
+                     CASE WHEN value < 50 THEN 'low'
+                          WHEN value < 150 THEN 'mid' ELSE 'high' END AS tier
+              FROM events
+            ),
+            m AS (
+              SELECT *,
+                     CASE WHEN lag(tier) OVER w IS NULL
+                            OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg,
+                     row_number() OVER w AS rn,
+                     COUNT(*) OVER (PARTITION BY user_id) AS cnt
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)
+            ),
+            s AS (SELECT * FROM m WHERE chg = 1)
+            SELECT user_id,
+                   CAST(row_number() OVER wb AS BIGINT) AS version,
+                   tier,
+                   t_ms AS valid_from_ms,
+                   lead(t_ms) OVER wb AS valid_to_ms,
+                   CAST(COALESCE(lead(rn) OVER wb, cnt + 1) - rn AS BIGINT)
+                     AS n_events,
+                   (lead(t_ms) OVER wb IS NULL) AS is_current
+            FROM s WINDOW wb AS (PARTITION BY user_id ORDER BY t_ms, event_id)
+            """
+        )
+
+    register(
+        "sql_scd2_history",
+        oracle=SCD2_ORACLE,
+        doc="The temporal pillar's SCD2 build as pure SQL TEXT over the "
+        "registered views — the identical one-exchange gaps-and-islands "
+        "formulation (boundary filter between two window clauses) "
+        "driven entirely through spark.sql(), under the same oracle as "
+        "the DataFrame face.",
+        tags=("sql", "temporal", "scd2", "window_function"),
+    )(sql_scd2_history)
+
+
+_install_sql_scd2()

@@ -1767,3 +1767,20 @@ def test_scd2_tombstoned_invariants(spark):
                 if a.valid_to_ms < b.valid_from_ms:
                     saw_gap += 1
     assert saw_tombstone > 0 and saw_gap > 0, "fixture should exercise gaps"
+
+
+def test_pagerank_convergence_monitor_consistent(spark):
+    """The monitor's pagerank column must equal the ranking face's
+    (shared loop), deltas are non-negative and bounded by the rank
+    scale, and the converged flag is exactly delta <= tol."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.graph import (
+        PR_CONV_TOL,
+    )
+
+    ranks = {r.node_id: r.pagerank for r in _rows(spark, "pagerank_trade_network")}
+    mon = _rows(spark, "pagerank_convergence_monitor")
+    assert {r.node_id for r in mon} == set(ranks)
+    for r in mon:
+        assert r.pagerank == ranks[r.node_id]
+        assert 0.0 <= r.delta <= 1.0
+        assert r.converged == (r.delta <= PR_CONV_TOL)
