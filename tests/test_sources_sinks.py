@@ -773,3 +773,71 @@ def test_bounded_buffer_checkpoint_restart(spark, scratch):
     for k, v in got.items():
         assert abs(v - full[k]) < 1e-9, k
     assert any(len(ws) > cap for ws in keep.values()), "cap never bit"
+
+
+def test_scd2_stream_checkpoint_restart(spark, scratch):
+    """Temporal-pillar restart semantics: scd2_stream's state is the
+    per-bucket JSON dict of OPEN versions plus the flush timeout — both
+    must round-trip through the checkpoint. Stop mid-stream with
+    islands open, restart, deliver the rest plus the sentinel: the
+    emitted history (closed rows from both halves + timeout-flushed
+    open heads) must row-for-row equal the batch gaps-and-islands
+    face, with no version emitted twice."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.temporal import (
+        scd2_user_tier_history,
+    )
+    from flink_fraud_detection_rocks_db_app_spark.operators.windows import MS
+    from flink_fraud_detection_rocks_db_app_spark.streaming import (
+        SENTINEL_ACCOUNT,
+        append_sentinel_chunk,
+        read_replay_batch,
+        scd2_stream,
+    )
+    from pyspark.sql import functions as F
+
+    chunks = write_replay_chunks(spark, SF_SMALL, scratch, n_chunks=6)
+    files = sorted(glob.glob(os.path.join(chunks, "*.parquet")))
+    live = os.path.join(scratch, "live")
+    out = os.path.join(scratch, "out")
+    ckpt = os.path.join(scratch, "ckpt")
+    os.makedirs(live)
+    max_us = (
+        read_replay_batch(spark, chunks)
+        .agg(F.max(F.unix_micros("event_time")))
+        .first()[0]
+    )
+    flush_at_ms = max_us // 1000 + MS["d"]
+
+    def run_once():
+        j = scd2_stream(read_replay_stream(spark, live), flush_at_ms)
+        q = (
+            j.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    for f in files[:3]:
+        shutil.copy2(f, live)
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first > 0, "first half should close some versions"
+    for f in files[3:]:
+        shutil.copy2(f, live)
+    append_sentinel_chunk(live, max_us + 7 * MS["d"] * 1000)
+    run_once()
+
+    rows = (
+        spark.read.parquet(out)
+        .where(F.col("user_id") != SENTINEL_ACCOUNT)
+        .collect()
+    )
+    keys = [(r.user_id, r.version) for r in rows]
+    assert len(keys) == len(set(keys)), "a version emitted twice across restart"
+    got = {tuple(r) for r in rows}
+    want = {tuple(r) for r in scd2_user_tier_history(spark, SF_SMALL).collect()}
+    assert got == want
