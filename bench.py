@@ -320,6 +320,9 @@ HEADLINE = [
     # face of the SCD2 build
     "pagerank_convergence_monitor",
     "sql_scd2_history",
+    # round 12: the deletes-aware SCD2 through the streaming engine
+    # (version counter survives deactivated gaps in fold state)
+    "stream_scd2_tombstoned_replay",
 ]
 
 

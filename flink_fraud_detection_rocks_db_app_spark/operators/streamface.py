@@ -35,7 +35,12 @@ from .indexcache import ensure_index
 from .detectors import _RISING_ORACLE
 from .pipeline import PREP_ORACLE
 from .stateful import EWMA_ORACLE, sql_count_or_time, sql_running_alerts
-from .temporal import CDC_ORACLE, SCD2_ORACLE, _TEMPORAL_JOIN_ORACLE
+from .temporal import (
+    CDC_ORACLE,
+    SCD2_ORACLE,
+    SCD2_TOMBSTONE_ORACLE,
+    _TEMPORAL_JOIN_ORACLE,
+)
 from .similarity import _IVF_ORACLE as _STREAM_IVF_ORACLE
 from .text import _BM25_ORACLE
 from .timeseries import sql_znorm_alerts
@@ -2298,3 +2303,53 @@ def stream_temporal_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(name)
+
+
+@register(
+    "stream_scd2_tombstoned_replay",
+    oracle=SCD2_TOMBSTONE_ORACLE,
+    doc="The deletes-aware SCD2 build through the streaming engine: "
+    "tombstones close the open version at their timestamp "
+    "(closed_by='tombstone') without opening one, the per-account "
+    "version counter survives deactivated gaps inside the fold state, "
+    "and the timeout flush emits only accounts still ACTIVE at stream "
+    "end. Hash-gated against the identical batch boundary-window "
+    "oracle as scd2_tombstoned_history — with this face every batch "
+    "temporal-pillar operator has a live streaming twin under the "
+    "same oracle.",
+    tags=("streaming", "temporal", "scd2", "cdc", "stateful", "parity"),
+)
+def stream_scd2_tombstoned_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import transactions
+    from ..streaming import (
+        SENTINEL_ACCOUNT,
+        append_sentinel_chunk,
+        read_replay_stream,
+        run_to_memory,
+        scd2_tombstoned_stream,
+        write_replay_chunks,
+    )
+    from .windows import MS
+
+    name = f"streamscd2t_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        chunks = write_replay_chunks(
+            spark, sf_dir, scratch, n_chunks=6, with_event_type=True
+        )
+        max_us = (
+            transactions(spark, sf_dir)
+            .agg(F.max(F.unix_micros("event_time")))
+            .collect()[0][0]
+        )
+        flush_at_ms = max_us // 1000 + MS["d"]
+        append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
+        out = scd2_tombstoned_stream(
+            read_replay_stream(spark, chunks, with_event_type=True), flush_at_ms
+        )
+        with _bounded_state_partitions(spark):
+            run_to_memory(out, name)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(name).where(F.col("user_id") != SENTINEL_ACCOUNT)

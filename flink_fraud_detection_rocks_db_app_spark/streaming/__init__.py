@@ -36,6 +36,7 @@ from .stateful import (  # noqa: F401
     record_buffer_bounded_tumbling_stream,
     record_buffer_tumbling_stream,
     scd2_stream,
+    scd2_tombstoned_stream,
     temporal_join_stream,
     running_mean_alerts_batch,
     running_mean_alerts_stream,

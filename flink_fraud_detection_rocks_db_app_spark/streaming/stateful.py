@@ -1237,3 +1237,103 @@ def temporal_join_stream(stream: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# scd2_tombstoned_stream state format version
+SCD2_TS_STATE_V = 1
+
+SCD2_TS_SCHEMA = T.StructType(
+    SCD2_SCHEMA.fields[:6]
+    + [
+        T.StructField("closed_by", T.StringType()),
+        T.StructField("is_current", T.BooleanType()),
+    ]
+)
+
+
+def scd2_tombstoned_stream(stream: DataFrame, flush_at_ms: int) -> DataFrame:
+    """The deletes-aware SCD2 build maintained under streaming arrival:
+    tombstones ('error' rows in the typed replay) CLOSE the open
+    version at their timestamp (closed_by='tombstone') without opening
+    one; re-activation starts a fresh version even at the same tier.
+    The per-account version counter survives deactivated gaps, so it
+    lives in state NEXT TO the open version — {account: [open_tier,
+    last_version, valid_from, n_events]} with open_tier None while
+    deactivated. Same bucketing, versioned-JSON guard and
+    sentinel-driven timeout flush as scd2_stream."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            blob = json.loads(state.get[0])
+            if not isinstance(blob, dict) or blob.get("v") != SCD2_TS_STATE_V:
+                raise ValueError(
+                    "scd2_tombstoned_stream: checkpoint state format "
+                    f"{blob.get('v') if isinstance(blob, dict) else '?'!r} "
+                    f"!= expected v{SCD2_TS_STATE_V} — start from a fresh "
+                    "checkpoint dir"
+                )
+            st: dict[int, list] = {int(a): s for a, s in blob["st"].items()}
+        else:
+            st = {}
+        rows = []
+        pdf = _group_frame(pdf_iter, ["account_id", "t_us", "event_id"])
+        if pdf is not None:
+            for a, t_us, amt, et in zip(
+                pdf["account_id"].to_numpy(),
+                pdf["t_us"].to_numpy(),
+                pdf["amount"].to_numpy(),
+                pdf["event_type"].to_numpy(),
+            ):
+                a = int(a)
+                t = int(t_us) // 1000
+                cur = st.get(a)
+                if et == "error":
+                    if cur is not None and cur[0] is not None:
+                        rows.append(
+                            (a, cur[1], cur[0], cur[2], t, cur[3],
+                             "tombstone", False)
+                        )
+                        st[a] = [None, cur[1], 0, 0]
+                    continue
+                tier = _tier_of(float(amt))
+                if cur is None or cur[0] is None:
+                    last_ver = cur[1] if cur is not None else 0
+                    st[a] = [tier, last_ver + 1, t, 1]
+                elif cur[0] == tier:
+                    cur[3] += 1
+                else:
+                    rows.append(
+                        (a, cur[1], cur[0], cur[2], t, cur[3], "change", False)
+                    )
+                    st[a] = [tier, cur[1] + 1, t, 1]
+        wm = state.getCurrentWatermarkMs()
+        if wm >= flush_at_ms:
+            for a in sorted(st):
+                tier, ver, vfrom, n = st[a]
+                if tier is not None:
+                    rows.append((a, ver, tier, vfrom, None, n, None, True))
+            state.remove()
+        else:
+            state.update((json.dumps({"v": SCD2_TS_STATE_V, "st": st}),))
+            state.setTimeoutTimestamp(max(flush_at_ms, wm + 1))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SCD2_TS_SCHEMA.fields]
+            )
+
+    return (
+        _with_epoch(stream)
+        .withWatermark("event_time", "0 seconds")
+        .withColumn(
+            "_bucket", F.pmod(F.xxhash64("account_id"), F.lit(N_FOLD_BUCKETS))
+        )
+        .groupBy("_bucket")
+        .applyInPandasWithState(
+            fn,
+            SCD2_TS_SCHEMA,
+            T.StructType([T.StructField("st_json", T.StringType())]),
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1784,3 +1784,13 @@ def test_pagerank_convergence_monitor_consistent(spark):
         assert r.pagerank == ranks[r.node_id]
         assert 0.0 <= r.delta <= 1.0
         assert r.converged == (r.delta <= PR_CONV_TOL)
+
+
+def test_stream_scd2_tombstoned_matches_batch_face(spark):
+    """Streamed deletes-aware SCD2 == the batch boundary-window build:
+    identical row sets including tombstone-closed versions, validity
+    gaps, gap-surviving version numbering, and the no-open-version
+    case for users whose stream ends deactivated."""
+    batch = {tuple(r) for r in _rows(spark, "scd2_tombstoned_history")}
+    stream = {tuple(r) for r in _rows(spark, "stream_scd2_tombstoned_replay")}
+    assert stream == batch
