@@ -323,6 +323,9 @@ HEADLINE = [
     # round 12: the deletes-aware SCD2 through the streaming engine
     # (version counter survives deactivated gaps in fold state)
     "stream_scd2_tombstoned_replay",
+    # round 12: tokenizer-training primitive (adjacent-char-pair
+    # counts, scan-local fan-out + TakeOrdered top-50)
+    "bpe_merge_candidates",
 ]
 
 

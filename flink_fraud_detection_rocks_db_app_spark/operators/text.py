@@ -1280,3 +1280,59 @@ def bm25_compacted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = ensure_index("bm25compact", sf_dir, "documents", build)
     return _probe_bm25_index(spark, idx)
+
+
+# ------------------------------------------------- BPE merge candidates
+
+_BPE_MERGE_ORACLE = """
+WITH words AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+  FROM (
+    SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+    FROM words WHERE length(w) >= 2
+  )
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(row_number() OVER (ORDER BY COUNT(*) DESC, pair ASC) AS BIGINT)
+         AS merge_rank
+FROM pairs GROUP BY 1
+ORDER BY n DESC, pair ASC
+LIMIT 50
+"""
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=_BPE_MERGE_ORACLE,
+    doc="The first iteration of BPE tokenizer training (Sennrich et "
+    "al. 2016): corpus-wide counts of ADJACENT CHARACTER PAIRS within "
+    "whitespace words, ranked — the argmax pair is the first merge a "
+    "BPE trainer would learn; the top-50 frame is the merge-candidate "
+    "queue. Scan-local pair fan-out (sequence + substring, no UDF), "
+    "map-side partial counting into one small aggregate, distributed "
+    "TakeOrdered top-k — the vocabulary-induction primitive next to "
+    "corpus_token_freq_top50's whole-token face. Deterministic "
+    "(count desc, pair asc) rank on integer counts.",
+    tags=("text", "tokens", "aggregate"),
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    words = load(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    pairs = (
+        words.where(F.length("w") >= 2)
+        .select("w", F.explode(F.expr("sequence(1, length(w) - 1)")).alias("i"))
+        .select(F.expr("substring(w, i, 2)").alias("pair"))
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").cast("long").alias("n"))
+    w50 = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        counts.orderBy(F.desc("n"), F.asc("pair"))
+        .limit(50)
+        .select("pair", "n", F.row_number().over(w50).cast("long").alias("merge_rank"))
+    )

@@ -1794,3 +1794,25 @@ def test_stream_scd2_tombstoned_matches_batch_face(spark):
     batch = {tuple(r) for r in _rows(spark, "scd2_tombstoned_history")}
     stream = {tuple(r) for r in _rows(spark, "stream_scd2_tombstoned_replay")}
     assert stream == batch
+
+
+def test_bpe_merge_candidates_agree_with_python(spark):
+    """The top merge pair (and the full top-50 multiset) must equal a
+    pure-Python recount over the same whitespace/lowercase convention
+    the token faces share."""
+    from collections import Counter
+
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+
+    texts = [r.text for r in load(spark, SF_SMALL, "documents").select("text").collect()]
+    c = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            for i in range(len(w) - 1):
+                c[w[i : i + 2]] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = sorted(
+        ((r.pair, r.n) for r in _rows(spark, "bpe_merge_candidates")),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert got == want
