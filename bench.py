@@ -326,6 +326,11 @@ HEADLINE = [
     # round 12: tokenizer-training primitive (adjacent-char-pair
     # counts, scan-local fan-out + TakeOrdered top-50)
     "bpe_merge_candidates",
+    # round 12: supervised-dataset assembly (gap-filled spine, past
+    # features / future label off one user-day sort) and the
+    # distributed tie-exact AUC (windows over distinct scores only)
+    "feature_label_matrix_daily",
+    "score_auc_quality_vs_en",
 ]
 
 

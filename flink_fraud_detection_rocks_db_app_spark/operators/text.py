@@ -1336,3 +1336,77 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("pair", "n", F.row_number().over(w50).cast("long").alias("merge_rank"))
     )
+
+
+# ------------------------------------------------- ranking-quality AUC
+
+_AUC_ORACLE = f"""
+WITH {QUALITY_SQL_CTES},
+lab AS (
+  SELECT quality AS score, (lang = 'en') AS pos FROM quality
+),
+per_score AS (
+  SELECT score,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_s,
+         CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg_s
+  FROM lab GROUP BY 1
+),
+cum AS (
+  SELECT *,
+         CAST(COALESCE(SUM(n_neg_s) OVER (
+           ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS neg_below
+  FROM per_score
+)
+SELECT CAST(SUM(n_pos_s) AS BIGINT) AS n_pos,
+       CAST(SUM(n_neg_s) AS BIGINT) AS n_neg,
+       round(SUM(n_pos_s * (neg_below + 0.5 * n_neg_s))
+             / (SUM(n_pos_s) * SUM(n_neg_s)), 6) AS auc
+FROM cum
+"""
+
+
+@register(
+    "score_auc_quality_vs_en",
+    oracle=_AUC_ORACLE,
+    doc="Ranking-quality evaluation: AUC of the shared 6dp quality "
+    "score as a classifier of lang='en' — the Mann-Whitney statistic "
+    "with exact tie handling (each tied score contributes half its "
+    "pos x neg pairs). Computed WITHOUT a global row ranking: docs "
+    "aggregate to per-DISTINCT-SCORE (n_pos, n_neg) counts first, so "
+    "the only ordered window runs over the tiny distinct-score frame, "
+    "not the corpus — the scale-correct AUC shape (a row_number over "
+    "all docs would funnel 100 TB through one partition). All "
+    "arithmetic is exact integers and halves below 2^53 until the "
+    "single final division, rounded 6dp — engine-exact by "
+    "construction, not by rounding luck.",
+    tags=("text", "eval", "quality"),
+)
+def score_auc_quality_vs_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    q = doc_quality_score(spark, sf_dir)
+    lab = q.join(
+        load(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"
+    ).select(
+        F.col("quality").alias("score"), (F.col("lang") == "en").alias("pos")
+    )
+    per_score = lab.groupBy("score").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias("n_pos_s"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("long").alias("n_neg_s"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_score.select(
+        "*",
+        F.coalesce(F.sum("n_neg_s").over(w), F.lit(0))
+        .cast("long")
+        .alias("neg_below"),
+    )
+    u = F.sum(
+        F.col("n_pos_s") * (F.col("neg_below") + 0.5 * F.col("n_neg_s"))
+    )
+    return cum.agg(
+        F.sum("n_pos_s").cast("long").alias("n_pos"),
+        F.sum("n_neg_s").cast("long").alias("n_neg"),
+        F.round(u / (F.sum("n_pos_s") * F.sum("n_neg_s")), 6).alias("auc"),
+    )

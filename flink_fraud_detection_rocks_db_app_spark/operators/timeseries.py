@@ -264,3 +264,103 @@ def ts_znorm_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy(F.asc("dist"), F.asc("account_id"), F.asc("event_id"))
     )
     return top.withColumn("rk", rk.cast("long"))
+
+
+# --------------------- point-in-time training-table assembly
+
+_FEATURE_LABEL_ORACLE = """
+WITH d AS (
+  SELECT user_id, CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day_no,
+         round(SUM(value), 6) AS s,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(day_no) AS lo, MAX(day_no) AS hi FROM d GROUP BY 1),
+days AS (SELECT user_id, unnest(range(lo, hi + 1)) AS day_no FROM span),
+g AS (
+  SELECT days.user_id, days.day_no,
+         COALESCE(s, 0.0) AS amount_sum,
+         COALESCE(c, 0) AS n_events,
+         COALESCE(p, 0) AS n_purchases
+  FROM days LEFT JOIN d
+    ON days.user_id = d.user_id AND days.day_no = d.day_no
+)
+SELECT user_id, day_no, n_events, amount_sum,
+       COALESCE(lag(amount_sum) OVER w, 0.0) AS lag1_sum,
+       round(AVG(amount_sum) OVER (
+         PARTITION BY user_id ORDER BY day_no
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ), 6) AS roll7_mean,
+       CAST(COALESCE(SUM(n_purchases) OVER (
+         PARTITION BY user_id ORDER BY day_no
+         ROWS BETWEEN 1 FOLLOWING AND 7 FOLLOWING
+       ), 0) AS BIGINT) AS next7_purchases,
+       (COALESCE(SUM(n_purchases) OVER (
+         PARTITION BY user_id ORDER BY day_no
+         ROWS BETWEEN 1 FOLLOWING AND 7 FOLLOWING
+       ), 0) > 0) AS label
+FROM g WINDOW w AS (PARTITION BY user_id ORDER BY day_no)
+"""
+
+
+@register(
+    "feature_label_matrix_daily",
+    oracle=_FEATURE_LABEL_ORACLE,
+    doc="Point-in-time-correct TRAINING TABLE assembly (the feature-"
+    "store build): per (user, day) on the dense gap-filled daily "
+    "spine — backward-looking features (yesterday's sum, 7-day "
+    "rolling mean over ROWS frames, exact on the dense spine) and a "
+    "forward-looking label (any purchase in the NEXT 7 days), so "
+    "feature windows end strictly before the label window starts — "
+    "no leakage by construction. One (user, day) aggregate, the "
+    "gap-fill spine join, then every lag/rolling/lead frame rides a "
+    "single (user)-partitioned day sort. The supervised-dataset prep "
+    "shape a 100 TB behavioral-training pipeline runs nightly.",
+    tags=("timeseries", "temporal", "sampling", "window_function"),
+)
+def feature_label_matrix_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("CAST(ts div 86400000000000 AS BIGINT)").alias("day_no"),
+            "value",
+            (F.col("event_type") == "purchase").cast("long").alias("is_p"),
+        )
+        .groupBy("user_id", "day_no")
+        .agg(
+            F.round(F.sum("value"), 6).alias("s"),
+            F.count("*").cast("long").alias("c"),
+            F.sum("is_p").cast("long").alias("p"),
+        )
+    )
+    days = (
+        d.groupBy("user_id")
+        .agg(F.min("day_no").alias("lo"), F.max("day_no").alias("hi"))
+        .select("user_id", F.explode(F.sequence("lo", "hi")).alias("day_no"))
+    )
+    g = days.join(d, ["user_id", "day_no"], "left").select(
+        "user_id",
+        "day_no",
+        F.coalesce("s", F.lit(0.0)).alias("amount_sum"),
+        F.coalesce("c", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("p", F.lit(0)).cast("long").alias("n_purchases"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day_no")
+    roll = w.rowsBetween(-6, 0)
+    fut = w.rowsBetween(1, 7)
+    next7 = F.coalesce(F.sum("n_purchases").over(fut), F.lit(0)).cast("long")
+    return g.select(
+        "user_id",
+        "day_no",
+        "n_events",
+        "amount_sum",
+        F.coalesce(F.lag("amount_sum").over(w), F.lit(0.0)).alias("lag1_sum"),
+        F.round(F.avg("amount_sum").over(roll), 6).alias("roll7_mean"),
+        next7.alias("next7_purchases"),
+        (next7 > 0).alias("label"),
+    )

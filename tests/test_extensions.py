@@ -1816,3 +1816,74 @@ def test_bpe_merge_candidates_agree_with_python(spark):
         key=lambda kv: (-kv[1], kv[0]),
     )
     assert got == want
+
+
+def test_feature_label_matrix_no_leakage(spark):
+    """Point-in-time contract: recompute a sample of rows in Python —
+    lag/rolling features must use only days strictly before-or-at the
+    row's day, the label only days strictly after (next 7)."""
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+
+    rows = _rows(spark, "feature_label_matrix_daily")
+    ev = load(spark, SF_SMALL, "events").select(
+        "user_id",
+        F.expr("CAST(ts div 86400000000000 AS BIGINT)").alias("day_no"),
+        "value",
+        "event_type",
+    ).collect()
+    daily = {}
+    for r in ev:
+        d = daily.setdefault((r.user_id, r.day_no), [0.0, 0, 0])
+        d[0] += r.value
+        d[1] += 1
+        d[2] += 1 if r.event_type == "purchase" else 0
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, urows in by_user.items():
+        urows.sort(key=lambda r: r.day_no)
+        days = [r.day_no for r in urows]
+        assert days == list(range(days[0], days[-1] + 1)), "spine has gaps"
+        sums = [round(daily.get((uid, d), [0.0])[0], 6) for d in days]
+        for i, r in enumerate(urows):
+            assert r.amount_sum == sums[i]
+            assert r.lag1_sum == (sums[i - 1] if i > 0 else 0.0)
+            lo = max(0, i - 6)
+            assert abs(r.roll7_mean - sum(sums[lo : i + 1]) / (i - lo + 1)) < 1e-6
+            fut = sum(
+                daily.get((uid, d), [0, 0, 0])[2]
+                for d in range(days[i] + 1, days[i] + 8)
+            )
+            assert r.next7_purchases == fut and r.label == (fut > 0)
+
+
+def test_auc_matches_sklearn_free_recompute(spark):
+    """AUC face vs a pure-Python Mann-Whitney with average ranks over
+    the same (score, label) pairs — the tie-corrected statistic."""
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+    from flink_fraud_detection_rocks_db_app_spark.operators.text import (
+        doc_quality_score,
+    )
+
+    q = {r.doc_id: r.quality for r in doc_quality_score(spark, SF_SMALL).collect()}
+    lang = {
+        r.doc_id: r.lang
+        for r in load(spark, SF_SMALL, "documents").select("doc_id", "lang").collect()
+    }
+    pairs = sorted((q[d], lang[d] == "en") for d in q)
+    n_pos = sum(1 for _, p in pairs if p)
+    n_neg = len(pairs) - n_pos
+    # average ranks with ties
+    ranks, i = {}, 0
+    while i < len(pairs):
+        j = i
+        while j < len(pairs) and pairs[j][0] == pairs[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        ranks[pairs[i][0]] = avg
+        i = j
+    r_pos = sum(ranks[s] for s, p in pairs if p)
+    want = round((r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6)
+    got = _rows(spark, "score_auc_quality_vs_en")[0]
+    assert (got.n_pos, got.n_neg) == (n_pos, n_neg)
+    assert abs(got.auc - want) <= 1e-6
