@@ -169,6 +169,12 @@ PROBED = [
     "scd2_user_tier_history",
     "cdc_upsert_snapshot",
     "temporal_join_purchase_status",
+    # r12b: the supervised-prep pair (events axis: spine fixed, daily
+    # aggregates thicken; document axis: corpus scan) and the
+    # tokenizer pair-count face (pure corpus scan + tiny aggregate)
+    "feature_label_matrix_daily",
+    "score_auc_quality_vs_en",
+    "bpe_merge_candidates",
 ]
 
 
