@@ -79,18 +79,23 @@ def content_fingerprint(sf_dir: str, table: str) -> str:
 
 
 def index_path(
-    kind: str, sf_dir: str, table: str, version: int = 1
+    kind: str, sf_dir: str, table: str | tuple[str, ...], version: int = 1
 ) -> tuple[str, str]:
     """(parent_dir, index_dir) for a materialized index of `kind` over
     `table` in `sf_dir` — content-keyed as described in the module
-    docstring. `version` is the index FORMAT version: bump it when the
+    docstring. `table` may be a TUPLE of source tables for assets
+    derived from a join (the PageRank ranks key on orders+lineitem):
+    the fingerprint chains every source, so a change to ANY of them
+    invalidates the asset; a 1-tuple hashes identically to the plain
+    string, so existing single-source assets keep their keys.
+    `version` is the index FORMAT version: bump it when the
     on-disk layout or schema changes, so a published index in the old
     format reads as stale (and is pruned) instead of breaking the new
     probe."""
+    tables = (table,) if isinstance(table, str) else tuple(table)
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    fp = hashlib.md5(
-        f"{content_fingerprint(sf_dir, table)}:v{version}".encode()
-    ).hexdigest()[:12]
+    chained = "|".join(content_fingerprint(sf_dir, t) for t in tables)
+    fp = hashlib.md5(f"{chained}:v{version}".encode()).hexdigest()[:12]
     parent = os.path.join(_SCRATCH, f"{kind}_index")
     return parent, os.path.join(parent, f"{key}-{fp}")
 
@@ -98,7 +103,7 @@ def index_path(
 def ensure_index(
     kind: str,
     sf_dir: str,
-    table: str,
+    table: str | tuple[str, ...],
     build: Callable[[str], None],
     version: int = 1,
 ) -> str:
