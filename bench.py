@@ -331,6 +331,11 @@ HEADLINE = [
     # distributed tie-exact AUC (windows over distinct scores only)
     "feature_label_matrix_daily",
     "score_auc_quality_vs_en",
+    # round 12: eval/CV companions — langid confusion, calibration
+    # bins, expanding backtest folds (one scan, one aggregate each)
+    "langid_confusion_matrix",
+    "score_calibration_bins",
+    "backtest_expanding_folds",
 ]
 
 

@@ -1410,3 +1410,93 @@ def score_auc_quality_vs_en(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_neg_s").cast("long").alias("n_neg"),
         F.round(u / (F.sum("n_pos_s") * F.sum("n_neg_s")), 6).alias("auc"),
     )
+
+
+# ------------------------------------------------- langid accuracy
+
+_LANGID_CONFUSION_ORACLE = f"""
+WITH pred AS ({_langid_sql_duck()}),
+tot AS (
+  SELECT label_lang, CAST(COUNT(*) AS BIGINT) AS label_n
+  FROM pred GROUP BY 1
+)
+SELECT p.label_lang, p.guess_lang,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(COUNT(*) / CAST(t.label_n AS DOUBLE), 6) AS frac_of_label
+FROM pred p JOIN tot t USING (label_lang)
+GROUP BY p.label_lang, p.guess_lang, t.label_n
+"""
+
+
+@register(
+    "langid_confusion_matrix",
+    oracle=_LANGID_CONFUSION_ORACLE,
+    doc="Classifier-quality face for the langid heuristic: the "
+    "label-vs-guess confusion matrix with per-label fractions (the "
+    "diagonal is recall) — the acceptance check a pipeline runs before "
+    "trusting the cheap langid for mixture routing. Pure composition "
+    "over doc_langid's scan; one small groupBy, label totals joined "
+    "back broadcast-sized.",
+    tags=("text", "langid", "eval"),
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pred = doc_langid(spark, sf_dir)
+    cm = pred.groupBy("label_lang", "guess_lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    label_n = F.sum("n").over(Window.partitionBy("label_lang"))
+    return cm.select(
+        "label_lang",
+        "guess_lang",
+        "n",
+        F.round(F.col("n") / label_n.cast("double"), 6).alias("frac_of_label"),
+    )
+
+
+# ------------------------------------------------- calibration bins
+
+_CALIBRATION_ORACLE = f"""
+WITH {QUALITY_SQL_CTES},
+lab AS (
+  SELECT quality AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM quality
+)
+SELECT CAST(LEAST(FLOOR(score * 10), 9) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(AVG(score), 6) AS mean_score,
+       round(SUM(y) / CAST(COUNT(*) AS DOUBLE), 6) AS frac_pos
+FROM lab GROUP BY 1
+"""
+
+
+@register(
+    "score_calibration_bins",
+    oracle=_CALIBRATION_ORACLE,
+    doc="Reliability diagram data for the quality score against the "
+    "lang='en' label: ten fixed-width bins on [0,1], each with its "
+    "count, 6dp mean score and positive fraction — the calibration "
+    "companion to the AUC face (AUC grades ranking; this grades "
+    "whether the score's VALUE means what it says). Bin ids are "
+    "integer math on the 6dp-stable score, so membership is "
+    "engine-exact; one scan, one 10-group aggregate.",
+    tags=("text", "eval", "quality"),
+)
+def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = doc_quality_score(spark, sf_dir)
+    lab = q.join(
+        load(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"
+    ).select(
+        F.col("quality").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    # explicit floor on BOTH sides: DuckDB CAST(double AS BIGINT)
+    # rounds-to-nearest while Spark cast truncates
+    bin_ = F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("long")
+    return lab.groupBy(bin_.alias("bin")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+        F.round(F.sum("y") / F.count("*").cast("double"), 6).alias("frac_pos"),
+    )

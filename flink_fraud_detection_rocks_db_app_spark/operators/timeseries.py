@@ -364,3 +364,90 @@ def feature_label_matrix_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         next7.alias("next7_purchases"),
         (next7 > 0).alias("label"),
     )
+
+
+# --------------------- expanding-window backtest folds
+
+BACKTEST_FOLDS = 4
+
+_BACKTEST_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day_no FROM events
+),
+b AS (
+  SELECT MIN(day_no) AS lo, MAX(day_no) AS hi FROM d
+),
+marks AS (
+  SELECT lo, hi,
+         {", ".join(f"lo + ((hi - lo + 1) * {i}) // {BACKTEST_FOLDS + 1} AS b{i}"
+                     for i in range(1, BACKTEST_FOLDS + 2))}
+  FROM b
+),
+c AS (
+  SELECT
+    {", ".join(
+        f"CAST(SUM(CASE WHEN day_no < b{i} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS tr{i}, "
+        f"CAST(SUM(CASE WHEN day_no >= b{i} AND day_no < b{i + 1} THEN 1"
+        f" ELSE 0 END) AS BIGINT) AS te{i}"
+        for i in range(1, BACKTEST_FOLDS + 1))},
+    MAX(b1) AS b1, MAX(b2) AS b2, MAX(b3) AS b3, MAX(b4) AS b4, MAX(b5) AS b5
+  FROM d CROSS JOIN marks
+)
+{" UNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS fold, b{i} - 1 AS train_end_day,"
+    f" b{i + 1} - 1 AS test_end_day, tr{i} AS n_train, te{i} AS n_test FROM c"
+    for i in range(1, BACKTEST_FOLDS + 1))}
+"""
+
+
+@register(
+    "backtest_expanding_folds",
+    oracle=_BACKTEST_ORACLE,
+    doc=f"Time-series cross-validation assignment: {BACKTEST_FOLDS} "
+    "expanding-window backtest folds over the event-day span (integer "
+    "fifth boundaries — the temporal split that never trains on the "
+    "future, the companion to the leakage-free training table). One "
+    "scan, one row of conditional sums (every fold's train/test count "
+    "in a single aggregate), reshaped to a fold-per-row summary — no "
+    "per-fold rescans, which is what makes K-fold backtests affordable "
+    "at 100 TB.",
+    tags=("timeseries", "temporal", "sampling", "split", "eval"),
+)
+def backtest_expanding_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "events").select(
+        F.expr("CAST(ts div 86400000000000 AS BIGINT)").alias("day_no")
+    )
+    lo, hi = d.agg(F.min("day_no"), F.max("day_no")).first()
+    k = BACKTEST_FOLDS
+    b = [lo + ((hi - lo + 1) * i) // (k + 1) for i in range(1, k + 2)]
+    aggs = []
+    for i in range(1, k + 1):
+        aggs.append(
+            F.sum(F.when(F.col("day_no") < b[i - 1], 1).otherwise(0))
+            .cast("long")
+            .alias(f"tr{i}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(
+                    (F.col("day_no") >= b[i - 1]) & (F.col("day_no") < b[i]), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"te{i}")
+        )
+    c = d.agg(*aggs)
+    folds = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("fold"),
+                F.lit(b[i - 1] - 1).cast("long").alias("train_end_day"),
+                F.lit(b[i] - 1).cast("long").alias("test_end_day"),
+                F.col(f"tr{i}").alias("n_train"),
+                F.col(f"te{i}").alias("n_test"),
+            )
+            for i in range(1, k + 1)
+        ]
+    )
+    return c.select(F.explode(folds).alias("f")).select("f.*")

@@ -1887,3 +1887,62 @@ def test_auc_matches_sklearn_free_recompute(spark):
     got = _rows(spark, "score_auc_quality_vs_en")[0]
     assert (got.n_pos, got.n_neg) == (n_pos, n_neg)
     assert abs(got.auc - want) <= 1e-6
+
+
+def test_langid_confusion_structure(spark):
+    """Structural contract for the confusion face (NOT an accuracy
+    claim — the face exists to MEASURE the cheap heuristic, and at
+    small SF it measurably misroutes e.g. 'de'): per-label fractions
+    sum to 1, cell counts re-add to the corpus, and the heuristic
+    beats uniform-random guessing overall (micro accuracy > 1/K)."""
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+
+    rows = _rows(spark, "langid_confusion_matrix")
+    n_docs = load(spark, SF_SMALL, "documents").count()
+    assert sum(r.n for r in rows) == n_docs
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label_lang, []).append(r)
+    for label, rs in by_label.items():
+        assert abs(sum(r.frac_of_label for r in rs) - 1.0) < 1e-5
+    diag = sum(r.n for r in rows if r.label_lang == r.guess_lang)
+    n_langs = len(by_label)
+    assert diag / n_docs > 1.0 / n_langs, (diag, n_docs, n_langs)
+
+
+def test_calibration_bins_consistent_with_auc_inputs(spark):
+    """Bin counts re-add to the AUC face's n_pos/n_neg, every bin's
+    mean score sits inside its bin bounds, and frac_pos is n-weighted
+    consistent with the global positive rate."""
+    bins = _rows(spark, "score_calibration_bins")
+    auc = _rows(spark, "score_auc_quality_vs_en")[0]
+    assert sum(r.n for r in bins) == auc.n_pos + auc.n_neg
+    pos = sum(round(r.frac_pos * r.n) for r in bins)
+    assert pos == auc.n_pos
+    for r in bins:
+        assert r.bin / 10.0 - 1e-9 <= r.mean_score <= (r.bin + 1) / 10.0 + 1e-9 or (
+            r.bin == 9 and r.mean_score <= 1.0 + 1e-9
+        )
+
+
+def test_backtest_folds_partition_and_expand(spark):
+    """Expanding-window contract: train windows strictly grow, every
+    fold's test range follows its train range, train_{i+1} covers
+    train_i + test_i, and fold 4's train+test count equals the events
+    with day <= its test_end."""
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+
+    folds = sorted(_rows(spark, "backtest_expanding_folds"), key=lambda r: r.fold)
+    assert [r.fold for r in folds] == [1, 2, 3, 4]
+    for a, b in zip(folds, folds[1:]):
+        assert a.train_end_day < b.train_end_day
+        assert a.test_end_day == b.train_end_day
+        assert b.n_train == a.n_train + a.n_test
+    d = load(spark, SF_SMALL, "events").select(
+        F.expr("CAST(ts div 86400000000000 AS BIGINT)").alias("day_no")
+    )
+    last = folds[-1]
+    n_le = d.where(F.col("day_no") <= last.test_end_day).count()
+    assert last.n_train + last.n_test == n_le
+    for r in folds:
+        assert r.n_train > 0 and r.n_test > 0
