@@ -336,6 +336,9 @@ HEADLINE = [
     "langid_confusion_matrix",
     "score_calibration_bins",
     "backtest_expanding_folds",
+    # round 12: in-engine model training (3 GD epochs = 3 one-row
+    # aggregates over the cached feature frame)
+    "logreg_train_next7_purchase",
 ]
 
 

@@ -451,3 +451,107 @@ def backtest_expanding_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return c.select(F.explode(folds).alias("f")).select("f.*")
+
+
+# --------------------- in-engine model training (fixed-iteration GD)
+
+LOGREG_ITERS = 3
+LOGREG_LR = 1.0
+
+
+def _logreg_oracle() -> str:
+    # weight-carrying CTE chain: w{i} holds the weights AFTER iteration
+    # i as columns (w1, w2, wb); each step cross-joins the previous
+    # weight row into the feature frame and computes
+    # w - lr * avg-gradient in one aggregate (MAX() lifts the constant
+    # weight columns through the aggregate)
+    sig = "1.0 / (1.0 + exp(-(w1 * x1 + w2 * x2 + wb)))"
+    ctes = ["w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS wb)"]
+    for i in range(1, LOGREG_ITERS + 1):
+        ctes.append(
+            f"""w{i} AS (
+  SELECT MAX(w1) - {LOGREG_LR!r} * AVG(({sig} - y) * x1) AS w1,
+         MAX(w2) - {LOGREG_LR!r} * AVG(({sig} - y) * x2) AS w2,
+         MAX(wb) - {LOGREG_LR!r} * AVG({sig} - y) AS wb
+  FROM f CROSS JOIN w{i - 1}
+)"""
+        )
+    return f"""
+WITH fl AS ({_FEATURE_LABEL_ORACLE}),
+f AS (
+  SELECT amount_sum / 1000.0 AS x1,
+         n_events / 10.0 AS x2,
+         CASE WHEN label THEN 1.0 ELSE 0.0 END AS y
+  FROM fl
+),
+{", ".join(ctes)}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       round(MAX(w1), 6) AS w_amount,
+       round(MAX(w2), 6) AS w_events,
+       round(MAX(wb), 6) AS bias,
+       round(AVG(-(y * ln({sig}) + (1.0 - y) * ln(1.0 - ({sig})))), 6)
+         AS logloss
+FROM f CROSS JOIN w{LOGREG_ITERS}
+"""
+
+
+@register(
+    "logreg_train_next7_purchase",
+    oracle=_logreg_oracle(),
+    doc=f"Model training INSIDE the engine: {LOGREG_ITERS} fixed "
+    "full-batch gradient-descent iterations of logistic regression on "
+    "the point-in-time training table (features scaled daily sum + "
+    "event count, label = purchase in the next 7 days), emitting the "
+    "learned weights and the final mean log-loss. Each iteration is "
+    "ONE aggregate over the cached feature frame (three avg-gradient "
+    "components together), weights travel as driver scalars — the "
+    "kmeans/PageRank fixed-iteration convention, the shape a "
+    "distributed GD epoch actually has (map-side partial gradients, "
+    "one tiny reduce). The oracle unrolls the identical three "
+    "iterations as chained CTEs; gradient sums differ only in "
+    "summation order (~1e-15) and every emitted float is 6dp-rounded.",
+    tags=("timeseries", "temporal", "eval", "iterative"),
+)
+def logreg_train_next7_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = (
+        feature_label_matrix_daily(spark, sf_dir)
+        .select(
+            (F.col("amount_sum") / 1000.0).alias("x1"),
+            (F.col("n_events") / 10.0).alias("x2"),
+            F.when(F.col("label"), 1.0).otherwise(0.0).alias("y"),
+        )
+        .persist()
+    )
+    w1 = w2 = b = 0.0
+    for _ in range(LOGREG_ITERS):
+        z = F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2") + F.lit(b)
+        sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        g = f.agg(
+            F.avg((sig - F.col("y")) * F.col("x1")).alias("g1"),
+            F.avg((sig - F.col("y")) * F.col("x2")).alias("g2"),
+            F.avg(sig - F.col("y")).alias("gb"),
+        ).first()
+        w1, w2, b = (
+            w1 - LOGREG_LR * g.g1,
+            w2 - LOGREG_LR * g.g2,
+            b - LOGREG_LR * g.gb,
+        )
+    z = F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2") + F.lit(b)
+    sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    out = f.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.round(F.lit(w1), 6).alias("w_amount"),
+        F.round(F.lit(w2), 6).alias("w_events"),
+        F.round(F.lit(b), 6).alias("bias"),
+        F.round(
+            F.avg(
+                -(
+                    F.col("y") * F.log(sig)
+                    + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - sig)
+                )
+            ),
+            6,
+        ).alias("logloss"),
+    ).localCheckpoint(eager=True)
+    f.unpersist()
+    return out

@@ -1946,3 +1946,17 @@ def test_backtest_folds_partition_and_expand(spark):
     assert last.n_train + last.n_test == n_le
     for r in folds:
         assert r.n_train > 0 and r.n_test > 0
+
+
+def test_logreg_learns_signal(spark):
+    """Training sanity: three GD iterations must reduce mean log-loss
+    below the all-zeros model's ln(2), and the learned weights must be
+    finite and non-trivial (the gradient actually flowed)."""
+    import math
+
+    r = _rows(spark, "logreg_train_next7_purchase")[0]
+    assert r.n_rows > 0
+    assert r.logloss < math.log(2.0)
+    assert any(abs(w) > 1e-4 for w in (r.w_amount, r.w_events, r.bias))
+    for w in (r.w_amount, r.w_events, r.bias, r.logloss):
+        assert math.isfinite(w)
