@@ -175,6 +175,12 @@ PROBED = [
     "feature_label_matrix_daily",
     "score_auc_quality_vs_en",
     "bpe_merge_candidates",
+    # r12c: the eval/CV companions and the in-engine GD trainer — all
+    # one-scan/one-aggregate shapes that should sit on the plan floor
+    "langid_confusion_matrix",
+    "score_calibration_bins",
+    "backtest_expanding_folds",
+    "logreg_train_next7_purchase",
 ]
 
 
