@@ -339,6 +339,9 @@ HEADLINE = [
     # round 12: in-engine model training (3 GD epochs = 3 one-row
     # aggregates over the cached feature frame)
     "logreg_train_next7_purchase",
+    # round 12: gap+cap sessionization (true sequential fold, bucketed
+    # Arrow; recursive-CTE oracle)
+    "session_capped_user",
 ]
 
 

@@ -249,3 +249,103 @@ SELECT account_id, t_ms, ewma FROM f
 )
 def ewma_amount_per_account(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_batch(transactions_with_id(spark, sf_dir), EWMA_ALPHA)
+
+
+# ------------------------------------------------ capped sessionization
+
+SESSION_CAP_GAP_MS = 2 * 86_400_000  # restart after a 2-day silence
+SESSION_CAP_MAX_MS = 5 * 86_400_000  # AND force-restart past a 5-day span
+
+_CAPPED_SESSION_ORACLE = f"""
+WITH RECURSIVE e AS (
+  SELECT user_id, epoch_ms(ts) AS t_ms,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+         ) AS rn
+  FROM events
+),
+f AS (
+  SELECT user_id, rn, t_ms, 1 AS sess_no, t_ms AS start_ms
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT n.user_id, n.rn, n.t_ms,
+         CASE WHEN n.t_ms - f.t_ms > {SESSION_CAP_GAP_MS}
+                OR n.t_ms - f.start_ms > {SESSION_CAP_MAX_MS}
+              THEN f.sess_no + 1 ELSE f.sess_no END,
+         CASE WHEN n.t_ms - f.t_ms > {SESSION_CAP_GAP_MS}
+                OR n.t_ms - f.start_ms > {SESSION_CAP_MAX_MS}
+              THEN n.t_ms ELSE f.start_ms END
+  FROM f JOIN e n ON n.user_id = f.user_id AND n.rn = f.rn + 1
+)
+SELECT user_id, CAST(sess_no AS BIGINT) AS session_no,
+       MIN(t_ms) AS start_ms, MAX(t_ms) AS end_ms,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(t_ms) - MIN(t_ms) AS span_ms
+FROM f GROUP BY 1, 2
+"""
+
+
+@register(
+    "session_capped_user",
+    oracle=_CAPPED_SESSION_ORACLE,
+    doc="Sessionization with BOTH a gap rule and a max-duration cap "
+    "(the Google-Analytics session model): a session restarts after a "
+    "2-day silence OR once its span would exceed 5 days — the cap "
+    "makes the assignment a TRUE sequential fold (a restart point "
+    "depends on every earlier restart), which plain gaps-and-islands "
+    "cannot express; pure gap sessions stay declarative "
+    "(session_sum_user_6h). Spark side is the bucketed Arrow fold "
+    "(O(1) state per key, the F5 machinery); the oracle replays the "
+    "identical per-key recursion as a recursive CTE — all-integer "
+    "state, so the match is exact by construction.",
+    tags=("session", "stateful", "window"),
+)
+def session_capped_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..streaming.stateful import N_FOLD_BUCKETS, _with_epoch
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["account_id", "t_us", "event_id"], kind="mergesort")
+        out = {}
+        last_t = {}
+        cur = {}
+        for a, t_us in zip(pdf["account_id"].to_numpy(), pdf["t_us"].to_numpy()):
+            a = int(a)
+            t = int(t_us) // 1000
+            st = cur.get(a)
+            if (
+                st is None
+                or t - last_t[a] > SESSION_CAP_GAP_MS
+                or t - st[1] > SESSION_CAP_MAX_MS
+            ):
+                sess_no = st[0] + 1 if st else 1
+                cur[a] = [sess_no, t]
+                out[(a, sess_no)] = [t, t, 0]
+            rec = out[(a, cur[a][0])]
+            rec[1] = t
+            rec[2] += 1
+            last_t[a] = t
+        rows = [
+            (a, sn, v[0], v[1], v[2], v[1] - v[0])
+            for (a, sn), v in sorted(out.items())
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "user_id",
+                "session_no",
+                "start_ms",
+                "end_ms",
+                "n_events",
+                "span_ms",
+            ],
+        )
+
+    ev = _with_epoch(transactions_with_id(spark, sf_dir))
+    bucket = F.pmod(F.xxhash64("account_id"), F.lit(N_FOLD_BUCKETS))
+    return ev.groupBy(bucket.alias("_bucket")).applyInPandas(
+        fold,
+        "user_id long, session_no long, start_ms long, end_ms long, "
+        "n_events long, span_ms long",
+    )

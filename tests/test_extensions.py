@@ -1960,3 +1960,38 @@ def test_logreg_learns_signal(spark):
     assert any(abs(w) > 1e-4 for w in (r.w_amount, r.w_events, r.bias))
     for w in (r.w_amount, r.w_events, r.bias, r.logloss):
         assert math.isfinite(w)
+
+
+def test_capped_sessions_respect_both_rules(spark):
+    """Capped-session invariants: session numbering dense per user,
+    event counts re-add, every span <= the cap, and BOTH restart rules
+    fire somewhere at this SF — some boundary has a gap over the gap
+    rule, and some boundary was forced by the cap (gap small but the
+    previous session ran against its span limit)."""
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+    from flink_fraud_detection_rocks_db_app_spark.operators.stateful import (
+        SESSION_CAP_GAP_MS,
+        SESSION_CAP_MAX_MS,
+    )
+
+    rows = sorted(
+        _rows(spark, "session_capped_user"), key=lambda r: (r.user_id, r.session_no)
+    )
+    n_events_total = load(spark, SF_SMALL, "events").count()
+    assert sum(r.n_events for r in rows) == n_events_total
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    gap_splits = cap_splits = 0
+    for uid, rs in by_user.items():
+        assert [r.session_no for r in rs] == list(range(1, len(rs) + 1))
+        for r in rs:
+            assert r.span_ms == r.end_ms - r.start_ms <= SESSION_CAP_MAX_MS
+        for a, b in zip(rs, rs[1:]):
+            gap = b.start_ms - a.end_ms
+            assert gap > 0
+            if gap > SESSION_CAP_GAP_MS:
+                gap_splits += 1
+            else:
+                cap_splits += 1
+    assert gap_splits > 0 and cap_splits > 0, (gap_splits, cap_splits)
