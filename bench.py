@@ -342,6 +342,9 @@ HEADLINE = [
     # round 12: gap+cap sessionization (true sequential fold, bucketed
     # Arrow; recursive-CTE oracle)
     "session_capped_user",
+    # round 12: frequency-sketch face (per-partition Misra-Gries,
+    # merged summaries, exact top-20 gate + pinned error band)
+    "heavy_hitters_mg_bounded",
 ]
 
 

@@ -1500,3 +1500,96 @@ def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("score"), 6).alias("mean_score"),
         F.round(F.sum("y") / F.count("*").cast("double"), 6).alias("frac_pos"),
     )
+
+
+# ------------------------------------------------- frequency sketch (MG)
+
+MG_COUNTERS = 200  # Misra-Gries counters per partition
+MG_TOP = 20
+
+_MG_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+c AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1
+)
+SELECT tok, n,
+       CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS BIGINT) AS rnk,
+       TRUE AS est_within_bound
+FROM c ORDER BY n DESC, tok ASC LIMIT 20
+"""
+
+
+@register(
+    "heavy_hitters_mg_bounded",
+    oracle=_MG_ORACLE,
+    doc=f"Frequency-sketch face on the approx_distinct_users_bounded "
+    f"pattern: the exact corpus top-{MG_TOP} tokens are hash-gated "
+    "against DuckDB, PLUS a per-row boolean the oracle pins TRUE — "
+    f"each token's Misra-Gries estimate ({MG_COUNTERS} counters per "
+    "partition, summaries merged by summation) sits within the "
+    "sketch's guaranteed band [exact - n_tokens/k, exact]. The "
+    "estimate itself is partition-layout-dependent (MG decrements "
+    "follow arrival order), but the BAND is not — the undercount "
+    "bound survives any layout and any merge, which is what makes a "
+    "drifting sketch flip a driver hash rather than a suite "
+    "tolerance. Per-partition state is k counters; the merge ships "
+    "k rows per partition — the mergeable-summary contract a 100 TB "
+    "frequency scan needs (exact counting is the same one scan here, "
+    "but its shuffle carries the full vocabulary).",
+    tags=("text", "sketch", "approx", "eval"),
+)
+def heavy_hitters_mg_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+
+    def mg_partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["tok"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < MG_COUNTERS:
+                    counters[tok] = 1
+                else:
+                    dead = [t for t, c in counters.items() if c == 1]
+                    for t in counters:
+                        counters[t] -= 1
+                    for t in dead:
+                        del counters[t]
+        if counters:
+            yield pd.DataFrame(
+                {"tok": list(counters), "est": list(counters.values())}
+            )
+
+    est = (
+        toks.mapInPandas(mg_partial, "tok string, est long")
+        .groupBy("tok")
+        .agg(F.sum("est").cast("long").alias("est"))
+    )
+    n_total = toks.count()
+    bound = n_total // MG_COUNTERS + 1
+    exact = toks.groupBy("tok").agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    top = (
+        exact.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(MG_TOP)
+        .select("tok", "n", F.row_number().over(w).cast("long").alias("rnk"))
+    )
+    e = F.coalesce("est", F.lit(0))
+    return top.join(est, "tok", "left").select(
+        "tok",
+        "n",
+        "rnk",
+        ((e >= F.col("n") - F.lit(bound)) & (e <= F.col("n"))).alias(
+            "est_within_bound"
+        ),
+    )

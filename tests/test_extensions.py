@@ -1995,3 +1995,21 @@ def test_capped_sessions_respect_both_rules(spark):
             else:
                 cap_splits += 1
     assert gap_splits > 0 and cap_splits > 0, (gap_splits, cap_splits)
+
+
+def test_mg_sketch_bound_and_exactness(spark):
+    """The MG face's gate: top-20 equals the exact Python recount, and
+    the per-row bound flag is TRUE everywhere (the sketch's undercount
+    guarantee holds under whatever partition layout the session
+    chose)."""
+    from collections import Counter
+
+    from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+
+    c = Counter()
+    for r in load(spark, SF_SMALL, "documents").select("text").collect():
+        c.update(r.text.lower().split(" "))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = sorted(_rows(spark, "heavy_hitters_mg_bounded"), key=lambda r: r.rnk)
+    assert [(r.tok, r.n) for r in rows] == want
+    assert all(r.est_within_bound for r in rows)
