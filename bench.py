@@ -345,6 +345,9 @@ HEADLINE = [
     # round 12: frequency-sketch face (per-partition Misra-Gries,
     # merged summaries, exact top-20 gate + pinned error band)
     "heavy_hitters_mg_bounded",
+    # round 12: the sketch maintained under ingestion (k-row ledger
+    # segments per batch, summed at probe)
+    "stream_mg_ingest_replay",
 ]
 
 

@@ -2353,3 +2353,99 @@ def stream_scd2_tombstoned_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(name).where(F.col("user_id") != SENTINEL_ACCOUNT)
+
+
+@register(
+    "stream_mg_ingest_replay",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+c AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1
+)
+SELECT tok, n,
+       CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS BIGINT) AS rnk,
+       TRUE AS est_within_bound
+FROM c ORDER BY n DESC, tok ASC LIMIT 20
+""",
+    doc="The frequency sketch MAINTAINED under streaming ingestion: "
+    "each arriving document chunk writes its merged Misra-Gries "
+    "summary as a k-row ledger segment (per-batch-id path, "
+    "retry-safe), the probe sums segments into the stream-built "
+    "estimate, and the gate is the batch face's contract — exact "
+    "top-20 hash plus the pinned undercount band, which survives the "
+    "split into per-batch summaries because total decrement mass "
+    "across every partial stays <= n_total/(k+1). Sketch maintenance "
+    "costs one scan of each batch at arrival; the corpus is rescanned "
+    "only for the gate's exact side.",
+    tags=("streaming", "text", "sketch", "approx", "parity"),
+)
+def stream_mg_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import load
+    from .text import MG_COUNTERS, MG_TOP, mg_summary_over
+    from pyspark.sql import Window
+
+    name = f"mgingest_{uuid.uuid4().hex[:8]}"
+    scratch = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        docs = load(spark, sf_dir, "documents")
+        src = os.path.join(scratch, "arrivals")
+        for i in range(3):
+            docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+
+        ledger = os.path.join(scratch, "ledger")
+
+        def sink(b: DataFrame, bid: int) -> None:
+            if b.isEmpty():
+                return
+            mg_summary_over(b).write.mode("overwrite").parquet(
+                os.path.join(ledger, f"seg={bid}")
+            )
+
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        est = (
+            spark.read.parquet(ledger)
+            .groupBy("tok")
+            .agg(F.sum("est").cast("long").alias("est"))
+        )
+        toks = docs.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        n_total = toks.count()
+        bound = n_total // MG_COUNTERS + 1
+        exact = toks.groupBy("tok").agg(F.count("*").cast("long").alias("n"))
+        w = Window.orderBy(F.desc("n"), F.asc("tok"))
+        top = (
+            exact.orderBy(F.desc("n"), F.asc("tok"))
+            .limit(MG_TOP)
+            .select(
+                "tok", "n", F.row_number().over(w).cast("long").alias("rnk")
+            )
+        )
+        e = F.coalesce("est", F.lit(0))
+        out = top.join(est, "tok", "left").select(
+            "tok",
+            "n",
+            "rnk",
+            ((e >= F.col("n") - F.lit(bound)) & (e <= F.col("n"))).alias(
+                "est_within_bound"
+            ),
+        )
+        rows = out.collect()  # bounded: MG_TOP rows; scratch dies below
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -1541,15 +1541,40 @@ FROM c ORDER BY n DESC, tok ASC LIMIT 20
     tags=("text", "sketch", "approx", "eval"),
 )
 def heavy_hitters_mg_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    est = mg_summary_over(docs)
+    n_total = toks.count()
+    bound = n_total // MG_COUNTERS + 1
+    exact = toks.groupBy("tok").agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    top = (
+        exact.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(MG_TOP)
+        .select("tok", "n", F.row_number().over(w).cast("long").alias("rnk"))
+    )
+    e = F.coalesce("est", F.lit(0))
+    return top.join(est, "tok", "left").select(
+        "tok",
+        "n",
+        "rnk",
+        ((e >= F.col("n") - F.lit(bound)) & (e <= F.col("n"))).alias(
+            "est_within_bound"
+        ),
+    )
+
+
+def mg_summary_over(docs: DataFrame) -> DataFrame:
+    """One merged Misra-Gries summary frame (tok, est) for a document
+    frame: per-partition k-counter partials merged by summation —
+    shared by the batch face and the streaming ingest segments."""
     from collections.abc import Iterator
 
     import pandas as pd
 
-    from pyspark.sql import Window
-
-    toks = load(spark, sf_dir, "documents").select(
-        F.explode(F.split(F.lower("text"), " ")).alias("tok")
-    )
+    toks = docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
 
     def mg_partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
@@ -1570,26 +1595,8 @@ def heavy_hitters_mg_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"tok": list(counters), "est": list(counters.values())}
             )
 
-    est = (
+    return (
         toks.mapInPandas(mg_partial, "tok string, est long")
         .groupBy("tok")
         .agg(F.sum("est").cast("long").alias("est"))
-    )
-    n_total = toks.count()
-    bound = n_total // MG_COUNTERS + 1
-    exact = toks.groupBy("tok").agg(F.count("*").cast("long").alias("n"))
-    w = Window.orderBy(F.desc("n"), F.asc("tok"))
-    top = (
-        exact.orderBy(F.desc("n"), F.asc("tok"))
-        .limit(MG_TOP)
-        .select("tok", "n", F.row_number().over(w).cast("long").alias("rnk"))
-    )
-    e = F.coalesce("est", F.lit(0))
-    return top.join(est, "tok", "left").select(
-        "tok",
-        "n",
-        "rnk",
-        ((e >= F.col("n") - F.lit(bound)) & (e <= F.col("n"))).alias(
-            "est_within_bound"
-        ),
     )
