@@ -246,6 +246,15 @@ PYTHON_OK = {
     "multimodal_frame_sample",
     "multimodal_resize",
     "ann_cosine_topk_blas",
+    # r12: the gap+cap session fold — sequential by semantics (a
+    # restart depends on every earlier restart), same bucketed
+    # applyInPandas machinery as the F3/F5/EWMA folds
+    "session_capped_user",
+    # r12: Misra-Gries partials — per-partition counter state across
+    # Arrow batches is imperative by design; the merge and the exact
+    # gate stay JVM-side
+    "heavy_hitters_mg_bounded",
+    "stream_mg_ingest_replay",
 }
 
 
