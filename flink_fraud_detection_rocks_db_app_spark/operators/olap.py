@@ -318,6 +318,68 @@ def approx_value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "value_quantiles_by_type_bounded",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       TRUE AS approx_in_bounds
+FROM events GROUP BY 1
+""",
+    doc="The hash-GATEABLE face of the GK-sketch quantiles (the "
+    "tumble_approx_median_bounded pattern applied to the per-type "
+    "batch quantiles): exact interpolated p50/p95 and the group count "
+    "are hash-compared against DuckDB quantile_cont, and "
+    "approx_in_bounds — which the oracle pins to TRUE — asserts BOTH "
+    "approx_percentile sketch values land inside exact rank brackets "
+    "(p50 in [p45, p55], p95 in [p90, p99]; min/max fallback for "
+    "groups under 100 rows where interpolated brackets are "
+    "degenerate). GK at accuracy 10000 guarantees rank error "
+    "<= max(1, 1e-4 n), far inside the 0.04-0.05n bracket widths, so "
+    "the flag is TRUE by the sketch's contract — a sketch regression "
+    "flips a driver row red instead of only a suite tolerance test. "
+    "One hash-aggregate, one shuffle of O(types) rows; at 100 TB you "
+    "drop the exact columns and keep the mergeable GK sketch, which "
+    "reduces each map partition to one bounded summary.",
+    tags=("batch", "approx"),
+)
+def value_quantiles_by_type_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("_p50"),
+            F.expr("percentile(value, 0.95)").alias("_p95"),
+            F.count(F.lit(1)).alias("n"),
+            F.percentile_approx("value", 0.5, 10000).alias("_a50"),
+            F.percentile_approx("value", 0.95, 10000).alias("_a95"),
+            F.expr("percentile(value, array(0.45, 0.55, 0.90, 0.99))").alias("_br"),
+            F.min("value").alias("_lo"),
+            F.max("value").alias("_hi"),
+        )
+    )
+    small = F.col("n") < 100
+    lo50 = F.when(small, F.col("_lo")).otherwise(F.col("_br")[0])
+    hi50 = F.when(small, F.col("_hi")).otherwise(F.col("_br")[1])
+    lo95 = F.when(small, F.col("_lo")).otherwise(F.col("_br")[2])
+    hi95 = F.when(small, F.col("_hi")).otherwise(F.col("_br")[3])
+    in_bounds = (
+        (F.col("_a50") >= lo50)
+        & (F.col("_a50") <= hi50)
+        & (F.col("_a95") >= lo95)
+        & (F.col("_a95") <= hi95)
+    )
+    return df.select(
+        "event_type",
+        F.round("_p50", 6).alias("p50"),
+        F.round("_p95", 6).alias("p95"),
+        "n",
+        in_bounds.alias("approx_in_bounds"),
+    )
+
+
+@register(
     "grouping_sets_events",
     oracle="""
 SELECT event_type,

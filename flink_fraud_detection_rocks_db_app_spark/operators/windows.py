@@ -401,6 +401,60 @@ def tumble_approx_distinct_users_1h(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "tumble_approx_distinct_users_bounded",
+    oracle=sql_tumble(
+        MS["h"],
+        "COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_bound",
+        key=False,
+    ),
+    doc="The hash-GATEABLE face of the WINDOWED HLL path (the "
+    "approx_distinct_users_bounded pattern applied per tumbling "
+    "window): the exact distinct count per 1h window is hash-compared "
+    "against DuckDB, and within_bound — which the oracle pins to TRUE "
+    "— asserts the HLL++ estimate (rsd=0.01) landed within 5% of it, "
+    "so a drifting sketch flips a driver row red instead of only the "
+    "suite's 3*rsd envelope on the unbounded _1h twin. HLL++ is exact "
+    "in sparse mode for the per-window cardinalities any hourly slice "
+    "produces, and 5% = 5 sigma at this rsd in dense mode. The same "
+    "shuffle-shape hazard as the batch face applies: mixing "
+    "countDistinct with approx_count_distinct in ONE window groupBy "
+    "attaches a ~13 KB partial sketch to every (window, account) "
+    "group, so this face dedups (window, account) FIRST — shuffle one "
+    "carries 2 narrow columns, shuffle two builds sketches only per "
+    "(partition x window) — the form that survives 100 TB, where "
+    "you'd drop the exact twin and keep the mergeable sketch per "
+    "window.",
+    tags=("window", "tumbling", "distinct", "approx"),
+)
+def tumble_approx_distinct_users_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deduped = (
+        transactions(spark, sf_dir)
+        .select(
+            F.unix_millis(
+                F.window("event_time", _dur(MS["h"])).getField("start")
+            ).alias("w_start"),
+            "account_id",
+        )
+        .distinct()
+    )
+    return (
+        deduped.groupBy("w_start")
+        .agg(
+            F.count(F.lit(1)).alias("exact_users"),
+            F.approx_count_distinct("account_id", rsd=0.01).alias("_a"),
+        )
+        .select(
+            "w_start",
+            "exact_users",
+            (
+                F.abs(F.col("_a") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_bound"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Holistic median windows — the reference's DESIGNED BUT NEVER BUILT
 # aggregate. DESIGN.md commits to "calculating the mean and median of
