@@ -68,7 +68,11 @@ HEADLINE = [
     # scan-local stratified sampling
     "tfidf_top_terms",
     "decontaminate_ngram_overlap",
-    "tumble_approx_distinct_users_1h",
+    # round 13: tumble_approx_distinct_users_1h was RETIRED from the
+    # registry (raw HLL output has no cross-engine oracle); its slot
+    # here goes to the hash-gated successor, which runs the same
+    # windowed sketch plus the exact twin and the bound check
+    "tumble_approx_distinct_users_bounded",
     "stratified_sample_docs",
     # round 4 additions: the bloom-prefiltered decontamination path —
     # benched alongside the broadcast-exact form it must shadow — and
@@ -348,6 +352,14 @@ HEADLINE = [
     # round 12: the sketch maintained under ingestion (k-row ledger
     # segments per batch, summed at probe)
     "stream_mg_ingest_replay",
+    # round 13: the hash-gateable GK-quantiles face (exact p50/p95 +
+    # sketch-in-brackets boolean in ONE hash aggregate) — the
+    # registered successor of the retired raw approx-quantiles row
+    "value_quantiles_by_type_bounded",
+    # round 13: the z-order bounds-refresh arm — re-derive bounds from
+    # the current (skew-appended) table, re-layout, slice oracle
+    # unchanged; prices the full OPTIMIZE-style rewrite
+    "events_zorder_slice_refreshed",
 ]
 
 

@@ -31,6 +31,7 @@ serving both access paths from one copy of the data.
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -212,7 +213,9 @@ def events_zorder_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (users/timestamps beyond the frozen bounds) clamp into the edge
 # cells: placement stays valid and queries stay correct (they filter
 # on real values, not z); a bounds refresh is a re-train decision,
-# exactly like a quantizer re-train.
+# exactly like a quantizer re-train — implemented below as
+# refresh_zorder_layout (the operation the balance monitor's
+# hot-bucket trigger recommends).
 
 ZORDER_BATCH_MOD = 8  # batch = event_id % MOD == MOD-1, the IVF split shape
 
@@ -498,6 +501,194 @@ def ensure_zorder_base(spark: SparkSession, sf_dir: str) -> str:
 )
 def events_zorder_slice_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     asset = ensure_zorder_base(spark, sf_dir)
+    zed = spark.read.parquet(os.path.join(asset, "data"))
+    b = zed.agg(
+        F.min("user_id").alias("u_min"),
+        F.max("user_id").alias("u_max"),
+        F.min("t_ms").alias("t_min"),
+        F.max("t_ms").alias("t_max"),
+    ).collect()[0]
+    u_lo = b.u_min + ((b.u_max - b.u_min) * 4) // 10
+    u_hi = b.u_min + ((b.u_max - b.u_min) * 6) // 10
+    t_lo = b.t_min + ((b.t_max - b.t_min) * 4) // 10
+    t_hi = b.t_min + ((b.t_max - b.t_min) * 6) // 10
+    return (
+        zed.where(
+            F.col("user_id").between(F.lit(u_lo), F.lit(u_hi))
+            & F.col("t_ms").between(F.lit(t_lo), F.lit(t_hi))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+# ------------------------------------------------- bounds-refresh arm
+#
+# The third lifecycle operation (after APPEND and RECLUSTER): when the
+# balance monitor's hot trigger fires — the frozen normalization no
+# longer matches the data, so appends clamp-pile into edge cells and a
+# hot file stops skipping — the layout is RE-TRAINED: bounds re-derived
+# from the table as it now is, every row re-placed under them, the
+# whole table rewritten (rows DO cross bucket boundaries here, which is
+# exactly why this is a separate, rarer operation than the in-bucket
+# recluster). Queries are invariant across it by the same argument as
+# every other lifecycle step: they filter on real column values, never
+# on z. At 100 TB this is the expensive full-table OPTIMIZE; the
+# monitor exists so you run it when the skipping payback justifies it,
+# not on a timer.
+
+
+def zorder_hot_buckets(zed: DataFrame) -> list[int]:
+    """Bucket ids currently over the hot trigger (> ZORDER_HOT_FACTOR x
+    mean occupancy) — the condition under which the balance monitor
+    recommends refresh_zorder_layout. Contract-bounded collect: the
+    occupancy frame is O(2^ZBUCKET_BITS) rows off the partition column
+    alone (parquet metadata, no data pages)."""
+    occ = (
+        zed.groupBy(F.col("zbucket").cast("long").alias("zbucket"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    total = sum(r.n for r in occ)
+    n_buckets = 1 << ZBUCKET_BITS
+    return sorted(
+        r.zbucket for r in occ if r.n * n_buckets > ZORDER_HOT_FACTOR * total
+    )
+
+
+def refresh_zorder_layout(spark: SparkSession, asset: str) -> int:
+    """Re-derive bounds from the CURRENT table and re-lay out every row
+    under them, in place. Crash-safe: both replacement directories are
+    fully written before any swap; the data swap is the commit point
+    (the compact_parquet_table rename discipline). A crash between the
+    two swaps leaves new data under old bounds — queries stay correct
+    (they never read bounds) and the next append merely clamps like any
+    stale-bounds append until the next refresh heals placement.
+    Returns the number of hot buckets the refresh retired (0 = the
+    trigger hadn't fired; the rewrite still ran)."""
+    data = os.path.join(asset, "data")
+    bounds_dir = os.path.join(asset, "bounds")
+    zed = spark.read.parquet(data)
+    hot_before = zorder_hot_buckets(zed)
+    rows = zed.drop("z", "zbucket", "t_ms")
+    t_ms = F.expr("CAST(ts div 1000000 AS BIGINT)")
+    new_bounds_tmp = f"{bounds_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    rows.agg(
+        F.min("user_id").alias("u_min"),
+        F.max("user_id").alias("u_max"),
+        F.min(t_ms).alias("t_min"),
+        F.max(t_ms).alias("t_max"),
+    ).write.mode("overwrite").parquet(new_bounds_tmp)
+    rezed = zorder_events_frozen(rows, spark.read.parquet(new_bounds_tmp))
+    new_data_tmp = f"{data}.tmp-{uuid.uuid4().hex[:8]}"
+    (
+        rezed.repartition("zbucket")
+        .sortWithinPartitions("zbucket", "z")
+        .write.mode("overwrite")
+        .partitionBy("zbucket")
+        .parquet(new_data_tmp)
+    )
+    for live, tmp in ((data, new_data_tmp), (bounds_dir, new_bounds_tmp)):
+        old = f"{live}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(live, old)
+        os.rename(tmp, live)
+        shutil.rmtree(old, ignore_errors=True)
+    return len(hot_before)
+
+
+def write_zorder_refreshed(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """The full stale-bounds -> hot-trigger -> refresh lifecycle inside
+    one content-keyed build. The stale fixture freezes bounds from the
+    lower-left QUADRANT of the (user, time) domain — the worst
+    realistic staleness: ~3/4 of rows clamp into edge cells and the
+    top-corner bucket concentrates ~6x the mean occupancy, so the hot
+    trigger genuinely fires (asserted: the build refuses a fixture
+    that doesn't trip it). The pre-refresh occupancy is recorded to
+    stale_occupancy/ as the asset's own evidence, then
+    refresh_zorder_layout re-derives and re-places — the published
+    asset carries balanced data, true bounds, and the before-picture."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "t_ms", F.expr("CAST(ts div 1000000 AS BIGINT)")
+    )
+    dom = ev.agg(
+        F.min("user_id").alias("u_min"),
+        F.max("user_id").alias("u_max"),
+        F.min("t_ms").alias("t_min"),
+        F.max("t_ms").alias("t_max"),
+    ).collect()[0]
+    u_mid = dom.u_min + (dom.u_max - dom.u_min) * 5 // 10
+    t_mid = dom.t_min + (dom.t_max - dom.t_min) * 5 // 10
+    stale = ev.where((F.col("user_id") <= u_mid) & (F.col("t_ms") <= t_mid))
+    stale.agg(
+        F.min("user_id").alias("u_min"),
+        F.max("user_id").alias("u_max"),
+        F.min("t_ms").alias("t_min"),
+        F.max("t_ms").alias("t_max"),
+    ).write.mode("overwrite").parquet(os.path.join(path, "bounds"))
+    zed = zorder_events_frozen(
+        ev.drop("t_ms"), spark.read.parquet(os.path.join(path, "bounds"))
+    )
+    (
+        zed.repartition("zbucket")
+        .sortWithinPartitions("zbucket", "z")
+        .write.mode("overwrite")
+        .partitionBy("zbucket")
+        .parquet(os.path.join(path, "data"))
+    )
+    stale_data = spark.read.parquet(os.path.join(path, "data"))
+    stale_data.groupBy(F.col("zbucket").cast("long").alias("zbucket")).agg(
+        F.count("*").alias("n_rows")
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "stale_occupancy")
+    )
+    retired = refresh_zorder_layout(spark, path)
+    if retired == 0:
+        raise AssertionError(
+            "write_zorder_refreshed: the stale-bounds fixture did not "
+            "trip the hot trigger — the lifecycle this asset exists to "
+            "certify never ran"
+        )
+
+
+def ensure_zorder_refreshed(spark: SparkSession, sf_dir: str) -> str:
+    from .indexcache import ensure_index
+
+    return ensure_index(
+        "zorder_events_refreshed",
+        sf_dir,
+        "events",
+        lambda tmp: write_zorder_refreshed(spark, sf_dir, tmp),
+        version=1,
+    )
+
+
+@register(
+    "events_zorder_slice_refreshed",
+    oracle=_SLICE_ORACLE,
+    doc="The two-dimensional slice served AFTER the bounds-refresh "
+    "lifecycle (the operation the balance monitor's hot trigger "
+    "recommends, owed since the r11 verdict): bounds are first frozen "
+    "DELIBERATELY STALE (lower-left quadrant of the domain, so ~3/4 "
+    "of rows clamp into edge cells and the hot trigger verifiably "
+    "fires — the build refuses a fixture that doesn't trip it), then "
+    "refresh_zorder_layout re-derives bounds from the table as it now "
+    "is and re-places every row, rows crossing bucket boundaries — "
+    "the re-train step appends and reclusters never perform. "
+    "IDENTICAL oracle to events_zorder_slice: a refresh must not "
+    "move, lose, duplicate or alter a row's VALUES, only its "
+    "placement, so the slice is invariant across the entire "
+    "stale->hot->refresh lifecycle; balance restoration (6x-mean hot "
+    "corner -> no bucket over trigger) is pinned against the asset's "
+    "own recorded stale_occupancy in tests/test_layout.py. At 100 TB "
+    "this is the full-table OPTIMIZE you run when the monitor says "
+    "the skipping payback justifies it.",
+    tags=("batch", "warehouse", "layout", "lifecycle"),
+)
+def events_zorder_slice_refreshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asset = ensure_zorder_refreshed(spark, sf_dir)
     zed = spark.read.parquet(os.path.join(asset, "data"))
     b = zed.agg(
         F.min("user_id").alias("u_min"),

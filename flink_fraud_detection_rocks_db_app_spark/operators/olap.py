@@ -295,18 +295,15 @@ def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "approx_value_quantiles_by_type",
-    oracle=None,  # KLL/GK-style sketches differ across engines by
-    # design; accuracy vs the exact quantiles is bounded in
-    # tests/test_extensions.py::test_approx_quantiles_bound
-    doc="approx_percentile (accuracy 10000, i.e. rank error <= 1/10000) "
-    "per event_type — the single-pass mergeable-sketch path for 100 TB "
-    "percentiles, where exact quantiles would need a full sort per group; "
-    "paired with the exact `value_quantiles_by_type` as its truth anchor",
-    tags=("batch", "approx"),
-)
 def approx_value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETIRED from the registry (r13, per the r11 #5 / r12 #4
+    rationale item): the raw GK-sketch output has no cross-engine
+    oracle by design, and its registered successor
+    `value_quantiles_by_type_bounded` gates the SAME sketch under a
+    hash-comparable contract (exact p50/p95 + an in-brackets boolean
+    the oracle pins TRUE). Kept as a plain helper because the suite's
+    rank-error envelope test (test_approx_quantiles_bound) is the
+    tighter per-group numeric check on the raw estimates."""
     return (
         load(spark, sf_dir, "events")
         .groupBy("event_type")

@@ -377,22 +377,18 @@ def tumble_distinct_users_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "tumble_approx_distinct_users_1h",
-    # No SQL oracle ON PURPOSE: HLL++ sketch values are
-    # implementation-defined and never bit-match another engine's.
-    # Verification contract instead lives in tests/test_extensions.py:
-    # |approx - exact| / exact <= 3*rsd against the exact twin above.
-    oracle=None,
-    doc="Approximate distinct accounts per 1h window via HLL++ "
-    "(rsd=0.02). The scale story vs the exact twin: sketches are "
-    "mergeable, so partial aggregation reduces each map partition to "
-    "one ~kilobyte sketch and the shuffle moves O(windows) sketches "
-    "instead of O(rows) expanded values — the only distinct-count "
-    "shape that survives 100 TB with hot windows.",
-    tags=("window", "tumbling", "distinct", "approx"),
-)
 def tumble_approx_distinct_users_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETIRED from the registry (r13, per the r11 #5 / r12 #4
+    rationale item): raw HLL++ estimates never bit-match another
+    engine's, so this face could only ever record no_oracle; its
+    registered successor `tumble_approx_distinct_users_bounded` gates
+    the SAME windowed sketch under a hash-comparable contract (exact
+    distinct per window + a within-5% boolean the oracle pins TRUE).
+    Kept as a plain helper because the suite's 3*rsd envelope test
+    (test_approx_distinct_tracks_exact_twin) is the tighter per-window
+    numeric check on the raw estimates. Scale story unchanged: HLL
+    partials are mergeable, so the shuffle moves O(windows) sketches,
+    never O(rows) expanded values."""
     return tumbling(
         transactions(spark, sf_dir),
         MS["h"],

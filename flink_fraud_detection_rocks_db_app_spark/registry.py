@@ -52,6 +52,14 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # alert_* variants, the sql_* duplicates) sit past the window — they
 # remain oracle-verified every round by tests/test_oracle_parity.py,
 # which runs the FULL registry against DuckDB.
+#
+# STANDING POLICY (r12 verdict #2): a new face does NOT count as done
+# in COVERAGE.md until it has either (a) held a driver row here, or
+# (b) a COVERAGE.md note naming the driver-green twin that subsumes
+# its machinery. Rotation must keep pace with building: every round
+# swaps enough slots that the never-driver-gated set SHRINKS, and a
+# round that registers N new faces budgets rotation slots for them in
+# the same round (r13 swapped 20 slots to drain the r11/r12 backlog).
 DRIVER_WINDOW: tuple[str, ...] = (
     # skew-handling + SQL-API representative
     "event_type_stats_salted",
@@ -83,7 +91,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # quality_psi_drift: the PSI comparison of the live quality-score
     # distribution against the frozen baseline histogram — the
     # train-data admission gate, pre-validated vanilla at sf0.01
-    "quality_psi_drift",
+    # r13: quality_psi_drift (green r12) — superseded by
+    # stream_quality_psi_replay: the SAME frozen-baseline PSI
+    # comparison and oracle, but with the live quality-score
+    # distribution accumulated through the ACTUAL streaming engine as
+    # documents arrive — strictly more surface (the admission gate as
+    # it would run in production ingestion); the batch form stays
+    # full-suite verified under the identical oracle
+    "stream_quality_psi_replay",
     # extension joins (r4: interval_join_click_purchase — same
     # keyed-range-join machinery as range_join_price_band, still
     # full-suite verified — gave its slot to the SQL-text face entry
@@ -116,7 +131,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # suite) gave its slot to mlt_bm25_topk: the MoreLikeThis lexical
     # arm as its own driver row (VERDICT r8 #2 named it) — until now
     # only gated THROUGH the hybrid fusion
-    "mlt_bm25_topk",
+    # r13: mlt_bm25_topk (green r9-r12) — superseded by
+    # mlt_bm25_topk_indexed: the SAME MoreLikeThis seed-document
+    # scoring and oracle, but with the lexical arm probing the
+    # MATERIALIZED term-bucketed postings asset under planning-time
+    # pruning (the ann_ivfpq_topk_indexed precedent — the warehouse
+    # form that is the 100 TB path); the scan form stays full-suite
+    # verified under the identical oracle (r11 queue leftover)
+    "mlt_bm25_topk_indexed",
     # dedup pillar (r4: dedup_clusters — near-dup CC over LSH pairs —
     # rotated in; it was the last dedup stage with suite-only evidence)
     # r5: dedup_exact — the md5-fingerprint hash-groupBy runs verbatim
@@ -144,7 +166,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # plan-tested) — the warehouse form that is the 100 TB path,
     # strictly more machinery under the identical hash gate; the
     # per-call form stays full-suite verified
-    "ann_ivfpq_topk_indexed",
+    # r13: ann_ivfpq_topk_indexed (green r9-r12) — superseded by
+    # ann_ivfpq_refine_topk: the SAME materialized-index IVFPQ probe
+    # PLUS the exact-rescore refine stage over the O(queries x pool)
+    # candidate set — the two-stage serving shape deployed ANN systems
+    # actually run (r11 queue leftover, two rounds old); the
+    # unrefined probe stays full-suite verified over the same asset
+    "ann_ivfpq_refine_topk",
     # r10 (VERDICT r9 #1 — the recall-monitor quartet): the four ANN
     # index-quality eval faces, each |approx_topk ∩ exact_topk|/k per
     # query under ONE shared recall-oracle template
@@ -182,12 +210,31 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # face scd2_user_tier_history: gaps-and-islands run-length history
     # with half-open validity, built in ONE exchange + one sort (the
     # r8c same-round-pillar-rotation precedent)
-    "scd2_user_tier_history",
+    # r13: scd2_user_tier_history (green r12) — superseded by
+    # scd2_tombstoned_history: the SAME gaps-and-islands version chain
+    # PLUS delete-tombstone handling (a deletion closes the open
+    # version without opening a new one — the CDC-feed reality the
+    # plain face ignores); the plain form stays full-suite verified,
+    # and the streamed form enters below (r12 wave)
+    "scd2_tombstoned_history",
     # bm25_incremental_index_topk — the appending-corpus BM25: per-batch
     # postings segments merged at probe time under the frozen df/len
     # statistics contract (cost ∝ batch, the ingest-face policy)
-    "bm25_incremental_index_topk",
-    "ann_ivfpq_recall_at_k",
+    # r13: bm25_incremental_index_topk (green r12; the appending-probe
+    # contract keeps its driver row via stream_bm25_ingest_replay
+    # below, whose per-batch segments ride the same frozen-stats
+    # merge) — superseded by bm25_compacted_index_topk: the
+    # segment-COMPACTION lifecycle arm — many per-batch postings
+    # segments merged into one, probe results invariant across the
+    # compaction (the restart-compact-resume contract; r11 queue)
+    "bm25_compacted_index_topk",
+    # r13: ann_ivfpq_recall_at_k (green r10-r12) — superseded by
+    # ann_ivfpq_refine_recall_at_k: the recall of the REFINED
+    # two-stage pipeline against the same exact-cosine truth under
+    # the shared recall-oracle template — the loss the serving path
+    # with refine actually ships; the unrefined composed-loss monitor
+    # stays full-suite verified (r11 queue leftover)
+    "ann_ivfpq_refine_recall_at_k",
     # dedup_clusters — min-id connected components over LSH candidate
     # pairs with its recursive-CTE oracle; keep-best (below) runs the
     # richer argmax selection, this gates the canonical min-id contract
@@ -256,7 +303,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sql_tumble_sum_3s — the spark.sql() text face (identical plan +
     # oracle as tumble_sum_3s), re-gated per the displaced-green policy;
     # its emitted sum now carries the 6dp rounding convention
-    "sql_tumble_sum_3s",
+    # r13: sql_tumble_sum_3s (re-gate green r11-r12; the spark.sql()
+    # text surface stays pinned by tests/test_oracle_parity + the
+    # sqlapi suite, and WA1 tumbling holds driver rows via
+    # tumble_approx_median_bounded above and
+    # tumble_approx_distinct_users_bounded below) gives its slot to
+    # heavy_hitters_mg_bounded: the Misra-Gries mergeable frequency
+    # sketch under the bounded-oracle pattern — exact top-20 counts
+    # hash-compared plus the sketch's undercount-band boolean the
+    # oracle pins TRUE (r12 wave; the face the r12 verdict named THE
+    # bounded heavy-hitters answer)
+    "heavy_hitters_mg_bounded",
     # §2 windows: WA1/WA2/WA8/WA9/WA3 + sessions. r4: tumble_mean_3s
     # (A2 — same incremental-agg machinery as tumble_sum_3s, still
     # full-suite verified) gave its slot to the streaming batch face:
@@ -281,7 +338,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # its slot to the r9 #3 re-gate kmeans_assign — the K=4 Lloyd
     # assignment (displaced r8b by semdedup_keep, whose incremental
     # face below keeps the Lloyd loop's richer driver row)
-    "kmeans_assign",
+    # r13: kmeans_assign (re-gate green r11-r12; the K-assignment runs
+    # verbatim inside every IVF/IVFPQ driver row's coarse quantizer)
+    # gives its slot to pagerank_trade_network: the fixed-iteration
+    # PageRank over the account trade graph — the repo's iterative-
+    # compute machine (edges hash-partitioned ONCE and persisted,
+    # per-iteration localCheckpoint lineage cap, content-keyed ranks
+    # asset shared with the convergence monitor), unrolled-CTE oracle
+    # (r12 wave — one of the two genuinely new iterative machines the
+    # verdict named)
+    "pagerank_trade_network",
     # r7: stream_tumble_sum_1h_replay (W1/EP1 declarative streaming
     # tumbling) — the SAME windowed_agg_stream machinery and oracle is
     # driver-gated with strictly more surface by
@@ -346,7 +412,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # REASSEMBLY from surviving passages (the C4/CCNet transform the
     # incremental face only indexes for); the append-∝-batch contract
     # keeps driver rows via the three streaming-ingest faces below
-    "dedup_passages_keep_first",
+    # r13: dedup_passages_keep_first (green r10-r12; the disjoint
+    # span-hash machinery keeps driver evidence via
+    # doc_winnow_fingerprints below and the dedup ledger inside
+    # stream_corpus_prep_replay) gives its slot to
+    # dsir_importance_sample: the DSIR importance resampler — O(V)
+    # broadcast likelihood-ratio map scored scan-locally, hash-gated
+    # acceptance (the oldest r11-queue leftover, two rounds overdue)
+    "dsir_importance_sample",
     # r8: slide_sum_50s_10s_paned (WA3/A8/A9 pane partials, green
     # r3-r7) — superseded by stream_paned_slide_sum_replay: the SAME
     # pane-slicing rewrite run as a CHAINED stateful streaming job
@@ -434,7 +507,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # events_zorder_slice_incremental: the appended-segment variant —
     # the hash certifies base+appends == base-scan rows, pinning the
     # append lifecycle's exactly-once placement
-    "events_zorder_slice_incremental",
+    # r13: events_zorder_slice_incremental (green r12) — superseded by
+    # stream_zorder_ingest_replay: the SAME frozen-bounds placement
+    # contract with appends arriving through the ACTUAL streaming
+    # engine (foreachBatch segment placement, slice oracle unchanged)
+    # — strictly more surface; the batch incremental form stays
+    # full-suite verified under the identical oracle (r11 queue)
+    "stream_zorder_ingest_replay",
     # r7: running_mean_alerts_gt_90 (F3 batch) — its machinery is the
     # shared `_bucketed_fold` (driver-gated below via
     # ewma_amount_per_account, which calls the identical helper) plus
@@ -502,7 +581,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # its slot to the r9 #3 re-gate pivot_user_event_type — the
     # pivot/unpivot reshape family (five prior rounds of green driver
     # evidence, displaced r9)
-    "pivot_user_event_type",
+    # r13: pivot_user_event_type (re-gate green r4-r8 + r11-r12 —
+    # seven rounds of cumulative driver evidence; the pivot/unpivot
+    # reshape stays full-suite verified) gives its slot to
+    # zorder_balance_monitor: the layout-health face (per-bucket row
+    # share vs the uniform ideal + the hot-bucket trigger) whose
+    # recommendation now has a real operation behind it — the r13
+    # bounds-refresh arm (layout.py refresh_zorder_layout) the r11/r12
+    # verdicts asked for (r11 queue)
+    "zorder_balance_monitor",
     # round-2 detector additions (CEP rising pattern, broadcast dynamic
     # rules) — rotated INTO the window round 3 so every new operator
     # family has driver evidence (VERDICT r2 "Next round" #5); the
@@ -565,7 +652,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # in q11's semi-join gate, staying below) gives its slot to the
     # r9 #3 re-gate split_train_val_test — the independent-Knuth-hash
     # deterministic splitter (green r4b-r8, displaced r9)
-    "split_train_val_test",
+    # r13: split_train_val_test (re-gate green r4b-r8 + r11-r12; the
+    # independent-Knuth-hash gate keeps driver rows via
+    # mixture_apply_docs, source_cap_docs and export_mixture_shards)
+    # gives its slot to logreg_train_next7_purchase: in-engine
+    # logistic-regression training over point-in-time features — an
+    # epoch is ONE map-side-combined gradient reduce with weights as
+    # driver scalars, the distributed-GD shape; weight-carrying CTE
+    # oracle (r12 wave — the second of the two new iterative machines)
+    "logreg_train_next7_purchase",
     # ANN / similarity pillar (r5: ann_cosine_topk — the deliberate
     # exact-quadratic baseline — rotated out; its zip_with dot-product
     # scoring + broadcast + window-rank machinery runs verbatim inside
@@ -577,7 +672,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # its slot to hard_negatives_topk: DPR-style hard-negative mining
     # (BM25-close, embedding-distant anti-join of the two arms), from
     # the r8 verdict's rotation queue
-    "hard_negatives_topk",
+    # r13: hard_negatives_topk (green r9-r12; the BM25-close /
+    # embedding-distant anti-join rides the same shared indexed-MLT
+    # arm as the remaining retrieval rows) gives its slot to
+    # hybrid_ndcg_at_k: the graded ranking-quality gate — nDCG@k of
+    # the indexed hybrid against exact-arm relevance with the
+    # per-gold-length IDCG normalization the r11 advice fixed (r11
+    # queue leftover, two rounds old)
+    "hybrid_ndcg_at_k",
     # r7: ann_ivf_topk (per-call coarse-quantize + probe + rerank) —
     # superseded in the window by ann_ivf_topk_indexed: the SAME
     # centroids, probe set, rerank machinery and oracle, but against
@@ -604,7 +706,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the ingest faces + semdedup_incremental_keep) gave its slot to
     # tpch_q11_important_stock: the group-by-over-partsupp with a
     # global scalar-subquery HAVING gate (derived-partsupp half)
-    "tpch_q11_important_stock",
+    # r13: tpch_q11_important_stock (green r10-r12; all 22 TPC-H
+    # shapes hold cumulative driver evidence since r10 and the
+    # scalar-subquery HAVING gate machinery stays full-suite verified)
+    # gives its slot to temporal_join_purchase_status: facts joined to
+    # the SCD2 dimension version VALID AT each fact's event time — the
+    # point-in-time-correct enrichment (the as-of version pick that
+    # also strictly contains cdc_snapshot_asof's time-travel pick,
+    # whose slot rotates below); r12 temporal wave
+    "temporal_join_purchase_status",
     # r4b: label_centroid_components (posexplode+avg centroid — its
     # machinery runs verbatim inside kmeans' recompute step, still
     # full-suite verified) gave its slot to kmeans_assign, the Lloyd
@@ -622,7 +732,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # persisted quantizer, partition-pruned touched-cell pairing,
     # losers union) — strictly more machinery under the same replay
     # oracle; the one-shot form stays full-suite verified
-    "semdedup_incremental_keep",
+    # r13: semdedup_incremental_keep (green r10-r12; the frozen-
+    # quantizer cluster-scoped SemDeDup machinery keeps its driver row
+    # via stream_semdedup_ingest_replay below, same replay oracle)
+    # gives its slot to stream_scd2_replay: streamed SCD2 through the
+    # ACTUAL engine — open versions held in keyed state, event-time-
+    # timeout flush driven by the sentinel-advanced watermark, O(1)
+    # open version per key — under the identical batch gaps-and-
+    # islands oracle (r12 temporal wave)
+    "stream_scd2_replay",
     # text-analysis pillar (r4: doc_langid — n-gram heuristic over the
     # same tokenized scan as doc_quality_score, still full-suite
     # verified — gave its slot to doc_pii_flags, previously suite-only)
@@ -652,7 +770,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # composition (green r2-r8, displaced r9b by its streaming twin
     # which stays below; avg_quality now 6dp-rounded on both sides
     # per the r11 exact-compare sweep)
-    "corpus_prep_pipeline",
+    # r13: corpus_prep_pipeline (re-gate green r2-r8 + r11-r12; the
+    # flagship prep composition keeps its driver row via
+    # stream_corpus_prep_replay below — the identical quality gate and
+    # report under the same oracle) gives its slot to
+    # stream_cdc_upsert_replay: the CDC changelog consumed through the
+    # ACTUAL engine into a latest-op-wins upsert snapshot (keyed state
+    # = one current row per key, tombstones delete), hash-matched
+    # against the batch compaction oracle (r12 temporal wave)
+    "stream_cdc_upsert_replay",
     # r4b: doc_quality_score (length/punct/stopword ratios — the same
     # signals recombined by the gopher cascade row below, still
     # full-suite verified) gave its slot to span_dup_stats, the Lee
@@ -736,7 +862,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # subsequence search over rounded sliding-sum scalars (the UCR
     # matrix-profile shape, distance on aggregates not raw rows),
     # whose streaming twin also enters the window this round
-    "ts_znorm_pattern_topk",
+    # r13: ts_znorm_pattern_topk (green r10-r12; the z-normalized
+    # subsequence distance keeps its driver row via
+    # stream_ts_pattern_alerts_replay above — the same rolling z-norm
+    # maintained in streaming state) gives its slot to
+    # session_capped_user: the capped sessionization fold — session
+    # assignment where a session also closes after K events, the
+    # restart-point recurrence gaps-and-islands cannot express,
+    # bucketed sequential Arrow fold with O(1)/key state (r12 wave;
+    # its fold-body throughput is now quantified in SCALE.md per the
+    # r12 verdict #6)
+    "session_capped_user",
     # relational / TPC-H pillar
     # r10 TPC-H join-half rotation (VERDICT r9 #1): q1 (green r1-r9,
     # the longest-tenured row in the window; its scan-agg machinery
@@ -763,7 +899,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # latest-op-wins WindowGroupLimit plan plus the pushed snapshot
     # predicate; its gate also certifies the cdc machinery that
     # cdc_upsert_snapshot and the streaming twin share
-    "cdc_snapshot_asof",
+    # r13: cdc_snapshot_asof (green r12; the latest-op-wins time-travel
+    # pick is strictly contained in temporal_join_purchase_status's
+    # per-fact version pick entering above, and the cdc compaction
+    # machinery gains the streamed driver row stream_cdc_upsert_replay)
+    # gives its slot to value_quantiles_by_type_bounded: the
+    # hash-gateable face of the GK-quantile sketch path (exact p50/p95
+    # hash-compared + an in-brackets boolean the oracle pins TRUE) —
+    # closing the r11 #5 / r12 #4 approx-rationale item for the
+    # quantiles row
+    "value_quantiles_by_type_bounded",
     # export_mixture_shards — the mixture materialization composed
     # with shard export: epoch-replicated admission feeding the same
     # stable shard assignment, one shard-keyed exchange
@@ -792,7 +937,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # ann_ivf_drift_monitor: the quantizer-drift report (centroid
     # displacement vs the frozen training assignment) completing the
     # IVF health triple's batch faces in the window (r11 queue)
-    "ann_ivf_drift_monitor",
+    # r13: ann_ivf_drift_monitor (green r12; the IVF health triple
+    # keeps driver rows via ann_ivf_balance_monitor and
+    # stream_ivf_health_replay, which computes the same drift report
+    # over the stream-built index) — superseded by
+    # ann_pq_drift_monitor: the sibling drift report over the PQ
+    # CODEBOOK (per-subspace centroid displacement vs the frozen
+    # training residuals — the signal that says re-train the codes,
+    # not just the cells); r11 queue leftover
+    "ann_pq_drift_monitor",
     # r8: top3_orders_per_segment (green r1-r7; rank-per-group — the
     # WindowGroupLimit machinery keeps its driver row via
     # window_heavy_hitters_1h) gave its slot to
@@ -800,7 +953,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sketch path (exact distinct hash-compared + a within-5% bound
     # the oracle pins to TRUE) — retiring the r1 no_oracle row for
     # approx_distinct_users with strictly stronger evidence
-    "approx_distinct_users_bounded",
+    # r13: approx_distinct_users_bounded (green r8-r12) — superseded
+    # by tumble_approx_distinct_users_bounded: the IDENTICAL
+    # dedup-first exact+HLL bounded pattern applied PER TUMBLING
+    # WINDOW — strictly more surface (window assignment on top of the
+    # sketch gate), and it retires the last no-oracle rationale gap:
+    # the windowed HLL row tumble_approx_distinct_users_1h now has a
+    # hash-gated bounded twin (r12 verdict #4); the batch bounded form
+    # stays full-suite verified under the identical oracle
+    "tumble_approx_distinct_users_bounded",
     # r7b: customers_without_orders (EXCEPT -> left-anti join
     # physically) — tpch_q21 above plans the identical left-anti join
     # for its NOT EXISTS half, so the set-op's physical machinery keeps

@@ -362,7 +362,13 @@ def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "append") -> dic
     "sec": summed triggerExecution time} from StreamingQueryProgress —
     so callers can report throughput in the reference's own metric
     (numEvents / duration, BASELINE.md's Prometheus definition), not
-    just wall time. Callers that only want the table ignore it."""
+    just wall time. Also carries the engine's state-store gauges when
+    the query is stateful — "state_rows" / "state_bytes" are the MAX
+    across micro-batches of numRowsTotal / memoryUsedBytes (peak
+    working set, the number the scale probes fit exponents on; for
+    the bucketed Python folds numRowsTotal is the fixed bucket count
+    and memoryUsedBytes is what actually tracks keys). Callers that
+    only want the table ignore it."""
     q = (
         sdf.writeStream.outputMode(output_mode)
         .format("memory")
@@ -377,4 +383,15 @@ def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "append") -> dic
     progress = q.recentProgress or []
     rows = sum(int(p.get("numInputRows", 0)) for p in progress)
     ms = sum(int((p.get("durationMs") or {}).get("triggerExecution", 0)) for p in progress)
-    return {"rows": rows, "sec": round(ms / 1000.0, 3)}
+    state_rows = 0
+    state_bytes = 0
+    for p in progress:
+        for op in p.get("stateOperators") or []:
+            state_rows = max(state_rows, int(op.get("numRowsTotal", 0)))
+            state_bytes = max(state_bytes, int(op.get("memoryUsedBytes", 0)))
+    return {
+        "rows": rows,
+        "sec": round(ms / 1000.0, 3),
+        "state_rows": state_rows,
+        "state_bytes": state_bytes,
+    }

@@ -471,12 +471,17 @@ def test_ivf_mechanics(spark):
 
 def test_approx_quantiles_bound(spark):
     """approx_value_quantiles_by_type has no cross-engine oracle (the
-    sketch is engine-specific) — bound it the way the sketch is
-    specified: by RANK error. The approx p50/p95 must fall between the
-    exact p48/p52 and p93/p97 respectively (the sketch returns an
-    actual data point, so value-relative bounds are wrong for small
-    groups where adjacent order statistics are far apart)."""
+    sketch is engine-specific; retired from the registry r13 in favor
+    of value_quantiles_by_type_bounded's hash gate) — bound the raw
+    estimates the way the sketch is specified: by RANK error. The
+    approx p50/p95 must fall between the exact p48/p52 and p93/p97
+    respectively (the sketch returns an actual data point, so
+    value-relative bounds are wrong for small groups where adjacent
+    order statistics are far apart)."""
     from flink_fraud_detection_rocks_db_app_spark.fixtures import load
+    from flink_fraud_detection_rocks_db_app_spark.operators.olap import (
+        approx_value_quantiles_by_type,
+    )
 
     brackets = (
         load(spark, SF_SMALL, "events")
@@ -492,7 +497,7 @@ def test_approx_quantiles_bound(spark):
     exact = {r.event_type: r for r in brackets}
     approx = {
         r.event_type: (r.p50, r.p95)
-        for r in _rows(spark, "approx_value_quantiles_by_type")
+        for r in approx_value_quantiles_by_type(spark, SF_SMALL).collect()
     }
     assert set(exact) == set(approx)
     for k, e in exact.items():
@@ -527,9 +532,14 @@ def test_connected_components_min_label(spark):
 
 def test_approx_distinct_tracks_exact_twin(spark):
     """tumble_approx_distinct_users_1h has no SQL oracle (HLL sketches
-    are engine-specific); its correctness contract is relative error
-    against the exact COUNT(DISTINCT) twin: |approx-exact|/exact within
-    3*rsd for every window, and identical window membership."""
+    are engine-specific; retired from the registry r13 in favor of
+    tumble_approx_distinct_users_bounded's hash gate); the raw
+    estimates' contract is relative error against the exact
+    COUNT(DISTINCT) twin: |approx-exact|/exact within 3*rsd for every
+    window, and identical window membership."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.windows import (
+        tumble_approx_distinct_users_1h,
+    )
     from flink_fraud_detection_rocks_db_app_spark.registry import all_queries
 
     qs = all_queries()
@@ -539,7 +549,7 @@ def test_approx_distinct_tracks_exact_twin(spark):
     }
     approx = {
         r.w_start: r.n_users_approx
-        for r in qs["tumble_approx_distinct_users_1h"].fn(spark, SF_SMALL).collect()
+        for r in tumble_approx_distinct_users_1h(spark, SF_SMALL).collect()
     }
     assert set(exact) == set(approx)
     for w, e in exact.items():

@@ -366,3 +366,119 @@ def test_zorder_files_are_z_sorted_within_each_bucket(spark):
             assert all(a <= b for a, b in zip(zs, zs[1:])), f
             checked += 1
     assert checked > 0, "expected at least one multi-row part-file"
+
+
+def test_zorder_bounds_refresh_invariance_and_rebalance(spark, scratch):
+    """The r11/r12 verdicts' owed arm, end to end on a scratch asset:
+    (1) a skew-appended table under stale quadrant bounds trips the
+    hot trigger; (2) refresh_zorder_layout re-derives and re-places —
+    the slice aggregate is IDENTICAL before and after (oracle
+    unchanged: values never move, only placement), no row is lost,
+    duplicated or altered; (3) balance is restored (no bucket over the
+    trigger) and every file's footer rectangle tightens back to a
+    bounded fraction of the domain."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.layout import (
+        ZBUCKET_BITS,
+        refresh_zorder_layout,
+        zorder_events_frozen,
+        zorder_hot_buckets,
+    )
+
+    asset = os.path.join(scratch, "zorder_refresh")
+    ev = load(spark, SF_SMALL, "events").withColumn(
+        "t_ms", F.expr("CAST(ts div 1000000 AS BIGINT)")
+    )
+    dom = ev.agg(
+        F.min("user_id").alias("u_min"),
+        F.max("user_id").alias("u_max"),
+        F.min("t_ms").alias("t_min"),
+        F.max("t_ms").alias("t_max"),
+    ).collect()[0]
+    stale = ev.where(
+        (F.col("user_id") <= dom.u_min + (dom.u_max - dom.u_min) * 5 // 10)
+        & (F.col("t_ms") <= dom.t_min + (dom.t_max - dom.t_min) * 5 // 10)
+    )
+    stale.agg(
+        F.min("user_id").alias("u_min"),
+        F.max("user_id").alias("u_max"),
+        F.min("t_ms").alias("t_min"),
+        F.max("t_ms").alias("t_max"),
+    ).write.parquet(os.path.join(asset, "bounds"))
+    zorder_events_frozen(
+        ev.drop("t_ms"), spark.read.parquet(os.path.join(asset, "bounds"))
+    ).repartition("zbucket").sortWithinPartitions("zbucket", "z").write.partitionBy(
+        "zbucket"
+    ).parquet(os.path.join(asset, "data"))
+
+    def snapshot(path):
+        df = spark.read.parquet(path)
+        slice_rows = {
+            (r.event_type, r.n_events, r.sum_value)
+            for r in df.where(
+                F.col("user_id").between(
+                    dom.u_min + (dom.u_max - dom.u_min) * 4 // 10,
+                    dom.u_min + (dom.u_max - dom.u_min) * 6 // 10,
+                )
+                & F.col("t_ms").between(
+                    dom.t_min + (dom.t_max - dom.t_min) * 4 // 10,
+                    dom.t_min + (dom.t_max - dom.t_min) * 6 // 10,
+                )
+            )
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .collect()
+        }
+        ids = df.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("event_id").alias("nd"),
+            F.sum(F.hash("event_id", "user_id", "event_type")).alias("content"),
+        ).collect()[0]
+        return slice_rows, ids
+
+    data = os.path.join(asset, "data")
+    hot_before = zorder_hot_buckets(spark.read.parquet(data))
+    assert hot_before, "stale quadrant bounds must trip the hot trigger"
+    slice_before, ids_before = snapshot(data)
+
+    retired = refresh_zorder_layout(spark, asset)
+    assert retired == len(hot_before)
+
+    slice_after, ids_after = snapshot(data)
+    assert slice_after == slice_before
+    assert ids_after == ids_before
+    assert zorder_hot_buckets(spark.read.parquet(data)) == []
+
+    # footer rectangles re-tighten: under stale bounds the clamp-pile
+    # corner file spanned ~half the domain on both dims; after refresh
+    # every file's user rectangle covers a bounded fraction again
+    spans = _file_ranges(data, "user_id")
+    u_span = dom.u_max - dom.u_min
+    assert max(hi - lo for lo, hi in spans) <= u_span * 0.45
+
+    # refreshed bounds really were re-derived from the full table
+    nb = spark.read.parquet(os.path.join(asset, "bounds")).collect()[0]
+    assert (nb.u_min, nb.u_max) == (dom.u_min, dom.u_max)
+    assert (nb.t_min, nb.t_max) == (dom.t_min, dom.t_max)
+
+
+def test_zorder_refreshed_asset_records_the_before_picture(spark):
+    """The registered face's asset carries its own evidence: the
+    recorded stale occupancy shows a bucket over the hot trigger, and
+    the published (refreshed) data shows none, with identical totals."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.layout import (
+        ZBUCKET_BITS,
+        ZORDER_HOT_FACTOR,
+        ensure_zorder_refreshed,
+        zorder_hot_buckets,
+    )
+
+    asset = ensure_zorder_refreshed(spark, SF_SMALL)
+    n_buckets = 1 << ZBUCKET_BITS
+    occ = spark.read.parquet(os.path.join(asset, "stale_occupancy")).collect()
+    total = sum(r.n_rows for r in occ)
+    assert total == load(spark, SF_SMALL, "events").count()
+    assert any(r.n_rows * n_buckets > ZORDER_HOT_FACTOR * total for r in occ)
+    refreshed = spark.read.parquet(os.path.join(asset, "data"))
+    assert zorder_hot_buckets(refreshed) == []
+    assert refreshed.count() == total
