@@ -65,17 +65,10 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "calendar-spine left-join machinery recurs in the driver-gated "
     "gapless window rows, and the time-series family's driver row is "
     "now ts_znorm_pattern_topk + its streaming twin (r10 rotation)",
-    "sketch": "the mergeable-sketch contract keeps its driver row via "
-    "approx_distinct_users_bounded (exact hash + in-bounds pin); "
-    "decontaminate_bloom_prefilter held green r4-r9 and the bitset "
-    "probe + persisted-HLL rollup faces stay full-suite verified and "
-    "plan-tested (r10 rotation)",
     "topk": "window_heavy_hitters_1h held green r5-r9; the "
     "WindowGroupLimit rank-per-group machinery runs verbatim inside "
     "the driver-gated mlt_bm25_topk and every ANN top-k row (r10 "
     "rotation)",
-    "distinct": "exact windowed distinct is the oracle twin of the "
-    "driver-gated median/heavy-hitter window rows; HLL twin is approx",
     "filter": "P7 pushdown filters run inside every detector driver row's "
     "plan and are plan-tested (established r4b rotation rationale)",
     "histogram": "describe/summary aggregate over the same groupBy "
@@ -105,6 +98,36 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "setop": "EXCEPT lowers to the same physical left-anti join the "
     "driver-gated tpch_q21 NOT EXISTS half plans (r7 rotation "
     "rationale); the EXCEPT spelling stays full-suite verified",
+    "pivot": "pivot_user_event_type holds SEVEN rounds of cumulative "
+    "green driver evidence (r4-r8 + the r11 re-gate through r12); the "
+    "reshape machinery stays full-suite verified; its r13 slot went "
+    "to zorder_balance_monitor (r13 rotation)",
+    "sql": "the spark.sql() text faces are plan-identical to their "
+    "DataFrame twins under IMPORTED-SAME oracle objects and stay "
+    "pinned by the sqlapi suite + full oracle parity every round; "
+    "sql_tumble_sum_3s held green r3-r8 + r11-r12 before giving its "
+    "slot to heavy_hitters_mg_bounded (r13 rotation)",
+    "subquery": "all 22 TPC-H shapes hold cumulative driver evidence "
+    "as of r10 and q11's scalar-subquery HAVING gate held green "
+    "r10-r12; decorrelation machinery stays full-suite verified with "
+    "the 6dp convention; q11's slot went to the temporal pillar "
+    "(r13 rotation)",
+    "timetravel": "cdc_snapshot_asof held green r12; the "
+    "latest-op-wins version pick is strictly contained in the "
+    "driver-gated temporal_join_purchase_status per-fact as-of pick, "
+    "and the WindowGroupLimit compaction it shares with "
+    "cdc_upsert_snapshot is driver-gated via stream_cdc_upsert_replay "
+    "(r13 rotation)",
+    "split": "split_train_val_test held green r4b-r8 + r11-r12; the "
+    "independent-Knuth-hash admission gate keeps THREE driver rows "
+    "via mixture_apply_docs, source_cap_docs and export_mixture_shards "
+    "(r13 rotation)",
+    "lifecycle": "events_zorder_slice_refreshed (r13-new) shares the "
+    "IDENTICAL oracle and slice machinery with driver-gated "
+    "events_zorder_slice — the hash certifies refresh invariance the "
+    "same way it certifies append invariance; the refresh-specific "
+    "claims (hot trigger fires, balance restored, bounds re-derived) "
+    "are pinned by test_layout.py (new-face policy: named green twin)",
 }
 # r7: "warehouse" and "chunking" left the allowlist — ann_ivf_topk_indexed
 # and doc_chunk_windows rotated INTO the window (registry.py comments).
@@ -120,6 +143,11 @@ SUITE_ONLY_TAGS: dict[str, str] = {
 # allowlist — approx_distinct_users_bounded,
 # stream_pattern_rising_replay, stream_continuous_rollup_replay and
 # project_account_amount_ts rotated INTO the window.
+# r13: "sketch" and "distinct" left the allowlist —
+# heavy_hitters_mg_bounded (the MG frequency sketch) and
+# tumble_approx_distinct_users_bounded (the windowed HLL gate) rotated
+# INTO the window; "temporal"/"cdc"/"scd2"/"graph"/"training" never
+# entered it — the r12 pillar waves rotated in wholesale this round.
 
 
 def test_driver_window_is_exactly_50_unique_registered_names():
