@@ -22,6 +22,7 @@ a missed vectorization.
 from __future__ import annotations
 
 import json
+import os
 from typing import Iterator
 
 import numpy as np
@@ -102,9 +103,22 @@ def _sorted_arrays(pdf_iter: Iterator[pd.DataFrame]):
 # per-group Arrow/pandas overhead is paid ~N_FOLD_BUCKETS times instead
 # of once per account, while the fold inside walks the bucket sorted by
 # (account_id, event_time, event_id) and resets at key changes — the
-# exact same per-key semantics. At cluster scale the bucket count is
-# the parallelism knob and stays skew-free for hashed keys.
-N_FOLD_BUCKETS = 64
+# exact same per-key semantics. At cluster scale the bucket count IS
+# the fold family's parallelism ceiling (at most N_FOLD_BUCKETS
+# concurrent tasks regardless of cluster size — the SCALE.md r13
+# throughput table multiplies the per-core fold rate by exactly this
+# number), so it is a deployment knob: SPARK_GRAFT_FOLD_BUCKETS
+# overrides the default. Results are bucket-count-INVARIANT by
+# construction (buckets only group accounts; every fold sorts by
+# (account_id, t_us, event_id) and resets at key changes —
+# test_fold_output_invariant_under_bucket_count pins it), and stays
+# skew-free for hashed keys. One rule: a STREAMING checkpoint binds
+# the bucket count it was written under — resuming with a different
+# value would re-home accounts to other buckets' state, so treat the
+# knob as fixed per pipeline and start fresh checkpoints when raising
+# it (the versioned state format guards SHAPE drift; bucket count is
+# a deployment-time constant by contract).
+N_FOLD_BUCKETS = int(os.environ.get("SPARK_GRAFT_FOLD_BUCKETS", "64"))
 
 # record_buffer_tumbling_stream state-format version: bump whenever the
 # grouping key or serialized state shape changes, so a checkpoint

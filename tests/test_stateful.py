@@ -104,3 +104,36 @@ def test_count_or_time_segments_golden(spark):
             )
     assert any(v[2] == "early" for v in want.values()), "fixture should trigger early fires"
     assert got == want
+
+
+def test_fold_output_invariant_under_bucket_count(spark, monkeypatch):
+    """N_FOLD_BUCKETS is the fold family's parallelism ceiling (at most
+    that many concurrent tasks) and, since r13, a deployment knob
+    (SPARK_GRAFT_FOLD_BUCKETS). The knob must be SEMANTICS-FREE:
+    buckets only group accounts, every fold sorts by (account, t_us,
+    event_id) and resets at key changes, so the emitted rows — values
+    included, bit for bit — cannot depend on the bucket count. Pinned
+    across a degenerate (4), the default (64) and a larger prime (257)
+    count for the F5 fold, the EWMA fold and the capped-session fold."""
+    import flink_fraud_detection_rocks_db_app_spark.streaming.stateful as ss
+    from flink_fraud_detection_rocks_db_app_spark.operators.stateful import (
+        ewma_amount_per_account,
+        session_capped_user,
+    )
+
+    def snapshots():
+        return (
+            sorted(
+                map(tuple, running_sum_alerts_batch(
+                    transactions_with_id(spark, SF_SMALL), 500.0
+                ).collect())
+            ),
+            sorted(map(tuple, ewma_amount_per_account(spark, SF_SMALL).collect())),
+            sorted(map(tuple, session_capped_user(spark, SF_SMALL).collect())),
+        )
+
+    results = {}
+    for n in (4, 64, 257):
+        monkeypatch.setattr(ss, "N_FOLD_BUCKETS", n)
+        results[n] = snapshots()
+    assert results[4] == results[64] == results[257]
