@@ -191,16 +191,13 @@ BNLJ_OK = {
     # inherits the MLT stats broadcast + the bounded exact-cosine
     # query-frame cross-broadcast (the ann_cosine_topk form)
     "hybrid_rrf_topk",
-    # MLT stats broadcast + the bounded IVF-quantizer cross-broadcast
-    # in the probe stage (IVF_CELLS rows); the semantic arm's codes
-    # side is a partition-pruned equi join on cell, never a nested loop
-    "hybrid_rrf_topk_indexed",
+    # r13: hybrid_rrf_topk_indexed and the overlap/nDCG/MRR monitors
+    # left this list — their registered plans are now bounded reads of
+    # the content-keyed eval-frames asset; the documented broadcasts
+    # live in the BUILDER (write_hybrid_eval_frames), whose plan shape
+    # test_hybrid_indexed_semantic_arm_probes_index pins directly
     # same two arms, anti-joined instead of fused
     "hard_negatives_topk",
-    # composes hybrid_rrf_topk (exact-arm broadcast documented above)
-    # with the indexed hybrid; the overlap join itself is a bounded
-    # equi join on the O(queries x k) fused frames
-    "hybrid_overlap_at_k",
     # one-row bloom-bitset array broadcast to every task (16 KB build
     # side; the probe is a scan-side filter, not a join predicate)
     "decontaminate_bloom_prefilter",
@@ -593,8 +590,25 @@ def test_hybrid_indexed_semantic_arm_probes_index(spark):
     codes scan as PartitionFilters — and raw embeddings must be read
     ONLY for bounded query/quantizer frames (every embeddings scan
     carries a pushed vec_id upper-bound filter; no full-corpus
-    raw-vector scan survives in the plan)."""
-    q = all_queries()["hybrid_rrf_topk_indexed"].fn(spark, SF_SMALL)
+    raw-vector scan survives in the plan). Since r13 the registered
+    face reads the content-keyed eval-frames asset (its plan is a
+    bounded parquet read — asserted below), so the probe-shape claims
+    are pinned on the BUILDER's plan, exactly as the fusion runs
+    inside write_hybrid_eval_frames."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.retrieval import (
+        _mlt_ranked_indexed,
+        _rrf_fuse,
+        _sem_ranked_ivfpq_indexed,
+    )
+
+    face_plan = explain_str(
+        all_queries()["hybrid_rrf_topk_indexed"].fn(spark, SF_SMALL)
+    )
+    assert "hybrid_eval_frames" in face_plan, face_plan
+    q = _rrf_fuse(
+        _mlt_ranked_indexed(spark, SF_SMALL),
+        _sem_ranked_ivfpq_indexed(spark, SF_SMALL),
+    )
     qplan = explain_str(q)
     assert "PartitionFilters: [cell" in qplan, qplan
     # every scan of the raw embeddings table is a bounded query-side
