@@ -360,6 +360,10 @@ HEADLINE = [
     # the current (skew-appended) table, re-layout, slice oracle
     # unchanged; prices the full OPTIMIZE-style rewrite
     "events_zorder_slice_refreshed",
+    # round 13: the graph pillar's streaming twin — edge chunks through
+    # the engine into idempotent segments, then the batch-identical
+    # five-iteration rank refresh over the ingested union
+    "stream_pagerank_ingest_replay",
 ]
 
 

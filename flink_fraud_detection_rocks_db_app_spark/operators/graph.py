@@ -78,13 +78,12 @@ FROM r{PR_ITERS}
 """
 
 
-def _pagerank_loop(spark: SparkSession, sf_dir: str):
-    """Run the persisted-edges iteration shared by the ranking face and
-    the convergence monitor; returns (second-to-last, last) rank
-    frames, both eagerly checkpointed."""
+def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct (customer, supplier) trading pairs with
+    parity-disjoint node ids — the graph's edge source."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
+    return (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
             (F.col("o_custkey") * 2).alias("a"),
@@ -92,6 +91,16 @@ def _pagerank_loop(spark: SparkSession, sf_dir: str):
         )
         .distinct()
     )
+
+
+def _pagerank_loop(spark: SparkSession, sf_dir: str):
+    return _pagerank_iterate(_trade_pairs(spark, sf_dir))
+
+
+def _pagerank_iterate(pairs: DataFrame):
+    """Run the persisted-edges iteration shared by the ranking face,
+    the convergence monitor and the streamed-ingest twin; returns
+    (second-to-last, last) rank frames, both eagerly checkpointed."""
     edges = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
