@@ -68,6 +68,13 @@ PROBED = [
     "tumble_approx_median_1h",
     "funnel_view_click_purchase",
     "zscore_alerts_3sigma",
+    # r13: the two new bounded sketch gates — the per-type quantile
+    # face is one scan + one O(types) hash aggregate; the windowed
+    # distinct face pays the dedup-first two-shuffle shape (narrow
+    # (window, account) dedup, then per-window exact+HLL), both ∝
+    # events under the plan floor
+    "value_quantiles_by_type_bounded",
+    "tumble_approx_distinct_users_bounded",
     "span_dup_stats",
     # r7 additions: the iterative-CC composite (pairs -> min-label CC
     # -> quality argmax; CC rounds = O(component diameter), which the
