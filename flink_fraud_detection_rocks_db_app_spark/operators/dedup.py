@@ -41,11 +41,19 @@ _SHINGLES_DUCK = (
 NORM_SQL_SPARK = "regexp_replace(lower(text), '\\\\s+', ' ')"
 NORM_SQL_DUCK = r"regexp_replace(lower(text), '\s+', ' ', 'g')"
 
+# Near-dup truth config: word-SHINGLE_N-gram shingles, exact Jaccard >=
+# NEARDUP_JACCARD. The DuckDB oracles inline the same values (parity
+# pins the pairing); the constants also key the materialized truth
+# asset (ensure_true_neardup_pairs), so a config change publishes a
+# NEW asset instead of silently serving stale pairs.
+SHINGLE_N = 3
+NEARDUP_JACCARD = 0.5
+
 
 def shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select("doc_id", whitespace_tokens("text").alias("w")).select(
-        "doc_id", word_ngrams("w", 3).alias("shingles")
+        "doc_id", word_ngrams("w", SHINGLE_N).alias("shingles")
     )
 
 
@@ -140,7 +148,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(sza, "doc_a")
         .join(szb, "doc_b")
-        .where(j >= 0.5)
+        .where(j >= NEARDUP_JACCARD)
         .select("doc_a", "doc_b", j.alias("jaccard"))
     )
 
@@ -429,7 +437,16 @@ def ensure_true_neardup_pairs(spark: SparkSession, sf_dir: str) -> str:
     def build(tmp: str) -> None:
         dedup_ngram_jaccard(spark, sf_dir).write.mode("overwrite").parquet(tmp)
 
-    return ensure_index("true_neardup_pairs", sf_dir, "documents", build)
+    # keyed on the truth config so a threshold/shingle change publishes
+    # a fresh asset (ADVICE r13) — stale pairs would otherwise survive
+    # any tuning experiment that reads the asset directly
+    return ensure_index(
+        "true_neardup_pairs",
+        sf_dir,
+        "documents",
+        build,
+        version=f"ng{SHINGLE_N}-j{NEARDUP_JACCARD}",
+    )
 
 
 def ensure_simhash_bands(spark: SparkSession, sf_dir: str) -> str:
@@ -452,7 +469,14 @@ def ensure_simhash_bands(spark: SparkSession, sf_dir: str) -> str:
             os.path.join(tmp, "cand")
         )
 
-    return ensure_index("simhash_bands", sf_dir, "documents", build)
+    # the band count IS the asset's content (cand/ is the banded
+    # candidate set), so it keys the asset: changing SIMHASH_BANDS
+    # publishes fresh sig/cand frames instead of serving stale ones
+    # (ADVICE r13 — the docstring's 'band-count change is a
+    # format-version bump' promise, now enforced by construction)
+    return ensure_index(
+        "simhash_bands", sf_dir, "documents", build, version=SIMHASH_BANDS
+    )
 
 
 @register(

@@ -79,7 +79,10 @@ def content_fingerprint(sf_dir: str, table: str) -> str:
 
 
 def index_path(
-    kind: str, sf_dir: str, table: str | tuple[str, ...], version: int = 1
+    kind: str,
+    sf_dir: str,
+    table: str | tuple[str, ...],
+    version: int | str = 1,
 ) -> tuple[str, str]:
     """(parent_dir, index_dir) for a materialized index of `kind` over
     `table` in `sf_dir` — content-keyed as described in the module
@@ -91,7 +94,10 @@ def index_path(
     `version` is the index FORMAT version: bump it when the
     on-disk layout or schema changes, so a published index in the old
     format reads as stale (and is pruned) instead of breaking the new
-    probe."""
+    probe. It may be a STRING derived from the tuning constants the
+    asset's content depends on (band counts, thresholds, top-k) —
+    then a constant change keys a new asset automatically instead of
+    silently serving stale frames (ADVICE r13)."""
     tables = (table,) if isinstance(table, str) else tuple(table)
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     chained = "|".join(content_fingerprint(sf_dir, t) for t in tables)
@@ -105,7 +111,7 @@ def ensure_index(
     sf_dir: str,
     table: str | tuple[str, ...],
     build: Callable[[str], None],
-    version: int = 1,
+    version: int | str = 1,
 ) -> str:
     """Build-once-if-absent with the atomic publish + stale prune
     described in the module docstring. `build(tmp_path)` materializes

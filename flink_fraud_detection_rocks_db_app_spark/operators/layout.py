@@ -559,18 +559,50 @@ def zorder_hot_buckets(zed: DataFrame) -> list[int]:
     )
 
 
+def _recover_swap(live: str) -> None:
+    """Heal a crash inside _swap_dir's two-rename window: if the live
+    directory is missing but its deterministic displaced copy exists,
+    put it back. Idempotent; called before any refresh touches the
+    asset."""
+    old = f"{live}.old"
+    if not os.path.isdir(live) and os.path.isdir(old):
+        os.rename(old, live)
+
+
+def _swap_dir(live: str, tmp: str) -> None:
+    """Replace `live` with fully-written `tmp`. POSIX can't rename onto
+    a non-empty directory, so there IS a window between the two renames
+    where `live` is absent — but the displaced copy has the
+    DETERMINISTIC name `live.old` (not a random hex dir), so a crash
+    there is healed automatically by _recover_swap on the next touch
+    instead of requiring manual recovery (ADVICE r13). Single-writer
+    per asset (the ensure_index publish contract); a reader racing the
+    swap can transiently see path-not-found and should retry."""
+    old = f"{live}.old"
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+    os.rename(live, old)
+    os.rename(tmp, live)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def refresh_zorder_layout(spark: SparkSession, asset: str) -> int:
     """Re-derive bounds from the CURRENT table and re-lay out every row
-    under them, in place. Crash-safe: both replacement directories are
-    fully written before any swap; the data swap is the commit point
-    (the compact_parquet_table rename discipline). A crash between the
-    two swaps leaves new data under old bounds — queries stay correct
-    (they never read bounds) and the next append merely clamps like any
-    stale-bounds append until the next refresh heals placement.
+    under them, in place. Both replacement directories are fully
+    written before any swap; the data swap commits the new placement,
+    then the bounds swap follows. Two windows are left honest rather
+    than claimed away: (a) a crash BETWEEN the two swaps leaves new
+    data under old bounds — queries stay correct (they never read
+    bounds) and the next append merely clamps like any stale-bounds
+    append until the next refresh heals placement; (b) a crash INSIDE
+    either swap's two-rename window leaves that directory displaced
+    under its deterministic `.old` name, and _recover_swap restores it
+    on the next refresh (no stranded random-hex dirs — ADVICE r13).
     Returns the number of hot buckets the refresh retired (0 = the
     trigger hadn't fired; the rewrite still ran)."""
     data = os.path.join(asset, "data")
     bounds_dir = os.path.join(asset, "bounds")
+    _recover_swap(data)
+    _recover_swap(bounds_dir)
     zed = spark.read.parquet(data)
     hot_before = zorder_hot_buckets(zed)
     rows = zed.drop("z", "zbucket", "t_ms")
@@ -591,11 +623,8 @@ def refresh_zorder_layout(spark: SparkSession, asset: str) -> int:
         .partitionBy("zbucket")
         .parquet(new_data_tmp)
     )
-    for live, tmp in ((data, new_data_tmp), (bounds_dir, new_bounds_tmp)):
-        old = f"{live}.old-{uuid.uuid4().hex[:8]}"
-        os.rename(live, old)
-        os.rename(tmp, live)
-        shutil.rmtree(old, ignore_errors=True)
+    _swap_dir(data, new_data_tmp)
+    _swap_dir(bounds_dir, new_bounds_tmp)
     return len(hot_before)
 
 

@@ -572,24 +572,36 @@ def write_hybrid_eval_frames(spark: SparkSession, sf_dir: str, path: str) -> Non
     face run): exact_h fuses the indexed-MLT arm with the exact-cosine
     semantic arm, idx_h with the IVFPQ-probe arm."""
     lex = _mlt_ranked_indexed(spark, sf_dir).persist()
-    _rrf_fuse(lex, _sem_ranked(spark, sf_dir)).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "exact_h"))
-    _rrf_fuse(lex, _sem_ranked_ivfpq_indexed(spark, sf_dir)).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "idx_h"))
-    lex.unpersist()
+    try:
+        _rrf_fuse(lex, _sem_ranked(spark, sf_dir)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "exact_h"))
+        _rrf_fuse(
+            lex, _sem_ranked_ivfpq_indexed(spark, sf_dir)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "idx_h")
+        )
+    finally:
+        # a failed write must not leak the cached frame in a
+        # long-lived driver session (ADVICE r13)
+        lex.unpersist()
 
 
 def ensure_hybrid_eval_frames(spark: SparkSession, sf_dir: str) -> str:
     from .indexcache import ensure_index
+    from .similarity import IVF_NPROBE
 
+    # the frames' CONTENT depends on the retrieval tuning constants —
+    # query set, depth, RRF constant, probe width — so they key the
+    # asset: a constant change publishes fresh frames instead of
+    # silently serving stale fusions (ADVICE r13, same class as the
+    # simhash-band asset)
     return ensure_index(
         "hybrid_eval_frames",
         sf_dir,
         ("documents", "embeddings"),
         lambda tmp: write_hybrid_eval_frames(spark, sf_dir, tmp),
-        version=1,
+        version=f"q{MLT_QUERIES}-k{MLT_TOP_K}-rrf{RRF_K}-np{IVF_NPROBE}",
     )
 
 

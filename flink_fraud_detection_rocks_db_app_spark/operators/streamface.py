@@ -2478,63 +2478,82 @@ def _graph_oracle() -> str:
     "is global, so unlike the BM25/IVF ingest faces the refresh is "
     "the contract, and the monolithic unrolled-CTE oracle gates that "
     "nothing was lost, duplicated or reordered into a different "
-    "fixed point on the way through the engine).",
+    "fixed point on the way through the engine). Served from a "
+    "content-keyed asset (keyed on orders+lineitem, the "
+    "ensure_pagerank_ranks lifecycle): ingest + refresh run once per "
+    "source content inside the asset build and the face reads the "
+    "published rank table lazily.",
     tags=("streaming", "graph", "iterative", "parity"),
 )
 def stream_pagerank_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import time as _time
+    from .graph import _ENTITY
+    from .indexcache import ensure_index
 
-    from .graph import _ENTITY, _pagerank_iterate, _trade_pairs
+    def build(tmp: str) -> None:
+        import time as _time
 
-    name = f"pringest_{uuid.uuid4().hex[:8]}"
-    scratch = os.path.join(_SCRATCH_ROOT, name)
-    os.makedirs(scratch, exist_ok=True)
-    try:
-        pairs = _trade_pairs(spark, sf_dir)
-        src = os.path.join(scratch, "arrivals")
-        base_t = _time.time()
-        seen: set[str] = set()
-        # strictly ascending mtimes per chunk (the write_replay_chunks
-        # rule): FileStreamSource orders same-mtime files arbitrarily
-        for i in range(3):
-            pairs.where(F.pmod(F.xxhash64("a", "b"), F.lit(3)) == i).coalesce(
-                1
-            ).write.mode("append").parquet(src)
-            for f in os.listdir(src):
-                p = os.path.join(src, f)
-                if f.endswith(".parquet") and p not in seen:
-                    os.utime(p, (base_t + i, base_t + i))
-                    seen.add(p)
+        from .graph import _pagerank_iterate, _trade_pairs
 
-        edges_dir = os.path.join(scratch, "edges")
+        name = f"pringest_{uuid.uuid4().hex[:8]}"
+        scratch = os.path.join(_SCRATCH_ROOT, name)
+        os.makedirs(scratch, exist_ok=True)
+        try:
+            pairs = _trade_pairs(spark, sf_dir)
+            src = os.path.join(scratch, "arrivals")
+            base_t = _time.time()
+            seen: set[str] = set()
+            # strictly ascending mtimes per chunk (the
+            # write_replay_chunks rule): FileStreamSource orders
+            # same-mtime files arbitrarily
+            for i in range(3):
+                pairs.where(
+                    F.pmod(F.xxhash64("a", "b"), F.lit(3)) == i
+                ).coalesce(1).write.mode("append").parquet(src)
+                for f in os.listdir(src):
+                    p = os.path.join(src, f)
+                    if f.endswith(".parquet") and p not in seen:
+                        os.utime(p, (base_t + i, base_t + i))
+                        seen.add(p)
 
-        def sink(batch: DataFrame, bid: int) -> None:
-            if batch.isEmpty():
-                return
-            batch.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(edges_dir, f"seg={bid}")
+            edges_dir = os.path.join(scratch, "edges")
+
+            def sink(batch: DataFrame, bid: int) -> None:
+                if batch.isEmpty():
+                    return
+                batch.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(edges_dir, f"seg={bid}")
+                )
+
+            q = (
+                spark.readStream.schema(pairs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
             )
+            q.awaitTermination()
 
-        q = (
-            spark.readStream.schema(pairs.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-            .writeStream.foreachBatch(sink)
-            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            ingested = spark.read.parquet(edges_dir).select("a", "b")
+            _, ranks = _pagerank_iterate(ingested)
+            ranks.select("node_id", "pr").write.mode("overwrite").parquet(tmp)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
 
-        ingested = spark.read.parquet(edges_dir).select("a", "b")
-        _, ranks = _pagerank_iterate(ingested)
-        out = ranks.select(
-            "node_id",
-            F.expr(_ENTITY).alias("entity"),
-            (F.col("node_id") / F.lit(2)).cast("long").alias("entity_key"),
-            F.round("pr", 6).alias("pagerank"),
-        )
-        rows = out.collect()  # bounded: O(nodes) rank rows; scratch dies below
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(scratch, ignore_errors=True)
+    # The ingested rank table is a content-keyed ASSET (the
+    # ensure_pagerank_ranks lifecycle): the ingest harness + the
+    # five-iteration refresh run once per (orders, lineitem) content
+    # inside the asset build, the face returns a LAZY read of the
+    # published parquet — no O(|V|) driver materialization here
+    # (r13 verdict #2; the scratch dir's lifetime is now scoped to
+    # the build, not to the returned frame).
+    asset = ensure_index(
+        "pagerank_ingest_ranks", sf_dir, ("orders", "lineitem"), build
+    )
+    return spark.read.parquet(asset).select(
+        "node_id",
+        F.expr(_ENTITY).alias("entity"),
+        (F.col("node_id") / F.lit(2)).cast("long").alias("entity_key"),
+        F.round("pr", 6).alias("pagerank"),
+    )

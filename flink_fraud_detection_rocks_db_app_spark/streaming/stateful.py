@@ -114,19 +114,40 @@ def _sorted_arrays(pdf_iter: Iterator[pd.DataFrame]):
 # test_fold_output_invariant_under_bucket_count pins it), and stays
 # skew-free for hashed keys. One rule: a STREAMING checkpoint binds
 # the bucket count it was written under — resuming with a different
-# value would re-home accounts to other buckets' state, so treat the
-# knob as fixed per pipeline and start fresh checkpoints when raising
-# it (the versioned state format guards SHAPE drift; bucket count is
-# a deployment-time constant by contract).
+# value would re-home accounts to other buckets' state. That rule is
+# ENFORCED, not just documented (ADVICE r13): the versioned state
+# blobs embed the bucket count they were written under ("nb") and the
+# restore path raises on mismatch, exactly like the format-version
+# check — so a checkpoint resumed under a different
+# SPARK_GRAFT_FOLD_BUCKETS fails loudly instead of silently serving
+# re-homed (wrong) fold state.
 N_FOLD_BUCKETS = int(os.environ.get("SPARK_GRAFT_FOLD_BUCKETS", "64"))
 
 # record_buffer_tumbling_stream state-format version: bump whenever the
 # grouping key or serialized state shape changes, so a checkpoint
 # written under the old format is rejected on restore instead of being
 # silently reinterpreted (the on-disk analogue of indexcache's
-# index-format version). v2 = bucket-keyed nested {account: {window:
-# sum}} (the r7 shape; v1 was the account-keyed flat {window: sum}).
-RECORD_BUFFER_STATE_V = 2
+# index-format version). v3 = v2 + embedded bucket count "nb" (the
+# grouping-key binding above); v2 was bucket-keyed nested {account:
+# {window: sum}} (the r7 shape); v1 was the account-keyed flat
+# {window: sum}.
+RECORD_BUFFER_STATE_V = 3
+
+
+def _check_state_nb(blob_nb, op_name: str) -> None:
+    """Reject a checkpoint written under a different fold-bucket count:
+    the bucket is the stateful GROUPING KEY (hash(account) % nb), so a
+    different nb re-homes accounts to other buckets' state — wrong
+    output, silently, unless caught here (ADVICE r13)."""
+    if blob_nb != N_FOLD_BUCKETS:
+        raise ValueError(
+            f"{op_name}: checkpoint state was written under "
+            f"{blob_nb!r} fold buckets but SPARK_GRAFT_FOLD_BUCKETS "
+            f"is now {N_FOLD_BUCKETS} — the bucket count is part of "
+            "the stateful grouping key; resuming would re-home "
+            "accounts to other buckets' state. Start from a fresh "
+            "checkpoint dir (or restore the original bucket count)"
+        )
 
 
 def _bucketed_fold(df: DataFrame, fold_rows) -> DataFrame:
@@ -393,6 +414,7 @@ def record_buffer_tumbling_stream(stream: DataFrame, size_ms: int) -> DataFrame:
                     "predates a state-shape change; start from a fresh "
                     "checkpoint dir"
                 )
+            _check_state_nb(blob.get("nb"), "record_buffer_tumbling_stream")
             wins: dict[int, dict[int, float]] = {
                 int(a): {int(w): v for w, v in d.items()}
                 for a, d in blob["wins"].items()
@@ -419,7 +441,17 @@ def record_buffer_tumbling_stream(stream: DataFrame, size_ms: int) -> DataFrame:
             if not d:
                 del wins[a]
         if wins:
-            state.update((json.dumps({"v": RECORD_BUFFER_STATE_V, "wins": wins}),))
+            state.update(
+                (
+                    json.dumps(
+                        {
+                            "v": RECORD_BUFFER_STATE_V,
+                            "nb": N_FOLD_BUCKETS,
+                            "wins": wins,
+                        }
+                    ),
+                )
+            )
             state.setTimeoutTimestamp(
                 min(min(d) for d in wins.values()) + size_ms
             )
@@ -444,26 +476,41 @@ def record_buffer_tumbling_stream(stream: DataFrame, size_ms: int) -> DataFrame:
 
 # ------------------------------------------------------------------- WA4
 
-# bounded-buffer state format version (see RECORD_BUFFER_STATE_V)
-BOUNDED_BUFFER_STATE_V = 1
+# bounded-buffer state format version (see RECORD_BUFFER_STATE_V).
+# v2 = v1 + embedded fold-bucket count "nb" (grouping-key binding)
+BOUNDED_BUFFER_STATE_V = 2
 
 
 def _bounded_state_encode(wins: dict, codec: str) -> tuple:
     """One row of per-bucket state. `json` is the default (versioned
     text blob — the format the checkpoint pin test fixes); `pickle` is
     the binary A/B arm (SCALE.md r10 WA4 state-floor probe): same
-    nested dict, protocol-5 bytes, same version guard."""
+    nested dict, protocol-5 bytes, same version + bucket-count
+    guard."""
     if codec == "json":
-        return (json.dumps({"v": BOUNDED_BUFFER_STATE_V, "wins": wins}),)
+        return (
+            json.dumps(
+                {
+                    "v": BOUNDED_BUFFER_STATE_V,
+                    "nb": N_FOLD_BUCKETS,
+                    "wins": wins,
+                }
+            ),
+        )
     import pickle
 
-    return (pickle.dumps((BOUNDED_BUFFER_STATE_V, wins), protocol=5),)
+    return (
+        pickle.dumps(
+            (BOUNDED_BUFFER_STATE_V, N_FOLD_BUCKETS, wins), protocol=5
+        ),
+    )
 
 
 def _bounded_state_decode(raw, codec: str) -> dict[int, dict[int, float]]:
     if codec == "json":
         blob = json.loads(raw)
         ver = blob.get("v") if isinstance(blob, dict) else None
+        nb = blob.get("nb") if isinstance(blob, dict) else None
         wins = blob["wins"] if isinstance(blob, dict) and "wins" in blob else {}
     else:
         import pickle
@@ -481,19 +528,20 @@ def _bounded_state_decode(raw, codec: str) -> dict[int, dict[int, float]]:
                 f"v{BOUNDED_BUFFER_STATE_V} pickle state; start from a "
                 "fresh checkpoint dir"
             ) from e
-        if not (isinstance(decoded, tuple) and len(decoded) == 2):
+        if not (isinstance(decoded, tuple) and len(decoded) == 3):
             raise ValueError(
                 "record_buffer_bounded_tumbling_stream: checkpoint state "
-                f"shape {type(decoded).__name__!r} != (version, wins) — "
-                "start from a fresh checkpoint dir"
+                f"shape {type(decoded).__name__!r} != (version, nb, wins) "
+                "— start from a fresh checkpoint dir"
             )
-        ver, wins = decoded
+        ver, nb, wins = decoded
     if ver != BOUNDED_BUFFER_STATE_V:
         raise ValueError(
             "record_buffer_bounded_tumbling_stream: checkpoint state "
             f"format {ver!r} != expected v{BOUNDED_BUFFER_STATE_V} — "
             "start from a fresh checkpoint dir"
         )
+    _check_state_nb(nb, "record_buffer_bounded_tumbling_stream")
     return {int(a): {int(w): float(v) for w, v in d.items()} for a, d in wins.items()}
 
 

@@ -1266,6 +1266,8 @@ def test_bounded_state_decode_pickle_corrupt_raises_versioned(spark):
         _bounded_state_encode,
     )
 
+    from flink_fraud_detection_rocks_db_app_spark.streaming.stateful import N_FOLD_BUCKETS
+
     wins = {1: {0: 2.5, 3_600_000: 4.0}}
     # round-trip still works
     (blob,) = _bounded_state_encode(wins, "pickle")
@@ -1273,14 +1275,41 @@ def test_bounded_state_decode_pickle_corrupt_raises_versioned(spark):
     # truncated bytes -> versioned ValueError, not UnpicklingError
     with pytest.raises(ValueError, match="fresh checkpoint dir"):
         _bounded_state_decode(blob[: len(blob) // 2], "pickle")
-    # wrong shape (not a 2-tuple) -> versioned ValueError
+    # wrong shape (not the (version, nb, wins) 3-tuple; a 2-tuple is
+    # the retired v1 layout) -> versioned ValueError
     with pytest.raises(ValueError, match="fresh checkpoint dir"):
         _bounded_state_decode(pickle.dumps({"not": "a tuple"}), "pickle")
+    with pytest.raises(ValueError, match="fresh checkpoint dir"):
+        _bounded_state_decode(
+            pickle.dumps((1, wins), protocol=5), "pickle"
+        )
     # wrong version -> the existing versioned message
     with pytest.raises(ValueError, match=f"v{BOUNDED_BUFFER_STATE_V}"):
         _bounded_state_decode(
-            pickle.dumps((BOUNDED_BUFFER_STATE_V + 1, wins), protocol=5), "pickle"
+            pickle.dumps(
+                (BOUNDED_BUFFER_STATE_V + 1, N_FOLD_BUCKETS, wins), protocol=5
+            ),
+            "pickle",
         )
+    # bucket-count mismatch -> the grouping-key-binding rejection
+    # (ADVICE r13): the bucket count is part of the stateful grouping
+    # key, so a checkpoint written under a different
+    # SPARK_GRAFT_FOLD_BUCKETS must fail loudly on restore, both arms
+    with pytest.raises(ValueError, match="fold buckets"):
+        _bounded_state_decode(
+            pickle.dumps(
+                (BOUNDED_BUFFER_STATE_V, N_FOLD_BUCKETS * 2, wins), protocol=5
+            ),
+            "pickle",
+        )
+    import json as _json
+
+    (jblob,) = _bounded_state_encode(wins, "json")
+    parsed = _json.loads(jblob)
+    assert parsed["nb"] == N_FOLD_BUCKETS
+    parsed["nb"] = N_FOLD_BUCKETS * 2
+    with pytest.raises(ValueError, match="fold buckets"):
+        _bounded_state_decode(_json.dumps(parsed), "json")
 
 
 def test_export_shard_manifest_dense_and_subset_stable(spark):

@@ -482,3 +482,40 @@ def test_zorder_refreshed_asset_records_the_before_picture(spark):
     refreshed = spark.read.parquet(os.path.join(asset, "data"))
     assert zorder_hot_buckets(refreshed) == []
     assert refreshed.count() == total
+
+
+def test_swap_dir_crash_window_is_self_healing(spark, scratch):
+    """_swap_dir displaces the live directory under a DETERMINISTIC
+    `.old` name, so a crash inside the two-rename window (live absent,
+    .old present) is healed by _recover_swap on the next touch instead
+    of stranding the table in a random hex dir (ADVICE r13)."""
+    import shutil
+
+    from flink_fraud_detection_rocks_db_app_spark.operators.layout import (
+        _recover_swap,
+        _swap_dir,
+    )
+
+    live = os.path.join(scratch, "swap", "data")
+    tmp = os.path.join(scratch, "swap", "data.tmp-x")
+    os.makedirs(live)
+    os.makedirs(tmp)
+    open(os.path.join(live, "old.marker"), "w").write("old")
+    open(os.path.join(tmp, "new.marker"), "w").write("new")
+
+    # normal path: tmp becomes live, displaced copy cleaned away
+    _swap_dir(live, tmp)
+    assert os.path.exists(os.path.join(live, "new.marker"))
+    assert not os.path.isdir(f"{live}.old")
+
+    # simulate a crash mid-window: live renamed away, replacement never
+    # renamed in
+    os.rename(live, f"{live}.old")
+    assert not os.path.isdir(live)
+    _recover_swap(live)
+    assert os.path.exists(os.path.join(live, "new.marker"))
+    assert not os.path.isdir(f"{live}.old")
+    # idempotent when nothing is wrong
+    _recover_swap(live)
+    assert os.path.exists(os.path.join(live, "new.marker"))
+    shutil.rmtree(os.path.join(scratch, "swap"), ignore_errors=True)
