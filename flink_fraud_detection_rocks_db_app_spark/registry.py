@@ -138,7 +138,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # pruning (the ann_ivfpq_topk_indexed precedent — the warehouse
     # form that is the 100 TB path); the scan form stays full-suite
     # verified under the identical oracle (r11 queue leftover)
-    "mlt_bm25_topk_indexed",
+    # r14: mlt_bm25_topk_indexed (green r13; the indexed-MLT arm runs
+    # verbatim inside the driver-gated hybrid eval-frames asset) gives
+    # its slot to score_calibration_bins — reliability-curve binning
+    # of the trainer's predicted probabilities
+    "score_calibration_bins",
     # dedup pillar (r4: dedup_clusters — near-dup CC over LSH pairs —
     # rotated in; it was the last dedup stage with suite-only evidence)
     # r5: dedup_exact — the md5-fingerprint hash-groupBy runs verbatim
@@ -216,7 +220,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # version without opening a new one — the CDC-feed reality the
     # plain face ignores); the plain form stays full-suite verified,
     # and the streamed form enters below (r12 wave)
-    "scd2_tombstoned_history",
+    # r14: scd2_tombstoned_history (green r13; the deletes-aware SCD2
+    # machinery stays driver-gated via stream_scd2_tombstoned_replay,
+    # same oracle family) gives its slot to cdc_snapshot_diff — the
+    # reconciliation diff between a CDC-reconstructed snapshot and the
+    # source-of-truth table
+    "cdc_snapshot_diff",
     # bm25_incremental_index_topk — the appending-corpus BM25: per-batch
     # postings segments merged at probe time under the frozen df/len
     # statistics contract (cost ∝ batch, the ingest-face policy)
@@ -227,14 +236,25 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # segment-COMPACTION lifecycle arm — many per-batch postings
     # segments merged into one, probe results invariant across the
     # compaction (the restart-compact-resume contract; r11 queue)
-    "bm25_compacted_index_topk",
+    # r14: bm25_compacted_index_topk (green r13; the compact-resume
+    # lifecycle stays test-pinned and the indexed probe driver-gated
+    # via the hybrid family) gives its slot to langid_confusion_matrix
+    # — the n-gram language-ID confusion matrix against the fixture's
+    # planted labels
+    "langid_confusion_matrix",
     # r13: ann_ivfpq_recall_at_k (green r10-r12) — superseded by
     # ann_ivfpq_refine_recall_at_k: the recall of the REFINED
     # two-stage pipeline against the same exact-cosine truth under
     # the shared recall-oracle template — the loss the serving path
     # with refine actually ships; the unrefined composed-loss monitor
     # stays full-suite verified (r11 queue leftover)
-    "ann_ivfpq_refine_recall_at_k",
+    # r14: ann_ivfpq_refine_recall_at_k (green r13; the refine stage
+    # and its recall gate stay driver-gated via ann_ivfpq_refine_topk)
+    # gives its slot to pagerank_convergence_monitor — the iterative
+    # pillar's health face (is the fixed iteration budget still
+    # enough?), reading the same published ranks asset as the ranking
+    # face under the unrolled-CTE residual oracle
+    "pagerank_convergence_monitor",
     # dedup_clusters — min-id connected components over LSH candidate
     # pairs with its recursive-CTE oracle; keep-best (below) runs the
     # richer argmax selection, this gates the canonical min-id contract
@@ -313,7 +333,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # hash-compared plus the sketch's undercount-band boolean the
     # oracle pins TRUE (r12 wave; the face the r12 verdict named THE
     # bounded heavy-hitters answer)
-    "heavy_hitters_mg_bounded",
+    # r14: heavy_hitters_mg_bounded (green r13) — superseded by its
+    # streaming twin stream_mg_ingest_replay: the SAME bounded
+    # Misra-Gries 200-counter merge but with documents arriving
+    # through the ACTUAL engine; the batch form stays full-suite
+    # verified under the identical error-bound oracle
+    "stream_mg_ingest_replay",
     # §2 windows: WA1/WA2/WA8/WA9/WA3 + sessions. r4: tumble_mean_3s
     # (A2 — same incremental-agg machinery as tumble_sum_3s, still
     # full-suite verified) gave its slot to the streaming batch face:
@@ -347,7 +372,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # asset shared with the convergence monitor), unrolled-CTE oracle
     # (r12 wave — one of the two genuinely new iterative machines the
     # verdict named)
-    "pagerank_trade_network",
+    # r14: pagerank_trade_network (green r13) — superseded by its
+    # named twin stream_pagerank_ingest_replay: the SAME five-iteration
+    # persisted-edges loop and unrolled-CTE oracle, but over edges
+    # ingested through the ACTUAL engine (de-collected this round:
+    # served lazily from a content-keyed rank asset, r13 verdict #2);
+    # the batch form reads the same asset lifecycle, full-suite green
+    "stream_pagerank_ingest_replay",
     # r7: stream_tumble_sum_1h_replay (W1/EP1 declarative streaming
     # tumbling) — the SAME windowed_agg_stream machinery and oracle is
     # driver-gated with strictly more surface by
@@ -419,7 +450,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # dsir_importance_sample: the DSIR importance resampler — O(V)
     # broadcast likelihood-ratio map scored scan-locally, hash-gated
     # acceptance (the oldest r11-queue leftover, two rounds overdue)
-    "dsir_importance_sample",
+    # r14: dsir_importance_sample (green r13; the quality-signal scan
+    # it shares with the eval faces stays driver-gated via
+    # curriculum_quality_buckets) gives its slot to
+    # score_auc_quality_vs_en — tie-exact AUC of the quality score as
+    # an is-English classifier (rank-sum form, integer-exact)
+    "score_auc_quality_vs_en",
     # r8: slide_sum_50s_10s_paned (WA3/A8/A9 pane partials, green
     # r3-r7) — superseded by stream_paned_slide_sum_replay: the SAME
     # pane-slicing rewrite run as a CHAINED stateful streaming job
@@ -589,7 +625,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # recommendation now has a real operation behind it — the r13
     # bounds-refresh arm (layout.py refresh_zorder_layout) the r11/r12
     # verdicts asked for (r11 queue)
-    "zorder_balance_monitor",
+    # r14: zorder_balance_monitor (green r13; its hot-trigger
+    # machinery runs VERBATIM inside the refresh lifecycle below —
+    # the build asserts the trigger fired) gives its slot to
+    # events_zorder_slice_refreshed: the slice served AFTER the full
+    # stale-bounds -> hot-trigger -> bounds-refresh OPTIMIZE, under
+    # the IDENTICAL oracle as driver-green events_zorder_slice
+    "events_zorder_slice_refreshed",
     # round-2 detector additions (CEP rising pattern, broadcast dynamic
     # rules) — rotated INTO the window round 3 so every new operator
     # family has driver evidence (VERDICT r2 "Next round" #5); the
@@ -660,7 +702,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # epoch is ONE map-side-combined gradient reduce with weights as
     # driver scalars, the distributed-GD shape; weight-carrying CTE
     # oracle (r12 wave — the second of the two new iterative machines)
-    "logreg_train_next7_purchase",
+    # r14: logreg_train_next7_purchase (green r13; the gradient-reduce
+    # trainer consumes the face below as its input contract) gives its
+    # slot to feature_label_matrix_daily — the point-in-time-correct
+    # daily feature/label training table (no-leakage windows)
+    "feature_label_matrix_daily",
     # ANN / similarity pillar (r5: ann_cosine_topk — the deliberate
     # exact-quadratic baseline — rotated out; its zip_with dot-product
     # scoring + broadcast + window-rank machinery runs verbatim inside
@@ -679,7 +725,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the indexed hybrid against exact-arm relevance with the
     # per-gold-length IDCG normalization the r11 advice fixed (r11
     # queue leftover, two rounds old)
-    "hybrid_ndcg_at_k",
+    # r14: hybrid_ndcg_at_k (green r13; same content-keyed eval-frames
+    # asset) gives its slot to hybrid_mrr_at_k — time-to-first-relevant
+    # over the identical fused rank frames, completing the retrieval
+    # eval family's driver evidence
+    "hybrid_mrr_at_k",
     # r7: ann_ivf_topk (per-call coarse-quantize + probe + rerank) —
     # superseded in the window by ann_ivf_topk_indexed: the SAME
     # centroids, probe set, rerank machinery and oracle, but against
@@ -714,7 +764,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # point-in-time-correct enrichment (the as-of version pick that
     # also strictly contains cdc_snapshot_asof's time-travel pick,
     # whose slot rotates below); r12 temporal wave
-    "temporal_join_purchase_status",
+    # r14: temporal_join_purchase_status (green r13) — superseded by
+    # its streaming twin stream_temporal_join_replay: the SAME
+    # event-time temporal join but with BOTH sides arriving live
+    # through the engine; the batch form stays full-suite verified
+    "stream_temporal_join_replay",
     # r4b: label_centroid_components (posexplode+avg centroid — its
     # machinery runs verbatim inside kmeans' recompute step, still
     # full-suite verified) gave its slot to kmeans_assign, the Lloyd
@@ -740,7 +794,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # timeout flush driven by the sentinel-advanced watermark, O(1)
     # open version per key — under the identical batch gaps-and-
     # islands oracle (r12 temporal wave)
-    "stream_scd2_replay",
+    # r14: stream_scd2_replay (green r13; its streamed-SCD2 machinery
+    # keeps a driver row via the strictly-more deletes-aware face
+    # below, same state shape) gives its slot to the r14 queue's
+    # stream_scd2_tombstoned_replay — streamed SCD2 WITH tombstones
+    # across a checkpoint restart
+    "stream_scd2_tombstoned_replay",
     # text-analysis pillar (r4: doc_langid — n-gram heuristic over the
     # same tokenized scan as doc_quality_score, still full-suite
     # verified — gave its slot to doc_pii_flags, previously suite-only)
@@ -872,7 +931,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # bucketed sequential Arrow fold with O(1)/key state (r12 wave;
     # its fold-body throughput is now quantified in SCALE.md per the
     # r12 verdict #6)
-    "session_capped_user",
+    # r14: session_capped_user (green r13; time-capped training
+    # hygiene) gives its slot to backtest_expanding_folds — the
+    # expanding-window backtest folds, the other leakage-proof
+    # train/eval split shape
+    "backtest_expanding_folds",
     # relational / TPC-H pillar
     # r10 TPC-H join-half rotation (VERDICT r9 #1): q1 (green r1-r9,
     # the longest-tenured row in the window; its scan-agg machinery
@@ -908,7 +971,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # hash-compared + an in-brackets boolean the oracle pins TRUE) —
     # closing the r11 #5 / r12 #4 approx-rationale item for the
     # quantiles row
-    "value_quantiles_by_type_bounded",
+    # r14: value_quantiles_by_type_bounded (green r13; the bounded
+    # GK-quantile gate machinery) gives its slot to
+    # stream_tumble_median_1h_replay — the streamed holistic median
+    # (DESIGN.md's never-implemented window aggregate) through the
+    # engine
+    "stream_tumble_median_1h_replay",
     # export_mixture_shards — the mixture materialization composed
     # with shard export: epoch-replicated admission feeding the same
     # stable shard assignment, one shard-keyed exchange
@@ -945,7 +1013,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # CODEBOOK (per-subspace centroid displacement vs the frozen
     # training residuals — the signal that says re-train the codes,
     # not just the cells); r11 queue leftover
-    "ann_pq_drift_monitor",
+    # r14: ann_pq_drift_monitor (green r13; the codebook-drift frame
+    # machinery shares the PQ asset with driver-gated IVFPQ faces)
+    # gives its slot to bpe_merge_candidates — the BPE-style pair-merge
+    # candidate scan over the token stream
+    "bpe_merge_candidates",
     # r8: top3_orders_per_segment (green r1-r7; rank-per-group — the
     # WindowGroupLimit machinery keeps its driver row via
     # window_heavy_hitters_1h) gave its slot to
@@ -961,7 +1033,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the windowed HLL row tumble_approx_distinct_users_1h now has a
     # hash-gated bounded twin (r12 verdict #4); the batch bounded form
     # stays full-suite verified under the identical oracle
-    "tumble_approx_distinct_users_bounded",
+    # r14: tumble_approx_distinct_users_bounded (green r13) —
+    # superseded by its streaming twin stream_users_sketch_rollup_replay:
+    # the SAME mergeable HLL sketch accuracy gate but with the
+    # per-period sketches accumulated through the ACTUAL engine and
+    # rolled up; the batch bounded form stays full-suite verified
+    "stream_users_sketch_rollup_replay",
     # r7b: customers_without_orders (EXCEPT -> left-anti join
     # physically) — tpch_q21 above plans the identical left-anti join
     # for its NOT EXISTS half, so the set-op's physical machinery keeps
@@ -973,6 +1050,69 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r10: doc_chunk_windows -> ann_lsh_recall_at_k (see the quartet
     # note above)
 )
+
+# The never-gated ledger, EXECUTABLE (r13 verdict #3): every registered
+# name must either hold cumulative driver evidence (a green row in any
+# CORRECTNESS_r*.json), sit in DRIVER_WINDOW (gated next round), or
+# appear here mapping to the DRIVER-GREEN twin that subsumes its
+# machinery. tests/test_registry_window.py asserts all three legs, so
+# a new face cannot land without a rotation slot or a ledger entry,
+# a twin cannot be named unless it actually holds driver evidence,
+# and an entry goes STALE (fails the test) the moment its key gains a
+# driver row or a window slot — the COVERAGE.md prose ledger, made
+# enforceable. These 30 are the steady-state floor, not debt: each
+# right-hand side carries the family's driver row.
+TWIN_SUBSUMED: dict[str, str] = {
+    # deliberate exact baselines / parameter variants of driver-green
+    # ANN faces; ADC pinned equal by test
+    "ann_cosine_topk_blas": "ann_cosine_topk",
+    "ann_pq_topk": "ann_ivfpq_topk_indexed",
+    # batch twins of driver-green streaming faces (same oracle)
+    "cdc_upsert_snapshot": "stream_cdc_upsert_replay",
+    "count_or_time_global_1h_10": "stream_count_or_time_replay",
+    # tokenized-scan signal family: the same scan feeds the
+    # driver-green quality/corpus faces
+    "doc_bpe_token_estimate": "curriculum_quality_buckets",
+    "doc_lang_distribution": "curriculum_quality_buckets",
+    "doc_pii_redact": "stream_corpus_prep_replay",
+    "dq_audit": "stream_corpus_prep_replay",
+    # plain aggregate / window-function shape variants of driver-green
+    # stats rows
+    "event_value_histogram": "event_type_stats_salted",
+    "lineitem_price_stats_by_flag": "tpch_q1_pricing_summary",
+    "order_priority_by_status": "tpch_q4_order_priority",
+    "order_value_distribution": "tpch_q13_customer_order_distribution",
+    # the Expand-node sliding-window assignment machinery
+    "grouping_sets_events": "slide_sum_5m_1m",
+    # Knuth-hash admission family (three driver rows held at r13)
+    "mixture_plan_langs": "mixture_apply_docs",
+    "sample_k_per_lang": "mixture_apply_docs",
+    "weighted_sample_docs": "mixture_apply_docs",
+    # same Arrow-batched mapInPandas plumbing
+    "multimodal_resize": "multimodal_frame_sample",
+    # literal-threshold parameter variant of F5
+    "running_sum_alerts_gt_10000": "running_sum_alerts_gt_500",
+    # holistic percentile aggregate; sliding assignment via Expand twin
+    "slide_median_5m_1m": "tumble_approx_median_bounded",
+    # spark.sql() text faces, plan-identical under IMPORTED-SAME oracles
+    "sql_doc_chunk_windows": "doc_chunk_windows",
+    "sql_scd2_history": "scd2_user_tier_history",
+    "sql_window_heavy_hitters_1h": "window_heavy_hitters_1h",
+    # broadcast rule-table gate driver-green batch-side
+    "stream_dynamic_rules_replay": "dynamic_rules_alerts",
+    # inner/in-order twins of strictly-more driver-green stream faces
+    "stream_interval_join_replay": "stream_interval_join_left_replay",
+    "stream_session_sum_replay": "stream_ooo_session_sum_replay",
+    # composite multi-join profit shape; all 22 TPC-H shapes held
+    # cumulative evidence as of r10 except q9, whose machinery the
+    # q8 market-share join chain carries
+    "tpch_q9_product_type_profit": "tpch_q8_market_share",
+    # raw-sketch faces retired behind driver-green bounded twins (r13)
+    "tumble_approx_median_1h": "tumble_approx_median_bounded",
+    "tumble_distinct_users_1h": "tumble_approx_distinct_users_bounded",
+    "weekly_users_sketch_rollup": "tumble_approx_distinct_users_bounded",
+    "window_heavy_hitters_1h_approx": "heavy_hitters_mg_bounded",
+}
 
 
 def register(

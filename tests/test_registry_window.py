@@ -75,10 +75,6 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "machinery as the driver-gated stats rows",
     "stats": "same rationale as histogram",
     "range": "same keyed-range-join machinery as asof_latest_order",
-    "langid": "rides the same tokenized corpus scan as the driver-gated "
-    "text rows (established r4 rotation rationale)",
-    "tokens": "token counts are recomputed inside the driver-gated "
-    "quality/gopher/tfidf rows (established r4b rotation rationale)",
     "limit": "order-by-limit is the simplest relational shape; subsumed "
     "by driver-gated top-k window rows (established r4 rationale)",
     "unpivot": "inverse of the pivot reshape (same rationale as "
@@ -112,22 +108,13 @@ SUITE_ONLY_TAGS: dict[str, str] = {
     "r10-r12; decorrelation machinery stays full-suite verified with "
     "the 6dp convention; q11's slot went to the temporal pillar "
     "(r13 rotation)",
-    "timetravel": "cdc_snapshot_asof held green r12; the "
-    "latest-op-wins version pick is strictly contained in the "
-    "driver-gated temporal_join_purchase_status per-fact as-of pick, "
-    "and the WindowGroupLimit compaction it shares with "
-    "cdc_upsert_snapshot is driver-gated via stream_cdc_upsert_replay "
-    "(r13 rotation)",
-    "split": "split_train_val_test held green r4b-r8 + r11-r12; the "
-    "independent-Knuth-hash admission gate keeps THREE driver rows "
-    "via mixture_apply_docs, source_cap_docs and export_mixture_shards "
-    "(r13 rotation)",
-    "lifecycle": "events_zorder_slice_refreshed (r13-new) shares the "
-    "IDENTICAL oracle and slice machinery with driver-gated "
-    "events_zorder_slice — the hash certifies refresh invariance the "
-    "same way it certifies append invariance; the refresh-specific "
-    "claims (hot trigger fires, balance restored, bounds re-derived) "
-    "are pinned by test_layout.py (new-face policy: named green twin)",
+    "distinct": "the windowed-HLL accuracy gate rotated out GREEN in "
+    "r14 (tumble_approx_distinct_users_bounded, r13 driver row); its "
+    "streaming twin stream_users_sketch_rollup_replay — the same "
+    "mergeable-HLL gate through the engine — took the window slot, "
+    "but carries the 'sketch'/'streaming' tags; the exact windowed "
+    "distinct stays computed (and hash-gated) inside both "
+    "(r14 rotation)",
 }
 # r7: "warehouse" and "chunking" left the allowlist — ann_ivf_topk_indexed
 # and doc_chunk_windows rotated INTO the window (registry.py comments).
@@ -148,6 +135,11 @@ SUITE_ONLY_TAGS: dict[str, str] = {
 # tumble_approx_distinct_users_bounded (the windowed HLL gate) rotated
 # INTO the window; "temporal"/"cdc"/"scd2"/"graph"/"training" never
 # entered it — the r12 pillar waves rotated in wholesale this round.
+# r14: "langid", "tokens", "timetravel", "split" and "lifecycle" left
+# the allowlist — langid_confusion_matrix, bpe_merge_candidates,
+# cdc_snapshot_diff, backtest_expanding_folds and
+# events_zorder_slice_refreshed rotated INTO the window (the r14 queue
+# drain); "distinct" re-entered with the r14-rotation rationale above.
 
 
 def test_driver_window_is_exactly_50_unique_registered_names():
@@ -215,3 +207,53 @@ def test_bench_and_probe_lists_name_registered_queries():
         n for n in probe.PROBED if n not in qs and n not in probe.EXTRA_PROBES
     ]
     assert not missing, f"scale_probe.PROBED names unknown queries: {missing}"
+
+
+def test_never_gated_ledger_is_exhaustive_and_current():
+    """The standing rotation policy, executable (r13 verdict #3):
+    every registered name either (a) holds cumulative driver evidence
+    (a row in some committed CORRECTNESS_r*.json), (b) sits in
+    DRIVER_WINDOW (gated next driver run), or (c) carries a
+    TWIN_SUBSUMED ledger entry naming a DRIVER-GREEN twin. A new face
+    landing without a rotation slot or ledger entry fails here; so
+    does a ledger twin without actual driver evidence; so does a
+    STALE entry whose key has since gained a driver row or slot."""
+    import glob
+    import json
+    import os
+
+    from flink_fraud_detection_rocks_db_app_spark.registry import TWIN_SUBSUMED
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    evidence: set[str] = set()
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        evidence |= set(json.load(open(f)).keys())
+    assert evidence, "no committed CORRECTNESS_r*.json evidence found"
+
+    names = set(all_queries().keys())
+    never_gated = names - evidence - set(DRIVER_WINDOW)
+
+    # (a) every never-gated name has a ledger entry
+    unledgered = never_gated - set(TWIN_SUBSUMED)
+    assert not unledgered, (
+        "registered faces with neither driver evidence, a DRIVER_WINDOW "
+        f"slot, nor a TWIN_SUBSUMED ledger entry: {sorted(unledgered)} — "
+        "budget a rotation slot or add a ledger entry naming the "
+        "driver-green twin that subsumes the machinery"
+    )
+    # (b) every named twin actually holds driver evidence
+    weak_twins = {
+        k: v for k, v in TWIN_SUBSUMED.items() if v not in evidence
+    }
+    assert not weak_twins, (
+        f"ledger twins without driver evidence: {weak_twins}"
+    )
+    # (c) no stale entries: a key that gained evidence or a window slot
+    # must leave the ledger (keeps the ledger an honest floor, not a
+    # dumping ground), and keys must still be registered names
+    stale = {
+        k
+        for k in TWIN_SUBSUMED
+        if k in evidence or k in DRIVER_WINDOW or k not in names
+    }
+    assert not stale, f"stale TWIN_SUBSUMED entries: {sorted(stale)}"
