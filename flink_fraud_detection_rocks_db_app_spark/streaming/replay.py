@@ -100,6 +100,7 @@ def write_replay_chunks(
     with_event_type: bool = False,
     densify_fresh_keys: bool = False,
     distributed: bool = False,
+    skew_hot_frac: float = 0.0,
 ) -> str:
     """Materialize the fixture as `n_chunks` sequential parquet files
     under scratch_dir/chunks and return that path.
@@ -133,6 +134,12 @@ def write_replay_chunks(
     watermark and NOTHING is dropped — the stream must still equal
     plain batch SQL (the reference's bounded-out-of-orderness contract,
     oracle-checkable because timestamps never change).
+
+    `skew_hot_frac=f` rehomes a deterministic f-fraction of events
+    (Knuth hash of event_id) onto ONE hot account (the minimum
+    observed id) — the zipf-head fixture for state-under-skew probes:
+    a single key owning ~f of the stream, applied after densify so the
+    hot share holds at every scale.
     """
     out = os.path.join(scratch_dir, "chunks")
     shutil.rmtree(out, ignore_errors=True)
@@ -169,6 +176,15 @@ def write_replay_chunks(
             "amount",
             (F.col("event_id") * k + F.col("rep")).alias("event_id"),
             *(["event_type"] if with_event_type else []),
+        )
+    if skew_hot_frac:
+        hot = df.agg(F.min("account_id")).first()[0]
+        gate = F.pmod(F.xxhash64("event_id"), F.lit(1_000_000)) < F.lit(
+            int(skew_hot_frac * 1_000_000)
+        )
+        df = df.withColumn(
+            "account_id",
+            F.when(gate, F.lit(hot)).otherwise(F.col("account_id")),
         )
     # In-order replay arrives sorted by event time; disordered replay
     # arrives in original (pre-jitter) order, i.e. jitter makes event

@@ -12,6 +12,10 @@ knobs (the round-10 as-of probe idiom):
 - keys axis — `densify=k, densify_fresh_keys=True`: each copy gets a
   disjoint account-id range, so the key population scales by k with
   per-key state fixed. Healthy state is LINEAR in k.
+- skew axis (VERDICT r13 #5) — `densify=k, skew_hot_frac=0.1`: rows
+  axis with one zipf-head account owning ~10% of every chunk. Healthy
+  state is FLAT in k (per-key open-version state O(1) under the hot
+  key too — the uniform-keys result must not depend on uniformity).
 
 Measured quantity: the engine's own state-store gauge
 (StreamingQueryProgress stateOperators.memoryUsedBytes, max across
@@ -52,7 +56,9 @@ def _fit_exponent(ks: list[int], ys: list[int]) -> float:
     return round(num / den, 2) if den else 0.0
 
 
-def _run_scd2(spark, sf_dir: str, scratch: str, k: int, fresh_keys: bool) -> dict:
+def _run_scd2(
+    spark, sf_dir: str, scratch: str, k: int, fresh_keys: bool, skew: float = 0.0
+) -> dict:
     from flink_fraud_detection_rocks_db_app_spark.fixtures import transactions
     from flink_fraud_detection_rocks_db_app_spark.operators.streamface import (
         _bounded_state_partitions,
@@ -73,6 +79,7 @@ def _run_scd2(spark, sf_dir: str, scratch: str, k: int, fresh_keys: bool) -> dic
         n_chunks=6,
         densify=k,
         densify_fresh_keys=fresh_keys,
+        skew_hot_frac=skew,
     )
     max_us = (
         transactions(spark, sf_dir)
@@ -91,7 +98,7 @@ def _run_scd2(spark, sf_dir: str, scratch: str, k: int, fresh_keys: bool) -> dic
 
 
 def _run_temporal_join(
-    spark, sf_dir: str, scratch: str, k: int, fresh_keys: bool
+    spark, sf_dir: str, scratch: str, k: int, fresh_keys: bool, skew: float = 0.0
 ) -> dict:
     from flink_fraud_detection_rocks_db_app_spark.operators.streamface import (
         _bounded_state_partitions,
@@ -111,6 +118,7 @@ def _run_temporal_join(
         densify=k,
         densify_fresh_keys=fresh_keys,
         with_event_type=True,
+        skew_hot_frac=skew,
     )
     out = temporal_join_stream(
         read_replay_stream(spark, chunks, with_event_type=True)
@@ -133,13 +141,24 @@ def main() -> None:
     try:
         for face, run in runners.items():
             report[face] = {}
-            for axis, fresh in (("rows", False), ("keys", True)):
+            # skew axis (VERDICT r13 #5): rows grow k-fold with the key
+            # population FIXED and one zipf-head account owning ~10% of
+            # every chunk — per-key open-version state must stay O(1)
+            # under the hot key too, so healthy state is FLAT in k,
+            # same as the uniform rows axis.
+            for axis, fresh, skew in (
+                ("rows", False, 0.0),
+                ("keys", True, 0.0),
+                ("skew", False, 0.1),
+            ):
                 rows = []
                 for k in scales:
                     scratch = os.path.join(root, f"{face}_{axis}_{k}")
                     os.makedirs(scratch, exist_ok=True)
                     try:
-                        rows.append((k, run(spark, sf_dir, scratch, k, fresh)))
+                        rows.append(
+                            (k, run(spark, sf_dir, scratch, k, fresh, skew))
+                        )
                     finally:
                         shutil.rmtree(scratch, ignore_errors=True)
                 report[face][axis] = {

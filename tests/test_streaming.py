@@ -639,3 +639,46 @@ def test_distributed_replay_writer_equivalent(spark, scratch):
     wm = _max_t_ms(spark)
     missing = set(_batch_tumble(spark, closed_before_ms=wm)) - set(got)
     assert not missing, sorted(missing)[:5]
+
+
+def test_replay_skew_hot_frac_rehomes_a_tenth_to_one_account(spark, scratch):
+    """The zipf-head fixture knob (state-under-skew probes): with
+    skew_hot_frac=0.1 one account owns ~10% of every replayed chunk,
+    total row count unchanged, and the rehoming is deterministic."""
+    import os
+
+    base = transactions(spark, SF_SMALL)
+    n_total = base.count()
+    chunks = write_replay_chunks(
+        spark, SF_SMALL, scratch, n_chunks=4, skew_hot_frac=0.1
+    )
+    skewed = spark.read.parquet(os.path.join(chunks, "*.parquet"))
+    assert skewed.count() == n_total
+    hot_id = base.agg(F.min("account_id")).first()[0]
+    top = (
+        skewed.groupBy("account_id")
+        .count()
+        .orderBy(F.desc("count"))
+        .first()
+    )
+    assert top["account_id"] == hot_id
+    share = top["count"] / n_total
+    # the rehomed 10% lands on top of the hot account's organic share
+    # (a tenth of its own rows rehome to itself, a no-op)
+    organic = (
+        base.where(F.col("account_id") == hot_id).count() / n_total
+    )
+    expected = organic + 0.1 * (1 - organic)
+    assert abs(share - expected) < 0.03, (
+        f"hot share {share:.3f}, expected ~{expected:.3f}"
+    )
+    # deterministic: a second materialization rehomes the same rows
+    chunks2 = write_replay_chunks(
+        spark, SF_SMALL, os.path.join(scratch, "again"), n_chunks=4,
+        skew_hot_frac=0.1,
+    )
+    again = spark.read.parquet(os.path.join(chunks2, "*.parquet"))
+    assert (
+        again.where(F.col("account_id") == hot_id).count()
+        == top["count"]
+    )
