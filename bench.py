@@ -364,6 +364,12 @@ HEADLINE = [
     # the engine into idempotent segments, then the batch-identical
     # five-iteration rank refresh over the ingested union
     "stream_pagerank_ingest_replay",
+    # round 14 (extend-only): the two r14-window rows not yet benched —
+    # the streamed holistic median and the streamed HLL sketch rollup
+    # (per-period sketches accumulated through the engine, merged at
+    # probe)
+    "stream_tumble_median_1h_replay",
+    "stream_users_sketch_rollup_replay",
 ]
 
 

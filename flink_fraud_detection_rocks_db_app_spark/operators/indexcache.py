@@ -136,6 +136,32 @@ def ensure_index(
     return idx
 
 
+def _recover_swap(live: str) -> None:
+    """Heal a crash inside _swap_dir's two-rename window: if the live
+    directory is missing but its deterministic displaced copy exists,
+    put it back. Idempotent; callers invoke it before touching a
+    swappable table."""
+    old = f"{live}.old"
+    if not os.path.isdir(live) and os.path.isdir(old):
+        os.rename(old, live)
+
+
+def _swap_dir(live: str, tmp: str) -> None:
+    """Replace `live` with fully-written `tmp`. POSIX can't rename onto
+    a non-empty directory, so there IS a window between the two renames
+    where `live` is absent — but the displaced copy has the
+    DETERMINISTIC name `live.old` (not a random hex dir), so a crash
+    there is healed automatically by _recover_swap on the next touch
+    instead of requiring manual recovery (ADVICE r13). Single-writer
+    per asset (the ensure_index publish contract); a reader racing the
+    swap can transiently see path-not-found and should retry."""
+    old = f"{live}.old"
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+    os.rename(live, old)
+    os.rename(tmp, live)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def _parquet_part_files(table_dir: str) -> list[str]:
     out = []
     for root, _dirs, files in os.walk(table_dir):
@@ -167,6 +193,7 @@ def compact_parquet_table(
     compact, no-op)."""
     from pyspark.sql import functions as F
 
+    _recover_swap(table_dir)  # heal a prior crash mid-swap, if any
     files_before = _parquet_part_files(table_dir)
     df = spark.read.parquet(table_dir)
     if merge is not None:
@@ -195,8 +222,5 @@ def compact_parquet_table(
         if merge is None and len(files_before) <= 1:
             return 0
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    old = f"{table_dir}.old-{uuid.uuid4().hex[:8]}"
-    os.rename(table_dir, old)
-    os.rename(tmp, table_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    _swap_dir(table_dir, tmp)
     return max(0, len(files_before) - len(_parquet_part_files(table_dir)))

@@ -559,30 +559,10 @@ def zorder_hot_buckets(zed: DataFrame) -> list[int]:
     )
 
 
-def _recover_swap(live: str) -> None:
-    """Heal a crash inside _swap_dir's two-rename window: if the live
-    directory is missing but its deterministic displaced copy exists,
-    put it back. Idempotent; called before any refresh touches the
-    asset."""
-    old = f"{live}.old"
-    if not os.path.isdir(live) and os.path.isdir(old):
-        os.rename(old, live)
-
-
-def _swap_dir(live: str, tmp: str) -> None:
-    """Replace `live` with fully-written `tmp`. POSIX can't rename onto
-    a non-empty directory, so there IS a window between the two renames
-    where `live` is absent — but the displaced copy has the
-    DETERMINISTIC name `live.old` (not a random hex dir), so a crash
-    there is healed automatically by _recover_swap on the next touch
-    instead of requiring manual recovery (ADVICE r13). Single-writer
-    per asset (the ensure_index publish contract); a reader racing the
-    swap can transiently see path-not-found and should retry."""
-    old = f"{live}.old"
-    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
-    os.rename(live, old)
-    os.rename(tmp, live)
-    shutil.rmtree(old, ignore_errors=True)
+# shared crash-recoverable directory swap (indexcache — ADVICE r13);
+# re-exported here so layout callers/tests import from the module that
+# uses them
+from .indexcache import _recover_swap, _swap_dir  # noqa: E402
 
 
 def refresh_zorder_layout(spark: SparkSession, asset: str) -> int:

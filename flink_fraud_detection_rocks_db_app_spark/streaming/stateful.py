@@ -134,6 +134,29 @@ N_FOLD_BUCKETS = int(os.environ.get("SPARK_GRAFT_FOLD_BUCKETS", "64"))
 RECORD_BUFFER_STATE_V = 3
 
 
+def _record_buffer_state_decode(raw) -> dict[int, dict[int, float]]:
+    """Restore one bucket's record-buffer state row, rejecting (a) a
+    blob whose format version predates a state-shape change and (b) a
+    checkpoint written under a different fold-bucket count — both must
+    fail LOUDLY instead of being silently reinterpreted. Module-level
+    (not a closure) so the rejection contract is directly unit-testable
+    (test_record_buffer_state_decode_rejections)."""
+    blob = json.loads(raw)
+    if not isinstance(blob, dict) or blob.get("v") != RECORD_BUFFER_STATE_V:
+        raise ValueError(
+            "record_buffer_tumbling_stream: checkpoint state format "
+            f"{blob.get('v') if isinstance(blob, dict) else '?'!r} != "
+            f"expected v{RECORD_BUFFER_STATE_V} — the checkpoint "
+            "predates a state-shape change; start from a fresh "
+            "checkpoint dir"
+        )
+    _check_state_nb(blob.get("nb"), "record_buffer_tumbling_stream")
+    return {
+        int(a): {int(w): v for w, v in d.items()}
+        for a, d in blob["wins"].items()
+    }
+
+
 def _check_state_nb(blob_nb, op_name: str) -> None:
     """Reject a checkpoint written under a different fold-bucket count:
     the bucket is the stateful GROUPING KEY (hash(account) % nb), so a
@@ -405,20 +428,7 @@ def record_buffer_tumbling_stream(stream: DataFrame, size_ms: int) -> DataFrame:
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
-            blob = json.loads(state.get[0])
-            if not isinstance(blob, dict) or blob.get("v") != RECORD_BUFFER_STATE_V:
-                raise ValueError(
-                    "record_buffer_tumbling_stream: checkpoint state format "
-                    f"{blob.get('v') if isinstance(blob, dict) else '?'!r} != "
-                    f"expected v{RECORD_BUFFER_STATE_V} — the checkpoint "
-                    "predates a state-shape change; start from a fresh "
-                    "checkpoint dir"
-                )
-            _check_state_nb(blob.get("nb"), "record_buffer_tumbling_stream")
-            wins: dict[int, dict[int, float]] = {
-                int(a): {int(w): v for w, v in d.items()}
-                for a, d in blob["wins"].items()
-            }
+            wins = _record_buffer_state_decode(state.get[0])
         else:
             wins = {}
         pdf = _group_frame(pdf_iter, ["account_id", "t_us", "event_id"])

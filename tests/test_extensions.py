@@ -2052,3 +2052,39 @@ def test_mg_sketch_bound_and_exactness(spark):
     rows = sorted(_rows(spark, "heavy_hitters_mg_bounded"), key=lambda r: r.rnk)
     assert [(r.tok, r.n) for r in rows] == want
     assert all(r.est_within_bound for r in rows)
+
+
+def test_record_buffer_state_decode_rejections(spark):
+    """The WA5 record-buffer restore contract (ADVICE r13): the
+    versioned JSON blob round-trips; a pre-bump version and a
+    fold-bucket-count mismatch both raise the loud versioned errors
+    instead of silently re-homing state."""
+    import json
+
+    import pytest
+
+    from flink_fraud_detection_rocks_db_app_spark.streaming.stateful import (
+        N_FOLD_BUCKETS,
+        RECORD_BUFFER_STATE_V,
+        _record_buffer_state_decode,
+    )
+
+    wins = {7: {0: 1.5, 3_600_000: 2.0}}
+    blob = json.dumps(
+        {"v": RECORD_BUFFER_STATE_V, "nb": N_FOLD_BUCKETS, "wins": wins}
+    )
+    assert _record_buffer_state_decode(blob) == wins
+    with pytest.raises(ValueError, match=f"v{RECORD_BUFFER_STATE_V}"):
+        _record_buffer_state_decode(
+            json.dumps({"v": RECORD_BUFFER_STATE_V - 1, "wins": wins})
+        )
+    with pytest.raises(ValueError, match="fold buckets"):
+        _record_buffer_state_decode(
+            json.dumps(
+                {
+                    "v": RECORD_BUFFER_STATE_V,
+                    "nb": N_FOLD_BUCKETS + 1,
+                    "wins": wins,
+                }
+            )
+        )
