@@ -267,3 +267,43 @@ def test_ivfpq_append_rejects_duplicate_vec_ids(spark, scratch):
     with pytest.raises(ValueError, match="already in"):
         append_to_ivfpq_index(_vectors(spark, SF_SMALL).limit(3), idx)
     assert spark.read.parquet(codes).count() == before
+
+
+def test_version_keys_a_fresh_asset_and_prunes_the_stale_one(spark):
+    """The tuning-constant version contract (ADVICE r13): the same
+    source under a DIFFERENT version (int or constant-derived string)
+    keys a different asset path — a constant change publishes fresh
+    frames instead of silently serving stale ones — and publishing the
+    new version prunes the old one for the same source."""
+    import shutil
+
+    from flink_fraud_detection_rocks_db_app_spark.operators.indexcache import (
+        ensure_index,
+        index_path,
+    )
+
+    kind = "verskeytest"
+    parent, _ = index_path(kind, SF_SMALL, "documents")
+    shutil.rmtree(parent, ignore_errors=True)
+
+    def build(payload):
+        def b(tmp):
+            os.makedirs(tmp)
+            open(os.path.join(tmp, "payload"), "w").write(payload)
+
+        return b
+
+    p1 = ensure_index(kind, SF_SMALL, "documents", build("v1"), version=1)
+    p2 = ensure_index(
+        kind, SF_SMALL, "documents", build("bands4"), version="bands4"
+    )
+    assert p1 != p2
+    # same source+version resolves to the same path without rebuilding
+    assert (
+        ensure_index(kind, SF_SMALL, "documents", build("x"), version="bands4")
+        == p2
+    )
+    assert open(os.path.join(p2, "payload")).read() == "bands4"
+    # the stale same-source asset (old version) was pruned at publish
+    assert not os.path.isdir(p1)
+    shutil.rmtree(parent, ignore_errors=True)
