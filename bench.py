@@ -370,6 +370,10 @@ HEADLINE = [
     # probe)
     "stream_tumble_median_1h_replay",
     "stream_users_sketch_rollup_replay",
+    # round 14: the ANN codebook-refresh lifecycle — one Lloyd update
+    # from the drift monitor's mean frame, re-encode, refreshed ADC
+    # top-k (prices the scheduled quantizer re-train)
+    "ann_pq_refreshed_topk",
 ]
 
 

@@ -729,3 +729,145 @@ def ann_pq_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(drift, 6).alias("drift"),
         )
     )
+
+
+# ---- codebook refresh lifecycle -----------------------------------------
+# The z-order bounds-refresh precedent applied to the COMPRESSED
+# domain: the drift monitor above localizes WHICH codewords drifted;
+# the refresh applies its per-codeword mean frame as exactly ONE Lloyd
+# update (each codeword moves to the 6dp-rounded mean of the
+# subvectors it currently encodes — unused codewords keep their stale
+# value, deterministically), re-encodes the corpus against the
+# refreshed codebook, and serving switches over. This is the scheduled
+# re-train a 100 TB deployment runs when the drift monitor's numbers
+# justify it: one extra corpus scan for the assignment means (the
+# monitor's own O(M x KS x SUBDIM) map-side-combined aggregate), one
+# re-encode scan (scan-local, literal codebook), and quantization
+# error is non-increasing by the Lloyd argument (pinned by test).
+
+
+def _refreshed_codebook(
+    spark: SparkSession, sf_dir: str
+) -> list[list[list[float]]]:
+    """cb'[m][c] = 6dp-rounded elementwise mean of the subvectors
+    codeword (m, c) encodes under the STALE (ingest-time training
+    sample) codebook; stale value kept where a codeword encodes
+    nothing. Contract-bounded driver collect (M x KS rows) — the
+    refreshed codebook is inlined as literals exactly like the stale
+    one, keeping re-encode scan-local."""
+    e = _vectors(spark, sf_dir)
+    cb = _codebook_from_vectors(e)
+    enc = _encoded_over(e, cb)
+    subs = _with_subs(e).select("vec_id", "subs")
+    pairs = (
+        enc.join(subs, "vec_id")
+        .select(F.posexplode(F.arrays_zip("codes", "subs")).alias("m", "cs"))
+        .select(
+            "m",
+            F.col("cs.codes").alias("code"),
+            F.col("cs.subs").alias("sv"),
+        )
+    )
+    mm = (
+        pairs.select("m", "code", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("m", "code", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("mc"))
+        .groupBy("m", "code")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(pos, mc))), x -> x.mc)"
+            ).alias("mvec")
+        )
+        .collect()
+    )
+    means = {(r["m"], r["code"]): list(r["mvec"]) for r in mm}
+    return [
+        [means.get((m, c), cb[m][c]) for c in range(PQ_KS)]
+        for m in range(PQ_M)
+    ]
+
+
+_PQ_REFRESH_ORACLE = f"""
+WITH {_PQ_CTES},
+asn AS (
+  SELECT enc.vec_id, enc.m, enc.code, sub.sv
+  FROM enc JOIN sub ON enc.vec_id = sub.vec_id AND enc.m = sub.m
+),
+mm AS (
+  SELECT m, code, pos, round(avg(val), 6) AS mc
+  FROM (SELECT m, code, unnest(sv) AS val, unnest(range(len(sv))) AS pos FROM asn)
+  GROUP BY 1, 2, 3
+),
+mv AS (SELECT m, code, list(mc ORDER BY pos) AS mvec FROM mm GROUP BY 1, 2),
+cb2 AS (
+  SELECT cb.m, cb.code, COALESCE(mv.mvec, cb.cv) AS cv
+  FROM cb LEFT JOIN mv USING (m, code)
+),
+enc2 AS (
+  SELECT sub.vec_id, m, code
+  FROM sub JOIN cb2 USING (m)
+  QUALIFY row_number() OVER (
+    PARTITION BY sub.vec_id, m
+    ORDER BY round(list_dot_product(sv, sv)
+                   - 2.0 * list_dot_product(sv, cv)
+                   + list_dot_product(cv, cv), 6) ASC, code ASC
+  ) = 1
+),
+lut2 AS (
+  SELECT query_id, m, code,
+         round(list_dot_product(qv, qv)
+               - 2.0 * list_dot_product(qv, cv)
+               + list_dot_product(cv, cv), 6) AS d
+  FROM qd JOIN cb2 USING (m)
+),
+scored AS (
+  SELECT query_id, enc2.vec_id AS neighbor_id,
+         round(SUM(d ORDER BY enc2.m), 6) AS adist
+  FROM enc2 JOIN lut2 ON enc2.m = lut2.m AND enc2.code = lut2.code
+  WHERE enc2.vec_id <> lut2.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adist
+FROM scored
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC
+) <= {TOP_K}
+"""
+
+
+@register(
+    "ann_pq_refreshed_topk",
+    oracle=_PQ_REFRESH_ORACLE,
+    doc="PQ ANC top-k served AFTER the codebook-refresh lifecycle: the "
+    "ingest-time codebook (the deterministic lowest-vec_id training "
+    "sample — yesterday's quantizer) is refreshed by applying the "
+    "drift monitor's per-codeword mean frame as exactly one Lloyd "
+    "update (codeword -> 6dp-rounded mean of what it actually "
+    "encodes; unused codewords keep their stale value), the corpus "
+    "re-encodes scan-locally against the refreshed literals, and ADC "
+    "ranking switches to the refreshed codes + LUTs. FULL-MECHANICS "
+    "oracle: DuckDB replays the stale encode, the mean update, the "
+    "re-encode and the refreshed ADC bit-for-bit (the same rounded "
+    "mean frame the drift monitor hash-matches). Quantization error "
+    "is non-increasing under the update (the Lloyd argument; pinned "
+    "by test_pq_refresh_reduces_quantization_error). At 100 TB the "
+    "refresh costs the drift monitor's mean aggregate (O(M x KS x "
+    "SUBDIM) partials, corpus-size-independent shuffle) plus one "
+    "re-encode scan — the scheduled re-train the monitor exists to "
+    "justify.",
+    tags=("similarity", "ann", "pq", "lifecycle"),
+)
+def ann_pq_refreshed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cb2 = _refreshed_codebook(spark, sf_dir)
+    enc = _encoded(spark, sf_dir, cb2)
+    q = _queries_with_luts(spark, sf_dir, cb2)
+    scored = (
+        enc.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_ADC_SUM).alias("adist"),
+        )
+    )
+    return _adc_rank(scored)

@@ -1067,6 +1067,13 @@ TWIN_SUBSUMED: dict[str, str] = {
     # ANN faces; ADC pinned equal by test
     "ann_cosine_topk_blas": "ann_cosine_topk",
     "ann_pq_topk": "ann_ivfpq_topk_indexed",
+    # r14-new codebook-refresh lifecycle: the retrain step IS the
+    # drift monitor's mean frame (driver-green r13) applied as one
+    # Lloyd update, and the encode/ADC/topk machinery is driver-green
+    # via the IVFPQ faces; the refresh-specific payoff (quantization
+    # error non-increasing) is pinned by
+    # test_pq_refresh_reduces_quantization_error
+    "ann_pq_refreshed_topk": "ann_pq_drift_monitor",
     # batch twins of driver-green streaming faces (same oracle)
     "cdc_upsert_snapshot": "stream_cdc_upsert_replay",
     "count_or_time_global_1h_10": "stream_count_or_time_replay",

@@ -2088,3 +2088,60 @@ def test_record_buffer_state_decode_rejections(spark):
                 }
             )
         )
+
+
+def test_pq_refresh_reduces_quantization_error(spark):
+    """The codebook-refresh lifecycle's payoff claim: after one Lloyd
+    update (codeword -> mean of what it encodes), mean quantization
+    error over the corpus is non-increasing — and on this fixture
+    strictly improves. Also pins the refreshed codebook's shape and
+    the unused-codeword fallback determinism."""
+    from flink_fraud_detection_rocks_db_app_spark.operators.pq import (
+        PQ_KS,
+        PQ_M,
+        PQ_SUBDIM,
+        _codebook_from_vectors,
+        _encoded_over,
+        _refreshed_codebook,
+        _with_subs,
+    )
+    from flink_fraud_detection_rocks_db_app_spark.operators.similarity import (
+        _vectors,
+    )
+
+    e = _vectors(spark, SF_SMALL)
+    stale = _codebook_from_vectors(e)
+    fresh = _refreshed_codebook(spark, SF_SMALL)
+    assert len(fresh) == PQ_M and all(len(cbm) == PQ_KS for cbm in fresh)
+    assert all(
+        len(cv) == PQ_SUBDIM for cbm in fresh for cv in cbm
+    )
+
+    def mean_qerr(cb):
+        enc = _encoded_over(e, cb)
+        subs = _with_subs(e).select("vec_id", "subs")
+        pairs = (
+            enc.join(subs, "vec_id")
+            .select(
+                F.posexplode(F.arrays_zip("codes", "subs")).alias("m", "cs")
+            )
+            .select("m", F.col("cs.codes").alias("code"), F.col("cs.subs").alias("sv"))
+        )
+        cw = spark.createDataFrame(
+            [(m, c, cb[m][c]) for m in range(PQ_M) for c in range(PQ_KS)],
+            "m long, code long, cv array<double>",
+        )
+        d2 = (
+            "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+        )
+        return (
+            pairs.join(F.broadcast(cw), ["m", "code"])
+            .agg(F.avg(F.expr(d2)))
+            .first()[0]
+        )
+
+    err_stale = mean_qerr(stale)
+    err_fresh = mean_qerr(fresh)
+    assert err_fresh <= err_stale + 1e-9
+    assert err_fresh < err_stale, (err_stale, err_fresh)
