@@ -157,6 +157,8 @@ BNLJ_OK = {
     # LUTs) cross-broadcasts against the ENCODED corpus (codes only —
     # the compressed-domain scan is the design)
     "ann_pq_topk",
+    # identical ADC body to ann_pq_topk, under the refreshed codebook
+    "ann_pq_refreshed_topk",
     # same bounded quantizer/LUT broadcasts; the candidate join itself
     # is an equi join on the probed cell
     "ann_ivfpq_topk",
