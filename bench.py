@@ -370,10 +370,12 @@ HEADLINE = [
     # probe)
     "stream_tumble_median_1h_replay",
     "stream_users_sketch_rollup_replay",
-    # round 14: the ANN codebook-refresh lifecycle — one Lloyd update
-    # from the drift monitor's mean frame, re-encode, refreshed ADC
-    # top-k (prices the scheduled quantizer re-train)
+    # round 14: the ANN refresh lifecycles — one Lloyd update per
+    # quantizer tier (PQ codebook from the drift monitor's mean frame;
+    # IVF coarse centroids spherically), re-encode/re-assign, serve
+    # refreshed (prices the scheduled quantizer re-trains)
     "ann_pq_refreshed_topk",
+    "ann_ivf_refreshed_topk",
 ]
 
 

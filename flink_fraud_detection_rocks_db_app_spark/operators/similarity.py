@@ -1549,3 +1549,115 @@ _LSH_RECALL_ORACLE = recall_oracle(_lsh_oracle_sql())
 )
 def ann_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_vs_exact(spark, sf_dir, ann_lsh_buckets(spark, sf_dir))
+
+
+# ---- coarse-quantizer refresh lifecycle ---------------------------------
+# The PQ codebook-refresh precedent (pq.py) applied to the COARSE
+# quantizer: the balance monitor above localizes hot/empty cells; the
+# refresh moves every centroid to the 6dp-rounded elementwise mean of
+# the vectors its cell currently holds (one spherical-k-means Lloyd
+# update — assignment is by cosine, so the mean is used through its
+# own norm), re-assigns the corpus, and probing/rerank serve the
+# refreshed cells. Cost at 100 TB: one assignment scan feeding an
+# O(cells x dims) map-side-combined mean aggregate, then the same
+# assignment scan the index rebuild already pays — the scheduled
+# re-train the balance monitor exists to justify.
+
+
+def _refreshed_ivf_centroids(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(cell, cv, cnorm) after one Lloyd update under the STALE
+    quantizer's assignment; a cell that somehow holds nothing keeps its
+    stale centroid (deterministic fallback, mirrored in the oracle).
+    Stays fully distributed — the refreshed frame is O(cells) rows and
+    broadcasts exactly like the stale one."""
+    asn = _ivf_assigned(e, cents)
+    mm = (
+        asn.select("cell", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("mc"))
+        .groupBy("cell")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(pos, mc))), x -> x.mc)"
+            ).alias("mcv")
+        )
+    )
+    return (
+        cents.select("cell", F.col("cv").alias("scv"))
+        .join(mm, "cell", "left")
+        .select("cell", F.coalesce("mcv", "scv").alias("cv"))
+        .withColumn("cnorm", F.sqrt(dot("cv", "cv")))
+    )
+
+
+_IVF_REFRESH_ORACLE = f"""{_IVF_ASSIGN_CTES},
+mm AS (
+  SELECT cell, pos, round(avg(val), 6) AS mc
+  FROM (SELECT cell, unnest(v) AS val, unnest(range(len(v))) AS pos FROM assigned)
+  GROUP BY 1, 2
+),
+mv AS (SELECT cell, list(mc ORDER BY pos) AS mcv FROM mm GROUP BY 1),
+cents2 AS (
+  SELECT cents.cell, COALESCE(mv.mcv, cents.cv) AS cv,
+         sqrt(list_dot_product(COALESCE(mv.mcv, cents.cv),
+                               COALESCE(mv.mcv, cents.cv))) AS cnorm
+  FROM cents LEFT JOIN mv USING (cell)
+),
+assigned2 AS (
+  SELECT e.vec_id, e.v, e.norm, cents2.cell
+  FROM e CROSS JOIN cents2
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_dot_product(e.v, cents2.cv) / (e.norm * cents2.cnorm) DESC,
+             cents2.cell ASC
+  ) = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e WHERE vec_id < {N_QUERIES}),
+probes2 AS (
+  SELECT query_id, qv, qnorm, cell
+  FROM q CROSS JOIN cents2
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY list_dot_product(qv, cv) / (qnorm * cnorm) DESC, cell ASC
+  ) <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         list_dot_product(qv, v) / (qnorm * norm) AS cosine
+  FROM assigned2 JOIN probes2 USING (cell)
+  WHERE vec_id <> query_id
+)
+SELECT query_id, neighbor_id, cosine
+FROM scored
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+) <= {TOP_K}
+"""
+
+
+@register(
+    "ann_ivf_refreshed_topk",
+    oracle=_IVF_REFRESH_ORACLE,
+    doc=f"IVF ANN served AFTER the coarse-quantizer refresh lifecycle: "
+    "the ingest-time seed centroids (the deterministic lowest-vec_id "
+    "training sample — yesterday's quantizer) are refreshed by one "
+    "spherical-k-means Lloyd update (centroid -> 6dp-rounded mean of "
+    "its cell's vectors, used through its own norm; an empty cell "
+    "keeps its stale centroid deterministically), the corpus "
+    f"re-assigns, and queries probe their {IVF_NPROBE} nearest "
+    "REFRESHED cells with exact rerank inside. FULL-MECHANICS oracle: "
+    "DuckDB replays stale assignment, the mean update, re-assignment, "
+    "probing and rerank bit-for-bit (dot products are identical-order "
+    "folds in both engines; the rounded means absorb avg summation-"
+    "order noise, the same exactness chain as the PQ refresh). "
+    "Together with ann_pq_refreshed_topk BOTH quantizer tiers are "
+    "refresh-capable, each justified by its own driver-green monitor "
+    "(balance / drift). Within-cell cosine dispersion is non-"
+    "decreasing in mean similarity under the update on this fixture "
+    "(pinned by test_ivf_refresh_improves_assignment_similarity).",
+    tags=("similarity", "ann", "ivf", "lifecycle"),
+)
+def ann_ivf_refreshed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vectors(spark, sf_dir)
+    cents2 = _refreshed_ivf_centroids(e, _ivf_centroids(e))
+    return _ivf_rerank(_ivf_assigned(e, cents2), _ivf_probes(e, cents2))

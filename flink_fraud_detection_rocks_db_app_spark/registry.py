@@ -1074,6 +1074,12 @@ TWIN_SUBSUMED: dict[str, str] = {
     # error non-increasing) is pinned by
     # test_pq_refresh_reduces_quantization_error
     "ann_pq_refreshed_topk": "ann_pq_drift_monitor",
+    # r14-new coarse-quantizer refresh: the retrain is one spherical
+    # Lloyd update justified by the driver-green balance monitor; the
+    # assignment/probe/rerank machinery is driver-green via the IVF
+    # faces (ann_ivf_balance_monitor r13, ann_ivfpq_refine_topk r13);
+    # payoff pinned by test_ivf_refresh_improves_assignment_similarity
+    "ann_ivf_refreshed_topk": "ann_ivf_balance_monitor",
     # batch twins of driver-green streaming faces (same oracle)
     "cdc_upsert_snapshot": "stream_cdc_upsert_replay",
     "count_or_time_global_1h_10": "stream_count_or_time_replay",

@@ -159,6 +159,9 @@ BNLJ_OK = {
     "ann_pq_topk",
     # identical ADC body to ann_pq_topk, under the refreshed codebook
     "ann_pq_refreshed_topk",
+    # identical bounded centroid cross-broadcasts to ann_ivf_topk,
+    # under the refreshed quantizer
+    "ann_ivf_refreshed_topk",
     # same bounded quantizer/LUT broadcasts; the candidate join itself
     # is an equi join on the probed cell
     "ann_ivfpq_topk",
