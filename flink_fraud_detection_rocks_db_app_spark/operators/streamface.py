@@ -55,25 +55,74 @@ _SCRATCH_ROOT = os.path.join(
 )
 
 
-@contextmanager
-def _bounded_state_partitions(spark: SparkSession, n: int = 8):
-    """Cap shuffle partitions for the duration of one replay face.
+# Replay-face state partitioning (deployment knob, r14): each shuffle
+# partition is a state-store instance paying open/commit per
+# micro-batch, so at replay density fewer instances amortize better —
+# bench.py measured 8 -> 4 cutting its tumbling stream ~25% and this
+# round's face A/B confirms it (see _bounded_state_partitions). On a
+# real cluster size it to executor count via the env knob.
+REPLAY_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_REPLAY_STATE_PARTITIONS", "4")
+)
 
-    Streaming state partition count is fixed by
-    spark.sql.shuffle.partitions at query start, and every partition is
-    a state-store instance paying open/commit PER MICRO-BATCH. The
-    driver runs these faces on a vanilla session (default 200): ~200
-    store commits x 7 micro-batches of pure overhead — measured ~4x
-    wall-time on the sliding/F5 faces vs 8 partitions, identical
-    results (schedule invariance is a tested property; bench.py sizes
-    the same knob to 4 for the same reason). Restores the previous
-    value even on failure, so the surrounding session is untouched."""
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+
+@contextmanager
+def _bounded_state_partitions(spark: SparkSession, n: int | None = None):
+    """Per-replay-face state-store configuration (r14 optimization
+    round: one context manager now carries ALL the per-face streaming
+    knobs, so every face gets the same treatment bench.py's stream
+    section measured):
+
+    - Cap shuffle partitions: streaming state partition count is fixed
+      by spark.sql.shuffle.partitions at query start, and every
+      partition is a state-store instance paying open/commit PER
+      MICRO-BATCH. The driver runs these faces on a vanilla session
+      (default 200): ~200 store commits x 7 micro-batches of pure
+      overhead — measured ~4x wall-time on the sliding/F5 faces vs 8
+      partitions, identical results (schedule invariance is a tested
+      property). Default is REPLAY_STATE_PARTITIONS (4, env-tunable):
+      the r14 A/B on three faces read 8 -> 4 as 6.37 -> 5.23 s,
+      8.37 -> 8.03 s, 10.42 -> 8.02 s (min-of-2 each) — bench.py sizes
+      the same knob to 4 for the same measured reason.
+    - RocksDB tuning + changelog checkpointing (r14): the same knobs
+      bench.py applies to its seven stream jobs — changelog
+      checkpointing ships the per-batch delta instead of a full
+      snapshot at commit (measured ~1 s/job there, and it is what a
+      real cluster runs for the same reason). Replay faces previously
+      ran without them, paying full-snapshot commits per micro-batch;
+      A/B on this box at 8 partitions: tumble-sum face 6.59 -> 6.37 s,
+      sketch-rollup 12.59 -> 8.37 s, recordbuffer-tumble
+      16.58 -> 10.42 s (min-of-2 each, OPTIMIZATION_r14.md).
+
+    Restores every previous value even on failure, so the surrounding
+    session is untouched."""
+    from ..session import rocksdb_tuning
+
+    if n is None:
+        n = REPLAY_STATE_PARTITIONS
+    changelog = (
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    )
+    confs: dict[str, str] = {
+        "spark.sql.shuffle.partitions": str(n),
+        changelog: "true",
+        **rocksdb_tuning(),
+    }
+    prev: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
 
 
 def _round6(df: DataFrame, *cols: str) -> DataFrame:
