@@ -151,23 +151,19 @@ def stream_tumble_sum_1h_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import (
         SENTINEL_ACCOUNT,
         append_sentinel_chunk,
+        max_chunk_t_us,
         read_replay_stream,
         run_to_memory,
         windowed_agg_stream,
         write_replay_chunks,
     )
-    from ..fixtures import transactions
 
     name = f"streamface_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
         chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
-        max_us = (
-            transactions(spark, sf_dir)
-            .agg(F.max(F.unix_micros("event_time")))
-            .collect()[0][0]
-        )
+        max_us = max_chunk_t_us(chunks)
         # 7 days past the last event: beyond every 1h window boundary.
         append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
         agg = windowed_agg_stream(read_replay_stream(spark, chunks), MS["h"], watermark="0 seconds")
@@ -201,10 +197,10 @@ def stream_tumble_sum_1h_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_recordbuffer_tumble_sum_1h_replay(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..fixtures import transactions
     from ..streaming import (
         SENTINEL_ACCOUNT,
         append_sentinel_chunk,
+        max_chunk_t_us,
         read_replay_stream,
         record_buffer_tumbling_stream,
         run_to_memory,
@@ -216,11 +212,7 @@ def stream_recordbuffer_tumble_sum_1h_replay(
     os.makedirs(scratch, exist_ok=True)
     try:
         chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
-        max_us = (
-            transactions(spark, sf_dir)
-            .agg(F.max(F.unix_micros("event_time")))
-            .collect()[0][0]
-        )
+        max_us = max_chunk_t_us(chunks)
         # sentinel pushes the closing watermark past every real 1h
         # window; the final flush for keys with no rows in that batch
         # rides the event-time timeout (no-data micro-batch)
@@ -280,10 +272,10 @@ SELECT w_start, account_id, sum_amount FROM (
 def stream_recordbuffer_bounded_tumble_replay(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..fixtures import transactions
     from ..streaming import (
         SENTINEL_ACCOUNT,
         append_sentinel_chunk,
+        max_chunk_t_us,
         read_replay_stream,
         record_buffer_bounded_tumbling_stream,
         run_to_memory,
@@ -295,11 +287,7 @@ def stream_recordbuffer_bounded_tumble_replay(
     os.makedirs(scratch, exist_ok=True)
     try:
         chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
-        max_us = (
-            transactions(spark, sf_dir)
-            .agg(F.max(F.unix_micros("event_time")))
-            .collect()[0][0]
-        )
+        max_us = max_chunk_t_us(chunks)
         # terminal-flush gate: any watermark past the real events is
         # the flush signal; the sentinel (7 days out) drives it there
         flush_at_ms = max_us // 1000 + 1
@@ -334,23 +322,19 @@ def stream_dedup_tumble_sum_1h_replay(spark: SparkSession, sf_dir: str) -> DataF
     from ..streaming import (
         SENTINEL_ACCOUNT,
         append_sentinel_chunk,
+        max_chunk_t_us,
         read_replay_stream,
         run_to_memory,
         windowed_agg_stream,
         write_replay_chunks,
     )
-    from ..fixtures import transactions
 
     name = f"streamdedup_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
         chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6, dup_every=7)
-        max_us = (
-            transactions(spark, sf_dir)
-            .agg(F.max(F.unix_micros("event_time")))
-            .collect()[0][0]
-        )
+        max_us = max_chunk_t_us(chunks)
         append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
         deduped = (
             read_replay_stream(spark, chunks)
@@ -384,23 +368,19 @@ def stream_session_sum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import (
         SENTINEL_ACCOUNT,
         append_sentinel_chunk,
+        max_chunk_t_us,
         read_replay_stream,
         run_to_memory,
         session_agg_stream,
         write_replay_chunks,
     )
-    from ..fixtures import transactions
 
     name = f"streamsess_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
         chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
-        max_us = (
-            transactions(spark, sf_dir)
-            .agg(F.max(F.unix_micros("event_time")))
-            .collect()[0][0]
-        )
+        max_us = max_chunk_t_us(chunks)
         # 30 days: past every possible 6h-gap session close.
         append_sentinel_chunk(chunks, max_us + 30 * MS["d"] * 1000)
         agg = session_agg_stream(
@@ -625,10 +605,10 @@ def stream_interval_join_left_replay(spark: SparkSession, sf_dir: str) -> DataFr
     tags=("streaming", "window", "holistic", "parity"),
 )
 def stream_tumble_median_1h_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..fixtures import transactions
     from ..streaming import (
         SENTINEL_ACCOUNT,
         append_sentinel_chunk,
+        max_chunk_t_us,
         read_replay_stream,
         run_to_memory,
         windowed_agg_stream,
@@ -640,11 +620,7 @@ def stream_tumble_median_1h_replay(spark: SparkSession, sf_dir: str) -> DataFram
     os.makedirs(scratch, exist_ok=True)
     try:
         chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
-        max_us = (
-            transactions(spark, sf_dir)
-            .agg(F.max(F.unix_micros("event_time")))
-            .collect()[0][0]
-        )
+        max_us = max_chunk_t_us(chunks)
         append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
         agg = windowed_agg_stream(
             read_replay_stream(spark, chunks),
@@ -678,10 +654,10 @@ def stream_tumble_median_1h_replay(spark: SparkSession, sf_dir: str) -> DataFram
     tags=("streaming", "window", "watermark", "parity"),
 )
 def stream_ooo_tumble_sum_1h_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..fixtures import transactions
     from ..streaming import (
         SENTINEL_ACCOUNT,
         append_sentinel_chunk,
+        max_chunk_t_us,
         read_replay_stream,
         run_to_memory,
         windowed_agg_stream,
@@ -695,11 +671,7 @@ def stream_ooo_tumble_sum_1h_replay(spark: SparkSession, sf_dir: str) -> DataFra
         chunks = write_replay_chunks(
             spark, sf_dir, scratch, n_chunks=6, defer_tail_ms=6 * MS["h"]
         )
-        max_us = (
-            transactions(spark, sf_dir)
-            .agg(F.max(F.unix_micros("event_time")))
-            .collect()[0][0]
-        )
+        max_us = max_chunk_t_us(chunks)
         append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
         agg = windowed_agg_stream(
             read_replay_stream(spark, chunks), MS["h"], watermark="6 hours"
@@ -729,10 +701,10 @@ def stream_ooo_tumble_sum_1h_replay(spark: SparkSession, sf_dir: str) -> DataFra
     tags=("streaming", "window", "sliding", "watermark", "parity"),
 )
 def stream_ooo_slide_mean_50s_10s_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..fixtures import transactions
     from ..streaming import (
         SENTINEL_ACCOUNT,
         append_sentinel_chunk,
+        max_chunk_t_us,
         read_replay_stream,
         run_to_memory,
         windowed_agg_stream,
@@ -746,11 +718,7 @@ def stream_ooo_slide_mean_50s_10s_replay(spark: SparkSession, sf_dir: str) -> Da
         chunks = write_replay_chunks(
             spark, sf_dir, scratch, n_chunks=6, defer_tail_ms=6 * MS["h"]
         )
-        max_us = (
-            transactions(spark, sf_dir)
-            .agg(F.max(F.unix_micros("event_time")))
-            .collect()[0][0]
-        )
+        max_us = max_chunk_t_us(chunks)
         append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
         agg = windowed_agg_stream(
             read_replay_stream(spark, chunks),
@@ -781,10 +749,10 @@ def stream_ooo_slide_mean_50s_10s_replay(spark: SparkSession, sf_dir: str) -> Da
     tags=("streaming", "session", "watermark", "parity"),
 )
 def stream_ooo_session_sum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..fixtures import transactions
     from ..streaming import (
         SENTINEL_ACCOUNT,
         append_sentinel_chunk,
+        max_chunk_t_us,
         read_replay_stream,
         run_to_memory,
         session_agg_stream,
@@ -798,11 +766,7 @@ def stream_ooo_session_sum_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         chunks = write_replay_chunks(
             spark, sf_dir, scratch, n_chunks=6, defer_tail_ms=6 * MS["h"]
         )
-        max_us = (
-            transactions(spark, sf_dir)
-            .agg(F.max(F.unix_micros("event_time")))
-            .collect()[0][0]
-        )
+        max_us = max_chunk_t_us(chunks)
         append_sentinel_chunk(chunks, max_us + 30 * MS["d"] * 1000)
         agg = session_agg_stream(
             read_replay_stream(spark, chunks), 6 * MS["h"], watermark="6 hours"
@@ -832,10 +796,10 @@ def stream_ooo_session_sum_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     tags=("streaming", "window", "sliding", "parity"),
 )
 def stream_slide_mean_50s_10s_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..fixtures import transactions
     from ..streaming import (
         SENTINEL_ACCOUNT,
         append_sentinel_chunk,
+        max_chunk_t_us,
         read_replay_stream,
         run_to_memory,
         windowed_agg_stream,
@@ -847,11 +811,7 @@ def stream_slide_mean_50s_10s_replay(spark: SparkSession, sf_dir: str) -> DataFr
     os.makedirs(scratch, exist_ok=True)
     try:
         chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
-        max_us = (
-            transactions(spark, sf_dir)
-            .agg(F.max(F.unix_micros("event_time")))
-            .collect()[0][0]
-        )
+        max_us = max_chunk_t_us(chunks)
         append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
         agg = windowed_agg_stream(
             read_replay_stream(spark, chunks),
@@ -1090,10 +1050,10 @@ QUALIFY row_number() OVER (
 def stream_union_max_by_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..fixtures import transactions
     from ..streaming import (
         SENTINEL_ACCOUNT,
         append_sentinel_chunk,
+        max_chunk_t_us,
         read_replay_stream,
         run_to_memory,
         windowed_agg_stream,
@@ -1105,11 +1065,7 @@ def stream_union_max_by_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(scratch, exist_ok=True)
     try:
         chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
-        max_us = (
-            transactions(spark, sf_dir)
-            .agg(F.max(F.unix_micros("event_time")))
-            .collect()[0][0]
-        )
+        max_us = max_chunk_t_us(chunks)
         append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
         mean = [F.avg("amount").alias("mean_amount")]
         a = windowed_agg_stream(
@@ -1153,10 +1109,10 @@ def stream_union_max_by_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "window", "sliding", "parity"),
 )
 def stream_paned_slide_sum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..fixtures import transactions
     from ..streaming import (
         SENTINEL_ACCOUNT,
         append_sentinel_chunk,
+        max_chunk_t_us,
         paned_sliding_stream,
         read_replay_stream,
         run_to_memory,
@@ -1168,11 +1124,7 @@ def stream_paned_slide_sum_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     os.makedirs(scratch, exist_ok=True)
     try:
         chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
-        max_us = (
-            transactions(spark, sf_dir)
-            .agg(F.max(F.unix_micros("event_time")))
-            .collect()[0][0]
-        )
+        max_us = max_chunk_t_us(chunks)
         append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
         agg = paned_sliding_stream(
             read_replay_stream(spark, chunks), 50 * MS["s"], 10 * MS["s"]
@@ -1271,11 +1223,11 @@ def stream_ewma_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "trigger", "stateful", "parity"),
 )
 def stream_count_or_time_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..fixtures import transactions
     from ..streaming import (
         SENTINEL_ACCOUNT,
         append_sentinel_chunk,
         count_or_time_stream,
+        max_chunk_t_us,
         read_replay_stream,
         run_to_memory,
         write_replay_chunks,
@@ -1286,11 +1238,7 @@ def stream_count_or_time_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(scratch, exist_ok=True)
     try:
         chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
-        max_us = (
-            transactions(spark, sf_dir)
-            .agg(F.max(F.unix_micros("event_time")))
-            .collect()[0][0]
-        )
+        max_us = max_chunk_t_us(chunks)
         # 30 days: past every real daily window, so the final segments
         # of the last windows flush on the closing watermark
         append_sentinel_chunk(chunks, max_us + 30 * MS["d"] * 1000)
@@ -2297,10 +2245,10 @@ def stream_cdc_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "temporal", "scd2", "stateful", "parity"),
 )
 def stream_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..fixtures import transactions
     from ..streaming import (
         SENTINEL_ACCOUNT,
         append_sentinel_chunk,
+        max_chunk_t_us,
         read_replay_stream,
         run_to_memory,
         scd2_stream,
@@ -2313,11 +2261,7 @@ def stream_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(scratch, exist_ok=True)
     try:
         chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
-        max_us = (
-            transactions(spark, sf_dir)
-            .agg(F.max(F.unix_micros("event_time")))
-            .collect()[0][0]
-        )
+        max_us = max_chunk_t_us(chunks)
         # flush one day past the last real event; the sentinel sits a
         # further 6 days out, so the closing watermark provably crosses
         # the flush threshold and the open heads emit exactly once
@@ -2386,10 +2330,10 @@ def stream_temporal_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "temporal", "scd2", "cdc", "stateful", "parity"),
 )
 def stream_scd2_tombstoned_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..fixtures import transactions
     from ..streaming import (
         SENTINEL_ACCOUNT,
         append_sentinel_chunk,
+        max_chunk_t_us,
         read_replay_stream,
         run_to_memory,
         scd2_tombstoned_stream,
@@ -2404,11 +2348,7 @@ def stream_scd2_tombstoned_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         chunks = write_replay_chunks(
             spark, sf_dir, scratch, n_chunks=6, with_event_type=True
         )
-        max_us = (
-            transactions(spark, sf_dir)
-            .agg(F.max(F.unix_micros("event_time")))
-            .collect()[0][0]
-        )
+        max_us = max_chunk_t_us(chunks)
         flush_at_ms = max_us // 1000 + MS["d"]
         append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
         out = scd2_tombstoned_stream(

@@ -291,6 +291,47 @@ def write_replay_chunks(
 SENTINEL_ACCOUNT = -1
 
 
+def max_chunk_t_us(chunks_dir: str) -> int:
+    """Max `t_us` across every written replay chunk, read from parquet
+    footer statistics on the driver — no Spark job.
+
+    Replay faces need the stream's max event time to place the
+    terminal sentinel (and some to derive a flush threshold); before
+    r14 each face paid a full scan+agg Spark job over the fixture for
+    it. The chunk files already hold exactly the rows the stream will
+    see, and their footers carry int64 min/max stats, so this is a
+    handful of metadata reads over the ~6 tiny files just written.
+    Equal to max(unix_micros(event_time)) over the fixture for every
+    face-used chunk config: jitter is unused by the sentinel faces,
+    dup_every duplicates rows verbatim, and defer_tail_ms moves chunk
+    ASSIGNMENT, never the times themselves. Falls back to reading the
+    (tiny) column when a footer lacks stats."""
+    import pyarrow.parquet as pq
+
+    best: int | None = None
+    for f in sorted(os.listdir(chunks_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        path = os.path.join(chunks_dir, f)
+        pf = pq.ParquetFile(path)
+        idx = pf.schema_arrow.get_field_index("t_us")
+        md = pf.metadata
+        vals: list[int] = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                vals.append(int(st.max))
+            else:  # stats absent: read the one small column instead
+                col = pq.read_table(path, columns=["t_us"])["t_us"]
+                vals.append(int(max(col.to_pylist())))
+                break
+        for v in vals:
+            best = v if best is None or v > best else best
+    if best is None:
+        raise FileNotFoundError(f"no replay chunks under {chunks_dir!r}")
+    return best
+
+
 def append_sentinel_chunk(
     chunks_dir: str, t_us: int, event_ids: tuple[int, ...] = (-1,), seq: int = 0
 ) -> None:
