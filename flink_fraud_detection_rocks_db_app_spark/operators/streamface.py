@@ -423,6 +423,7 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import (
         SENTINEL_ACCOUNT,
         append_sentinel_chunk,
+        max_chunk_t_us,
         read_replay_stream,
         run_to_memory,
         write_replay_chunks,
@@ -434,7 +435,7 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
         ev = load(spark, sf_dir, "events")
-        max_us = ev.agg(F.max(F.expr("ts div 1000"))).collect()[0][0]
+        max_us = max_chunk_t_us(chunks)
         # one sentinel per join side: -1 plays 'click', -2 'purchase'
         append_sentinel_chunk(chunks, max_us + 30 * 86_400_000_000, event_ids=(-1, -2))
         types = ev.select("event_id", "event_type")
@@ -519,6 +520,7 @@ def stream_interval_join_left_replay(spark: SparkSession, sf_dir: str) -> DataFr
     from ..streaming import (
         SENTINEL_ACCOUNT,
         append_sentinel_chunk,
+        max_chunk_t_us,
         read_replay_stream,
         run_to_memory,
         write_replay_chunks,
@@ -530,7 +532,7 @@ def stream_interval_join_left_replay(spark: SparkSession, sf_dir: str) -> DataFr
     try:
         chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=3)
         ev = load(spark, sf_dir, "events")
-        max_us = ev.agg(F.max(F.expr("ts div 1000"))).collect()[0][0]
+        max_us = max_chunk_t_us(chunks)
         # sentinel pair per batch, one id per join side (see docstring)
         append_sentinel_chunk(
             chunks, max_us + 30 * 86_400_000_000, event_ids=(-1, -2), seq=0
