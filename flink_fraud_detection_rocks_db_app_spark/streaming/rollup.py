@@ -70,32 +70,44 @@ def continuous_rollup_sink(
     partitions. `keys` must include "day"."""
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        out = batch_df
-        if os.path.isdir(table_dir) and any(
-            not e.name.startswith((".", "_")) for e in os.scandir(table_dir)
-        ):
-            days = [r["day"] for r in batch_df.select("day").distinct().collect()]
-            # partition-column inference reads `day` back as int — recast
-            # so the union keeps the written long schema
-            existing = (
-                spark.read.parquet(table_dir)
-                .where(F.col("day").isin(days))
-                .withColumn("day", F.col("day").cast("long"))
+        # The update-mode aggregate behind batch_df re-executes for
+        # EVERY action this sink takes (emptiness probe, touched-day
+        # collect, checkpoint materialization) — persist so the
+        # micro-batch plan runs once and the later actions read the
+        # cached rows (guide §5: cache only what is reused; unpersisted
+        # in finally so nothing outlives the batch).
+        batch_df.persist()
+        try:
+            # head(1) instead of isEmpty(): same one-job emptiness
+            # probe, but its result lands in the cache for reuse
+            if not batch_df.head(1):
+                return
+            out = batch_df
+            if os.path.isdir(table_dir) and any(
+                not e.name.startswith((".", "_")) for e in os.scandir(table_dir)
+            ):
+                days = [r["day"] for r in batch_df.select("day").distinct().collect()]
+                # partition-column inference reads `day` back as int — recast
+                # so the union keeps the written long schema
+                existing = (
+                    spark.read.parquet(table_dir)
+                    .where(F.col("day").isin(days))
+                    .withColumn("day", F.col("day").cast("long"))
+                )
+                keep = existing.join(
+                    batch_df.select(*keys), list(keys), "left_anti"
+                )
+                out = keep.unionByName(batch_df)
+            # Materialize BEFORE the overwrite deletes the files `keep` reads.
+            out = out.localCheckpoint(eager=True)
+            (
+                out.write.partitionBy("day")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(table_dir)
             )
-            keep = existing.join(
-                batch_df.select(*keys), list(keys), "left_anti"
-            )
-            out = keep.unionByName(batch_df)
-        # Materialize BEFORE the overwrite deletes the files `keep` reads.
-        out = out.localCheckpoint(eager=True)
-        (
-            out.write.partitionBy("day")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(table_dir)
-        )
+        finally:
+            batch_df.unpersist()
 
     return merge
 
