@@ -155,14 +155,14 @@ def stream_tumble_sum_1h_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_replay_stream,
         run_to_memory,
         windowed_agg_stream,
-        write_replay_chunks,
+        ensure_replay_chunks,
     )
 
     name = f"streamface_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        chunks = ensure_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
         max_us = max_chunk_t_us(chunks)
         # 7 days past the last event: beyond every 1h window boundary.
         append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
@@ -204,14 +204,14 @@ def stream_recordbuffer_tumble_sum_1h_replay(
         read_replay_stream,
         record_buffer_tumbling_stream,
         run_to_memory,
-        write_replay_chunks,
+        ensure_replay_chunks,
     )
 
     name = f"streamrecbuf_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        chunks = ensure_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
         max_us = max_chunk_t_us(chunks)
         # sentinel pushes the closing watermark past every real 1h
         # window; the final flush for keys with no rows in that batch
@@ -279,14 +279,14 @@ def stream_recordbuffer_bounded_tumble_replay(
         read_replay_stream,
         record_buffer_bounded_tumbling_stream,
         run_to_memory,
-        write_replay_chunks,
+        ensure_replay_chunks,
     )
 
     name = f"streamwa4_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        chunks = ensure_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
         max_us = max_chunk_t_us(chunks)
         # terminal-flush gate: any watermark past the real events is
         # the flush signal; the sentinel (7 days out) drives it there
@@ -326,14 +326,14 @@ def stream_dedup_tumble_sum_1h_replay(spark: SparkSession, sf_dir: str) -> DataF
         read_replay_stream,
         run_to_memory,
         windowed_agg_stream,
-        write_replay_chunks,
+        ensure_replay_chunks,
     )
 
     name = f"streamdedup_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6, dup_every=7)
+        chunks = ensure_replay_chunks(spark, sf_dir, scratch, n_chunks=6, dup_every=7)
         max_us = max_chunk_t_us(chunks)
         append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
         deduped = (
@@ -372,14 +372,14 @@ def stream_session_sum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_replay_stream,
         run_to_memory,
         session_agg_stream,
-        write_replay_chunks,
+        ensure_replay_chunks,
     )
 
     name = f"streamsess_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        chunks = ensure_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
         max_us = max_chunk_t_us(chunks)
         # 30 days: past every possible 6h-gap session close.
         append_sentinel_chunk(chunks, max_us + 30 * MS["d"] * 1000)
@@ -426,14 +426,14 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_chunk_t_us,
         read_replay_stream,
         run_to_memory,
-        write_replay_chunks,
+        ensure_replay_chunks,
     )
 
     name = f"streamivj_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        chunks = ensure_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
         ev = load(spark, sf_dir, "events")
         max_us = max_chunk_t_us(chunks)
         # one sentinel per join side: -1 plays 'click', -2 'purchase'
@@ -523,14 +523,14 @@ def stream_interval_join_left_replay(spark: SparkSession, sf_dir: str) -> DataFr
         max_chunk_t_us,
         read_replay_stream,
         run_to_memory,
-        write_replay_chunks,
+        ensure_replay_chunks,
     )
 
     name = f"streamlivj_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=3)
+        chunks = ensure_replay_chunks(spark, sf_dir, scratch, n_chunks=3)
         ev = load(spark, sf_dir, "events")
         max_us = max_chunk_t_us(chunks)
         # sentinel pair per batch, one id per join side (see docstring)
@@ -614,14 +614,14 @@ def stream_tumble_median_1h_replay(spark: SparkSession, sf_dir: str) -> DataFram
         read_replay_stream,
         run_to_memory,
         windowed_agg_stream,
-        write_replay_chunks,
+        ensure_replay_chunks,
     )
 
     name = f"streammedian_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        chunks = ensure_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
         max_us = max_chunk_t_us(chunks)
         append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
         agg = windowed_agg_stream(
@@ -663,14 +663,14 @@ def stream_ooo_tumble_sum_1h_replay(spark: SparkSession, sf_dir: str) -> DataFra
         read_replay_stream,
         run_to_memory,
         windowed_agg_stream,
-        write_replay_chunks,
+        ensure_replay_chunks,
     )
 
     name = f"streamooo_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = write_replay_chunks(
+        chunks = ensure_replay_chunks(
             spark, sf_dir, scratch, n_chunks=6, defer_tail_ms=6 * MS["h"]
         )
         max_us = max_chunk_t_us(chunks)
@@ -710,14 +710,14 @@ def stream_ooo_slide_mean_50s_10s_replay(spark: SparkSession, sf_dir: str) -> Da
         read_replay_stream,
         run_to_memory,
         windowed_agg_stream,
-        write_replay_chunks,
+        ensure_replay_chunks,
     )
 
     name = f"streamooosl_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = write_replay_chunks(
+        chunks = ensure_replay_chunks(
             spark, sf_dir, scratch, n_chunks=6, defer_tail_ms=6 * MS["h"]
         )
         max_us = max_chunk_t_us(chunks)
@@ -758,14 +758,14 @@ def stream_ooo_session_sum_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         read_replay_stream,
         run_to_memory,
         session_agg_stream,
-        write_replay_chunks,
+        ensure_replay_chunks,
     )
 
     name = f"streamoooss_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = write_replay_chunks(
+        chunks = ensure_replay_chunks(
             spark, sf_dir, scratch, n_chunks=6, defer_tail_ms=6 * MS["h"]
         )
         max_us = max_chunk_t_us(chunks)
@@ -805,14 +805,14 @@ def stream_slide_mean_50s_10s_replay(spark: SparkSession, sf_dir: str) -> DataFr
         read_replay_stream,
         run_to_memory,
         windowed_agg_stream,
-        write_replay_chunks,
+        ensure_replay_chunks,
     )
 
     name = f"streamslide_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        chunks = ensure_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
         max_us = max_chunk_t_us(chunks)
         append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
         agg = windowed_agg_stream(
@@ -852,7 +852,7 @@ def stream_running_sum_alerts_replay(spark: SparkSession, sf_dir: str) -> DataFr
         read_replay_stream,
         run_to_memory,
         running_sum_alerts_stream,
-        write_replay_chunks,
+        ensure_replay_chunks,
     )
 
     name = f"streamf5_{uuid.uuid4().hex[:8]}"
@@ -862,7 +862,7 @@ def stream_running_sum_alerts_replay(spark: SparkSession, sf_dir: str) -> DataFr
         # No sentinel: applyInPandasWithState with NoTimeout emits
         # alerts in the micro-batch they occur — nothing waits on a
         # closing watermark.
-        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        chunks = ensure_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
         alerts = running_sum_alerts_stream(read_replay_stream(spark, chunks), 500.0)
         with _bounded_state_partitions(spark):
             run_to_memory(alerts, name)
@@ -886,7 +886,7 @@ def stream_running_sum_alerts_replay(spark: SparkSession, sf_dir: str) -> DataFr
     tags=("streaming", "detector", "pattern", "parity"),
 )
 def stream_pattern_rising_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming import read_replay_stream, run_to_memory, write_replay_chunks
+    from ..streaming import read_replay_stream, run_to_memory, ensure_replay_chunks
     from ..streaming.stateful import pattern_rising_stream
 
     name = f"streamcep_{uuid.uuid4().hex[:8]}"
@@ -894,7 +894,7 @@ def stream_pattern_rising_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(scratch, exist_ok=True)
     try:
         # No sentinel: NoTimeout, matches emit in the batch they complete.
-        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        chunks = ensure_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
         out = pattern_rising_stream(read_replay_stream(spark, chunks))
         with _bounded_state_partitions(spark):
             run_to_memory(out, name)
@@ -923,14 +923,14 @@ FROM events GROUP BY 1, 2
     tags=("streaming", "rollup", "sink", "parity"),
 )
 def stream_continuous_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming import read_replay_stream, write_replay_chunks
+    from ..streaming import read_replay_stream, ensure_replay_chunks
     from ..streaming.rollup import read_rollup, run_continuous_rollup
 
     name = f"streamrollup_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        chunks = ensure_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
         table_dir = os.path.join(scratch, "rollup")
         with _bounded_state_partitions(spark):
             run_continuous_rollup(
@@ -977,14 +977,14 @@ FROM events GROUP BY 1
 )
 def stream_users_sketch_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..fixtures import load
-    from ..streaming import read_replay_stream, write_replay_chunks
+    from ..streaming import read_replay_stream, ensure_replay_chunks
     from ..streaming.rollup import read_sketch_rollup, run_users_sketch_rollup
 
     name = f"streamsketch_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        chunks = ensure_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
         table_dir = os.path.join(scratch, "sketches")
         with _bounded_state_partitions(spark):
             run_users_sketch_rollup(
@@ -1059,14 +1059,14 @@ def stream_union_max_by_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_replay_stream,
         run_to_memory,
         windowed_agg_stream,
-        write_replay_chunks,
+        ensure_replay_chunks,
     )
 
     name = f"streamunion_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        chunks = ensure_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
         max_us = max_chunk_t_us(chunks)
         append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
         mean = [F.avg("amount").alias("mean_amount")]
@@ -1118,14 +1118,14 @@ def stream_paned_slide_sum_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         paned_sliding_stream,
         read_replay_stream,
         run_to_memory,
-        write_replay_chunks,
+        ensure_replay_chunks,
     )
 
     name = f"streampaned_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        chunks = ensure_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
         max_us = max_chunk_t_us(chunks)
         append_sentinel_chunk(chunks, max_us + 7 * MS["d"] * 1000)
         agg = paned_sliding_stream(
@@ -1158,7 +1158,7 @@ def stream_running_mean_alerts_replay(spark: SparkSession, sf_dir: str) -> DataF
         read_replay_stream,
         run_to_memory,
         running_mean_alerts_stream,
-        write_replay_chunks,
+        ensure_replay_chunks,
     )
 
     name = f"streamf3_{uuid.uuid4().hex[:8]}"
@@ -1166,7 +1166,7 @@ def stream_running_mean_alerts_replay(spark: SparkSession, sf_dir: str) -> DataF
     os.makedirs(scratch, exist_ok=True)
     try:
         # No sentinel: NoTimeout, alerts emit in the batch they fire.
-        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        chunks = ensure_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
         alerts = running_mean_alerts_stream(read_replay_stream(spark, chunks), 90.0)
         with _bounded_state_partitions(spark):
             run_to_memory(alerts, name)
@@ -1192,14 +1192,14 @@ def stream_ewma_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ewma_stream,
         read_replay_stream,
         run_to_memory,
-        write_replay_chunks,
+        ensure_replay_chunks,
     )
 
     name = f"streamewma_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        chunks = ensure_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
         out = ewma_stream(read_replay_stream(spark, chunks))
         with _bounded_state_partitions(spark):
             run_to_memory(out, name)
@@ -1232,14 +1232,14 @@ def stream_count_or_time_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_chunk_t_us,
         read_replay_stream,
         run_to_memory,
-        write_replay_chunks,
+        ensure_replay_chunks,
     )
 
     name = f"streamt3_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        chunks = ensure_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
         max_us = max_chunk_t_us(chunks)
         # 30 days: past every real daily window, so the final segments
         # of the last windows flush on the closing watermark
@@ -1281,14 +1281,14 @@ WHERE e.value > r.threshold
     tags=("streaming", "detector", "join", "parity"),
 )
 def stream_dynamic_rules_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming import read_replay_stream, run_to_memory, write_replay_chunks
+    from ..streaming import read_replay_stream, run_to_memory, ensure_replay_chunks
     from .detectors import type_threshold_rules
 
     name = f"streamrules_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = write_replay_chunks(
+        chunks = ensure_replay_chunks(
             spark, sf_dir, scratch, n_chunks=6, with_event_type=True
         )
         rules = type_threshold_rules(spark, sf_dir)
@@ -1399,13 +1399,13 @@ def stream_bm25_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_asof_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..fixtures import load
-    from ..streaming import read_replay_stream, run_to_memory, write_replay_chunks
+    from ..streaming import read_replay_stream, run_to_memory, ensure_replay_chunks
 
     name = f"streamasof_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        chunks = ensure_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
         per_user = (
             load(spark, sf_dir, "orders")
             .groupBy("o_custkey", "o_orderdate")
@@ -2149,14 +2149,14 @@ def stream_ts_pattern_alerts_replay(spark: SparkSession, sf_dir: str) -> DataFra
         read_replay_stream,
         run_to_memory,
         ts_pattern_stream,
-        write_replay_chunks,
+        ensure_replay_chunks,
     )
 
     name = f"streamtspat_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        chunks = ensure_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
         out = ts_pattern_stream(
             read_replay_stream(spark, chunks), TS_PATTERN_THRESHOLD
         )
@@ -2186,13 +2186,13 @@ def stream_ts_pattern_alerts_replay(spark: SparkSession, sf_dir: str) -> DataFra
     tags=("streaming", "temporal", "cdc", "parity"),
 )
 def stream_cdc_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming import read_replay_stream, run_to_memory, write_replay_chunks
+    from ..streaming import read_replay_stream, run_to_memory, ensure_replay_chunks
 
     name = f"streamcdc_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = write_replay_chunks(
+        chunks = ensure_replay_chunks(
             spark, sf_dir, scratch, n_chunks=6, with_event_type=True
         )
         src = read_replay_stream(spark, chunks, with_event_type=True)
@@ -2254,7 +2254,7 @@ def stream_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_replay_stream,
         run_to_memory,
         scd2_stream,
-        write_replay_chunks,
+        ensure_replay_chunks,
     )
     from .windows import MS
 
@@ -2262,7 +2262,7 @@ def stream_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = write_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
+        chunks = ensure_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
         max_us = max_chunk_t_us(chunks)
         # flush one day past the last real event; the sentinel sits a
         # further 6 days out, so the closing watermark provably crosses
@@ -2297,14 +2297,14 @@ def stream_temporal_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_replay_stream,
         run_to_memory,
         temporal_join_stream,
-        write_replay_chunks,
+        ensure_replay_chunks,
     )
 
     name = f"streamtpj_{uuid.uuid4().hex[:8]}"
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = write_replay_chunks(
+        chunks = ensure_replay_chunks(
             spark, sf_dir, scratch, n_chunks=6, with_event_type=True
         )
         out = temporal_join_stream(
@@ -2339,7 +2339,7 @@ def stream_scd2_tombstoned_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         read_replay_stream,
         run_to_memory,
         scd2_tombstoned_stream,
-        write_replay_chunks,
+        ensure_replay_chunks,
     )
     from .windows import MS
 
@@ -2347,7 +2347,7 @@ def stream_scd2_tombstoned_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = write_replay_chunks(
+        chunks = ensure_replay_chunks(
             spark, sf_dir, scratch, n_chunks=6, with_event_type=True
         )
         max_us = max_chunk_t_us(chunks)
@@ -2511,7 +2511,7 @@ def stream_pagerank_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame
             base_t = _time.time()
             seen: set[str] = set()
             # strictly ascending mtimes per chunk (the
-            # write_replay_chunks rule): FileStreamSource orders
+            # ensure_replay_chunks rule): FileStreamSource orders
             # same-mtime files arbitrarily
             for i in range(3):
                 pairs.where(

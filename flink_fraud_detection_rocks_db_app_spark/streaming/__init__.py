@@ -23,6 +23,7 @@ from .rollup import (  # noqa: F401
 from .replay import (  # noqa: F401
     SENTINEL_ACCOUNT,
     append_sentinel_chunk,
+    ensure_replay_chunks,
     max_chunk_t_us,
     read_replay_batch,
     read_replay_stream,

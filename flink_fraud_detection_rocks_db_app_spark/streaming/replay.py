@@ -290,6 +290,106 @@ def write_replay_chunks(
 
 SENTINEL_ACCOUNT = -1
 
+# ---------------------------------------------------------------------
+# Process-scoped replay-chunk cache (r14 optimization round).
+#
+# Every replay face consumes the SAME deterministic chunk set for a
+# given (sf_dir, writer params); before r14 each face re-ran the whole
+# generator (fixture scan -> driver sort -> per-chunk parquet writes,
+# ~0.8 s warm at sf0.1) for itself — ~27 regenerations of identical
+# bytes per bench/parity session. bench.py already established that
+# the replay generator is harness, not engine ("replay materialization
+# excluded — it's the generator, not the engine") and shares one chunk
+# set across its seven stream jobs; this cache extends exactly that to
+# the registered faces.
+#
+# NOT cross-run caching: the cache is a module dict + a per-PID
+# scratch directory, torn down with the process (atexit) — every
+# bench/oracle invocation still computes the chunks from the parquet
+# inputs at first use; nothing keyed on the fixture survives the
+# process. Faces receive HARDLINKS into their own private scratch dir,
+# so per-face sentinel appends never touch the shared copy, and chunk
+# file mtimes (the arrival-order contract) ride the shared inodes
+# unchanged.
+_CHUNK_CACHE: dict[tuple, str] = {}
+
+
+def _chunk_cache_root() -> str:
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        f"replay-cache-{os.getpid()}",
+    )
+    if not _CHUNK_CACHE:  # first use in this process: arm the cleanup
+        import atexit
+
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def ensure_replay_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    scratch_dir: str,
+    n_chunks: int = 8,
+    jitter_ms: int = 0,
+    late_every: int = 0,
+    densify: int = 1,
+    dup_every: int = 0,
+    defer_tail_ms: int = 0,
+    with_event_type: bool = False,
+    densify_fresh_keys: bool = False,
+    skew_hot_frac: float = 0.0,
+) -> str:
+    """write_replay_chunks, memoized per process (see block comment
+    above): the first call for a given (sf_dir, params) builds the
+    canonical chunk set from the parquet fixture; every call hardlinks
+    the chunk files into scratch_dir/chunks and returns that path, so
+    callers own a private directory they may append sentinels to."""
+    key = (
+        os.path.abspath(sf_dir),
+        n_chunks,
+        jitter_ms,
+        late_every,
+        densify,
+        dup_every,
+        defer_tail_ms,
+        with_event_type,
+        densify_fresh_keys,
+        skew_hot_frac,
+    )
+    canon = _CHUNK_CACHE.get(key)
+    if canon is None or not os.path.isdir(canon):
+        import uuid as _uuid
+
+        canon_parent = os.path.join(
+            _chunk_cache_root(), f"c{len(_CHUNK_CACHE)}-{_uuid.uuid4().hex[:6]}"
+        )
+        os.makedirs(canon_parent, exist_ok=True)
+        canon = write_replay_chunks(
+            spark,
+            sf_dir,
+            canon_parent,
+            n_chunks=n_chunks,
+            jitter_ms=jitter_ms,
+            late_every=late_every,
+            densify=densify,
+            dup_every=dup_every,
+            defer_tail_ms=defer_tail_ms,
+            with_event_type=with_event_type,
+            densify_fresh_keys=densify_fresh_keys,
+            skew_hot_frac=skew_hot_frac,
+        )
+        _CHUNK_CACHE[key] = canon
+    out = os.path.join(scratch_dir, "chunks")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for f in sorted(os.listdir(canon)):
+        if f.endswith(".parquet"):
+            os.link(os.path.join(canon, f), os.path.join(out, f))
+    return out
+
 
 def max_chunk_t_us(chunks_dir: str) -> int:
     """Max `t_us` across every written replay chunk, read from parquet
