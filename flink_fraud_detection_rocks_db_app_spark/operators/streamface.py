@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..streaming.replay import ensure_arrival_chunks
 from .asof import ASOF_ORACLE
 from .indexcache import ensure_index
 from .detectors import _RISING_ORACLE
@@ -123,6 +124,21 @@ def _bounded_state_partitions(spark: SparkSession, n: int | None = None):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, old)
+
+
+def _docs_pmod3_writer(docs: DataFrame):
+    """Canonical 3-way arrival split of the documents table — the
+    identical bytes the BM25 / corpus-prep / Misra-Gries ingest faces
+    all replay, so one ensure_arrival_chunks cache entry serves all
+    three (r14: was three scan+write jobs per face)."""
+
+    def build(canon: str) -> None:
+        for i in range(3):
+            docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i).coalesce(
+                1
+            ).write.mode("append").parquet(canon)
+
+    return build
 
 
 def _round6(df: DataFrame, *cols: str) -> DataFrame:
@@ -1339,11 +1355,9 @@ def stream_bm25_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(scratch, exist_ok=True)
     try:
         docs = load(spark, sf_dir, "documents")
-        src = os.path.join(scratch, "arrivals")
-        for i in range(3):
-            docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i).coalesce(
-                1
-            ).write.mode("append").parquet(src)
+        src = ensure_arrival_chunks(
+            scratch, f"documents-pmod3:{sf_dir}", _docs_pmod3_writer(docs)
+        )
 
         idx = os.path.join(scratch, "idx")
 
@@ -1480,11 +1494,9 @@ def stream_corpus_prep_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(scratch, exist_ok=True)
     try:
         docs = load(spark, sf_dir, "documents")
-        src = os.path.join(scratch, "arrivals")
-        for i in range(3):
-            docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i).coalesce(
-                1
-            ).write.mode("append").parquet(src)
+        src = ensure_arrival_chunks(
+            scratch, f"documents-pmod3:{sf_dir}", _docs_pmod3_writer(docs)
+        )
 
         ledger = os.path.join(scratch, "ledger")
 
@@ -1562,18 +1574,23 @@ def stream_zorder_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk = F.when(~is_batch, F.lit(0)).otherwise(
             F.pmod(F.xxhash64("event_id"), F.lit(2)) + 1
         )
-        src = os.path.join(scratch, "arrivals")
-        import time as _time
 
-        base_t = _time.time()
-        seen: set[str] = set()
-        for i in range(3):
-            ev.where(chunk == i).coalesce(1).write.mode("append").parquet(src)
-            for f in os.listdir(src):
-                p = os.path.join(src, f)
-                if f.endswith(".parquet") and p not in seen:
-                    os.utime(p, (base_t + i, base_t + i))
-                    seen.add(p)
+        def _zorder_writer(canon: str) -> None:
+            import time as _time
+
+            base_t = _time.time()
+            seen: set[str] = set()
+            for i in range(3):
+                ev.where(chunk == i).coalesce(1).write.mode("append").parquet(canon)
+                for f in os.listdir(canon):
+                    p = os.path.join(canon, f)
+                    if f.endswith(".parquet") and p not in seen:
+                        os.utime(p, (base_t + i, base_t + i))
+                        seen.add(p)
+
+        src = ensure_arrival_chunks(
+            scratch, f"zorder-events:{sf_dir}", _zorder_writer
+        )
 
         asset = os.path.join(scratch, "ztable")
         data = os.path.join(asset, "data")
@@ -1660,11 +1677,16 @@ def stream_quality_psi_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_docs = docs.where(
             F.pmod(F.col("doc_id"), F.lit(PSI_BATCH_MOD)) == PSI_BATCH_MOD - 1
         )
-        src = os.path.join(scratch, "arrivals")
-        for i in range(3):
-            batch_docs.where(
-                F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i
-            ).coalesce(1).write.mode("append").parquet(src)
+
+        def _psi_writer(canon: str) -> None:
+            for i in range(3):
+                batch_docs.where(
+                    F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i
+                ).coalesce(1).write.mode("append").parquet(canon)
+
+        src = ensure_arrival_chunks(
+            scratch, f"psi-batch-pmod3:{sf_dir}", _psi_writer
+        )
 
         ledger = os.path.join(scratch, "ledger")
 
@@ -1731,19 +1753,22 @@ def _stream_build_ivf(spark: SparkSession, sf_dir: str, scratch: str) -> str:
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    src = os.path.join(scratch, "arrivals")
     chunk = F.when(F.col("vec_id") < IVF_CELLS, F.lit(0)).otherwise(
         F.pmod(F.xxhash64("vec_id"), F.lit(3))
     )
-    base = _time.time()
-    seen: set[str] = set()
-    for i in range(3):
-        emb.where(chunk == i).coalesce(1).write.mode("append").parquet(src)
-        for f in os.listdir(src):
-            p = os.path.join(src, f)
-            if f.endswith(".parquet") and p not in seen:
-                os.utime(p, (base + i, base + i))
-                seen.add(p)
+
+    def _ivf_writer(canon: str) -> None:
+        base = _time.time()
+        seen: set[str] = set()
+        for i in range(3):
+            emb.where(chunk == i).coalesce(1).write.mode("append").parquet(canon)
+            for f in os.listdir(canon):
+                p = os.path.join(canon, f)
+                if f.endswith(".parquet") and p not in seen:
+                    os.utime(p, (base + i, base + i))
+                    seen.add(p)
+
+    src = ensure_arrival_chunks(scratch, f"ivf-emb:{sf_dir}", _ivf_writer)
 
     idx = os.path.join(scratch, "idx")
     cents_dir = os.path.join(idx, "centroids")
@@ -1912,20 +1937,27 @@ def stream_ivfpq_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(scratch, exist_ok=True)
     try:
         emb = load(spark, sf_dir, "embeddings")
-        src = os.path.join(scratch, "arrivals")
         train_n = max(IVF_CELLS, PQ_KS)
         chunk = F.when(F.col("vec_id") < train_n, F.lit(0)).otherwise(
             F.pmod(F.xxhash64("vec_id"), F.lit(3))
         )
-        base = _time.time()
-        seen: set[str] = set()
-        for i in range(3):
-            emb.where(chunk == i).coalesce(1).write.mode("append").parquet(src)
-            for f in os.listdir(src):
-                p = os.path.join(src, f)
-                if f.endswith(".parquet") and p not in seen:
-                    os.utime(p, (base + i, base + i))
-                    seen.add(p)
+
+        def _ivfpq_writer(canon: str) -> None:
+            base = _time.time()
+            seen: set[str] = set()
+            for i in range(3):
+                emb.where(chunk == i).coalesce(1).write.mode("append").parquet(
+                    canon
+                )
+                for f in os.listdir(canon):
+                    p = os.path.join(canon, f)
+                    if f.endswith(".parquet") and p not in seen:
+                        os.utime(p, (base + i, base + i))
+                        seen.add(p)
+
+        src = ensure_arrival_chunks(
+            scratch, f"ivfpq-emb:{sf_dir}", _ivfpq_writer
+        )
 
         idx = os.path.join(scratch, "idx")
         cents_dir = os.path.join(idx, "centroids")
@@ -2399,11 +2431,9 @@ def stream_mg_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(scratch, exist_ok=True)
     try:
         docs = load(spark, sf_dir, "documents")
-        src = os.path.join(scratch, "arrivals")
-        for i in range(3):
-            docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i).coalesce(
-                1
-            ).write.mode("append").parquet(src)
+        src = ensure_arrival_chunks(
+            scratch, f"documents-pmod3:{sf_dir}", _docs_pmod3_writer(docs)
+        )
 
         ledger = os.path.join(scratch, "ledger")
 

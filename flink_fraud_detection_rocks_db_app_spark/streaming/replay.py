@@ -391,6 +391,42 @@ def ensure_replay_chunks(
     return out
 
 
+def ensure_arrival_chunks(
+    scratch_dir: str,
+    cache_key: str,
+    build,
+) -> str:
+    """Process-scoped memo for the ingest faces' arrival splits — the
+    same contract as ensure_replay_chunks, for arbitrary writers.
+
+    `build(canon_dir)` materializes the face's arrival files (its
+    existing writer loop, including any explicit mtime spacing) into a
+    canonical per-process directory the first time `cache_key` is
+    seen; every call hardlinks those files into scratch_dir/arrivals
+    and returns that path. Hardlinks share inodes, so the mtime-based
+    arrival order the writers pin survives verbatim, and the caller's
+    scratch teardown never touches the canonical copy. Nothing
+    persists past the process (same atexit teardown as the replay
+    chunk cache)."""
+    canon = _CHUNK_CACHE.get(("arrivals", cache_key))
+    if canon is None or not os.path.isdir(canon):
+        import uuid as _uuid
+
+        canon = os.path.join(
+            _chunk_cache_root(), f"a-{_uuid.uuid4().hex[:6]}"
+        )
+        build(canon)
+        _CHUNK_CACHE[("arrivals", cache_key)] = canon
+    out = os.path.join(scratch_dir, "arrivals")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for f in sorted(os.listdir(canon)):
+        path = os.path.join(canon, f)
+        if os.path.isfile(path):
+            os.link(path, os.path.join(out, f))
+    return out
+
+
 def max_chunk_t_us(chunks_dir: str) -> int:
     """Max `t_us` across every written replay chunk, read from parquet
     footer statistics on the driver — no Spark job.
