@@ -69,6 +69,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r14: let the planner pick shuffled-hash over sort-merge when
+        # its size conditions hold (guide §3.1/§9) — skips both sides'
+        # sorts. Honest measurement record (OPTIMIZATION_r14.md §6):
+        # at sf0.1 on this box the effect is timing-NEUTRAL (warm
+        # min-of-3 A/B identical within noise on every join-heavy
+        # query; earlier claimed 1.6x wins were cold-vs-warm ordering
+        # artifacts). Plan effect is real where the size conditions
+        # hold (ann_ivf_refreshed_topk: 6 SortMergeJoin -> 2 SMJ +
+        # 4 ShuffledHashJoin, plans/r14/). Kept because the sort it
+        # removes is O(n log n) per partition at 100 TB while the
+        # planner still bounds the build side per partition, and the
+        # full 245-query registry re-verified EXACT against the
+        # DuckDB oracle under this config (emitted floats stay
+        # hash-stable via the registry's 6dp-rounding convention).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
         .config("spark.ui.enabled", "false")
