@@ -435,7 +435,6 @@ FROM events c JOIN events p
     tags=("streaming", "join", "interval", "parity"),
 )
 def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..fixtures import load
     from ..streaming import (
         SENTINEL_ACCOUNT,
         append_sentinel_chunk,
@@ -449,23 +448,31 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = ensure_replay_chunks(spark, sf_dir, scratch, n_chunks=6)
-        ev = load(spark, sf_dir, "events")
+        # r14 optimization round: event_type rides IN the replay payload
+        # (the same typed-chunk form bench.py's interval join measured
+        # ~16% faster) instead of a per-batch broadcast join of the full
+        # events projection — the static side of a stream-static join
+        # re-executes per micro-batch, so the join form paid an events
+        # scan + a ~100k-row broadcast build PER SIDE PER BATCH. The
+        # sentinel chunk carries no event_type column, so those rows
+        # read as NULL and take the coalesce branch exactly as the
+        # join form's unmatched -1/-2 ids did.
+        chunks = ensure_replay_chunks(
+            spark, sf_dir, scratch, n_chunks=6, with_event_type=True
+        )
         max_us = max_chunk_t_us(chunks)
         # one sentinel per join side: -1 plays 'click', -2 'purchase'
         append_sentinel_chunk(chunks, max_us + 30 * 86_400_000_000, event_ids=(-1, -2))
-        types = ev.select("event_id", "event_type")
 
         def typed(side_sentinel: int, sentinel_type: str):
-            s = read_replay_stream(spark, chunks)
-            t = s.join(F.broadcast(types), "event_id", "left").withColumn(
+            s = read_replay_stream(spark, chunks, with_event_type=True)
+            return s.withColumn(
                 "etype",
                 F.coalesce(
                     "event_type",
                     F.when(F.col("event_id") == side_sentinel, sentinel_type),
                 ),
             )
-            return t
 
         c = (
             typed(-1, "click")
@@ -532,7 +539,6 @@ FROM c LEFT JOIN p
     tags=("streaming", "join", "interval", "outer", "parity"),
 )
 def stream_interval_join_left_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..fixtures import load
     from ..streaming import (
         SENTINEL_ACCOUNT,
         append_sentinel_chunk,
@@ -546,8 +552,13 @@ def stream_interval_join_left_replay(spark: SparkSession, sf_dir: str) -> DataFr
     scratch = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(scratch, exist_ok=True)
     try:
-        chunks = ensure_replay_chunks(spark, sf_dir, scratch, n_chunks=3)
-        ev = load(spark, sf_dir, "events")
+        # typed chunks instead of a per-batch broadcast type join —
+        # same rationale as stream_interval_join_replay (r14): sentinel
+        # rows carry no event_type column, read as NULL, and take the
+        # coalesce branch exactly as the join form's unmatched ids did.
+        chunks = ensure_replay_chunks(
+            spark, sf_dir, scratch, n_chunks=3, with_event_type=True
+        )
         max_us = max_chunk_t_us(chunks)
         # sentinel pair per batch, one id per join side (see docstring)
         append_sentinel_chunk(
@@ -556,11 +567,10 @@ def stream_interval_join_left_replay(spark: SparkSession, sf_dir: str) -> DataFr
         append_sentinel_chunk(
             chunks, max_us + 60 * 86_400_000_000, event_ids=(-3, -4), seq=1
         )
-        types = ev.select("event_id", "event_type")
 
         def typed(side_sentinels: tuple[int, int], sentinel_type: str):
-            s = read_replay_stream(spark, chunks)
-            return s.join(F.broadcast(types), "event_id", "left").withColumn(
+            s = read_replay_stream(spark, chunks, with_event_type=True)
+            return s.withColumn(
                 "etype",
                 F.coalesce(
                     "event_type",
@@ -1437,6 +1447,19 @@ def stream_asof_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("user_id")
             .agg(F.sort_array(F.collect_list(F.struct("o_ms", "ok"))).alias("arr"))
         )
+        # Materialize the dimension snapshot ONCE per face run (r14
+        # optimization round): the static side of a stream-static join
+        # re-executes per micro-batch, so the un-materialized frame
+        # paid the orders scan + both aggregations + the broadcast
+        # build SIX times per replay. Snapshotting it into the face's
+        # private scratch (computed fresh from the parquet inputs on
+        # every invocation, torn down in finally — nothing survives
+        # the run) leaves each micro-batch a tiny parquet read +
+        # broadcast, which is also what the docstring's "broadcast
+        # dimension snapshot" deployment actually does.
+        dim_path = os.path.join(scratch, "dim_snapshot")
+        per_user.write.parquet(dim_path)
+        per_user = spark.read.parquet(dim_path)
         stream = read_replay_stream(spark, chunks).select(
             "account_id",
             "event_id",
