@@ -1317,7 +1317,17 @@ def stream_dynamic_rules_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunks = ensure_replay_chunks(
             spark, sf_dir, scratch, n_chunks=6, with_event_type=True
         )
-        rules = type_threshold_rules(spark, sf_dir)
+        # Materialize the rules frame once per run (r14): the static
+        # side of a stream-static join re-executes per micro-batch, so
+        # the un-materialized frame re-ran the full per-type p95
+        # aggregate over events SEVEN times per replay. The snapshot
+        # (built fresh from the parquet inputs each invocation, removed
+        # in finally) keeps the docstring's semantics — each batch
+        # still re-broadcasts the rules — while the rules themselves
+        # are computed once, as a real broadcast-state deployment would.
+        rules_path = os.path.join(scratch, "rules_snapshot")
+        type_threshold_rules(spark, sf_dir).write.parquet(rules_path)
+        rules = spark.read.parquet(rules_path)
         out = (
             read_replay_stream(spark, chunks, with_event_type=True)
             .join(F.broadcast(rules), "event_type")

@@ -588,6 +588,45 @@ def test_sentinel_chunks_keep_strictly_ascending_mtimes(spark, scratch):
     assert real[-1] < s0 < s1
 
 
+def test_typed_replay_sentinel_reads_null_event_type(spark, scratch):
+    """The interval-join faces (r14) read TYPED chunks — event_type in
+    the payload — instead of broadcast-joining the events projection
+    per micro-batch. Their sentinel handling depends on a schema
+    contract: append_sentinel_chunk writes NO event_type column, so a
+    reader with TYPED_REPLAY_SCHEMA must surface those rows with NULL
+    event_type (taking the faces' coalesce branch) while every real
+    row keeps its payload type. A Spark/parquet behavior change that
+    errored or defaulted differently would silently break sentinel
+    watermark advancement on both typed faces."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_fraud_detection_rocks_db_app_spark.streaming import (
+        append_sentinel_chunk,
+        write_replay_chunks,
+    )
+    from flink_fraud_detection_rocks_db_app_spark.streaming.replay import (
+        TYPED_REPLAY_SCHEMA,
+    )
+
+    chunks = write_replay_chunks(
+        spark,
+        SF_SMALL,
+        os.path.join(scratch, "typedsent"),
+        n_chunks=2,
+        with_event_type=True,
+    )
+    append_sentinel_chunk(chunks, 10**18, event_ids=(-1, -2))
+    df = spark.read.schema(TYPED_REPLAY_SCHEMA).parquet(chunks)
+    sent = df.where(F.col("account_id") == -1)
+    assert sent.count() == 2
+    assert sent.where(F.col("event_type").isNull()).count() == 2
+    assert df.where(F.col("account_id") != -1).where(
+        F.col("event_type").isNull()
+    ).count() == 0
+
+
 def test_stream_stream_join_checkpoint_restart(spark, scratch):
     """Stream-stream JOIN state must round-trip the checkpoint across a
     crash: buffered click/purchase rows from before the stop have to
