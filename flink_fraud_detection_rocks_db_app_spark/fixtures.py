@@ -9,6 +9,7 @@ maps onto the driver's `events` table as
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,6 +28,20 @@ TABLES = (
 )
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Per-session memo of the LAZY fixture DataFrames (r14 optimization
+# round). Resolving a parquet source (file listing + footer schema
+# read + relation build) costs ~0.2 s of driver time per call even
+# warm, and a bench/parity session re-resolves the same ~10 read-only
+# files hundreds of times (~2 loads x 155 rows x min-of-2). The memo
+# returns the SAME lazy DataFrame — a plan, not data: every action
+# still scans the parquet inputs, so nothing here caches results
+# (the same reuse a session-scoped temp view would give). Keyed on
+# (absolute path, mtime_ns), so a regenerated fixture — the
+# test-suite tmp fixtures rewrite paths in place — keys a fresh
+# relation instead of serving a stale file listing; keyed weakly on
+# the session so a stopped session's plans are dropped, never reused.
+_PLAN_MEMO: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -55,6 +70,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.abspath(f"{sf_dir}/{name}.parquet")
+    try:
+        st = os.stat(path)
+        mt = st.st_mtime_ns
+        if os.path.isdir(path):
+            # dir mtime misses an in-place part rewrite; fold in the
+            # entries' mtimes (one listdir — still no Spark work)
+            for entry in os.listdir(path):
+                mt = max(mt, os.stat(os.path.join(path, entry)).st_mtime_ns)
+    except OSError:
+        mt = -1  # absent: let spark.read raise its own error below
+    memo = _PLAN_MEMO.setdefault(spark, {})
+    cached = memo.get((path, mt))
+    if cached is not None:
+        return cached
     if name == "events":
         # Harmless for non-nano physical types; required if the driver
         # ever regenerates events.ts as TIMESTAMP(NANOS) again.
@@ -92,6 +122,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 f"embeddings.embedding arrived as unsupported dtype {dtype!r}; "
                 "extend fixtures.load() for this physical type"
             )
+    memo[(path, mt)] = df
     return df
 
 

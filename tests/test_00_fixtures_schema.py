@@ -391,3 +391,39 @@ def test_round10_faces_timezone_free(spark, duck):
             assert got == want, name
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_load_plan_memo_reuses_and_invalidates(spark, tmp_path):
+    """r14: load() memoizes the lazy fixture DataFrame per (session,
+    path, mtime). The memo must (a) return the same plan object for an
+    unchanged file — the driver-side resolution saving, (b) key a
+    FRESH relation when the file is rewritten in place (the tmp-fixture
+    pattern several suite modules use), and (c) always read current
+    bytes: a rewritten table's rows must come back, never the stale
+    listing's."""
+    import os
+    import shutil
+    import time
+
+    from flink_fraud_detection_rocks_db_app_spark import fixtures as fx
+
+    src = os.path.join(SF_SMALL, "documents.parquet")
+    dst = tmp_path / "documents.parquet"
+    shutil.copy2(src, dst)
+    a = load(spark, str(tmp_path), "documents")
+    assert load(spark, str(tmp_path), "documents") is a
+    n_orig = a.count()
+
+    # rewrite in place: halve the table, bump mtime (copy2 preserved
+    # the original's, so force a distinct stamp)
+    half = a.limit(n_orig // 2).toPandas()
+    dst.unlink()
+    half.to_parquet(dst, index=False)
+    t = time.time() + 2
+    os.utime(dst, (t, t))
+
+    b = load(spark, str(tmp_path), "documents")
+    assert b is not a
+    assert b.count() == n_orig // 2
+    # the memo is per-session state, never on-disk: nothing persists
+    assert isinstance(fx._PLAN_MEMO.get(spark), dict)
