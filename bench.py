@@ -713,6 +713,32 @@ def main() -> None:
             fh.write("\n")
     except OSError as exc:
         print(f"bench: could not write {detail_path}: {exc!r}", file=sys.stderr)
+    # r15 (VERDICT r14 #2, additions-only): the driver could not extract
+    # per-query timings from either r13 or r14 (PERF n_common: 0) — its
+    # capture keeps only the LAST 2000 chars of stdout, so the ~5 KB
+    # detail line above always loses its head and parses as nothing.
+    # Two extra compact forms, name→sec only (no nested stats):
+    # (a) one single-line {"detail": {...}} for any parser with a
+    #     larger window, and
+    # (b) chunked {"part": i, "parts": n, "queries": {...}} lines of
+    #     ~10 entries (≤ ~400 bytes each), so a bounded tail capture of
+    #     any size ends with complete, individually parseable per-query
+    #     fragments rather than one truncated giant line. The existing
+    #     first/detail/last lines are unchanged.
+    compact = {k: timings[k] for k in timings}
+    print(json.dumps({"detail": compact}, separators=(",", ":")), flush=True)
+    items = list(compact.items())
+    step = 10
+    nparts = (len(items) + step - 1) // step
+    for i in range(nparts):
+        part = dict(items[i * step : (i + 1) * step])
+        print(
+            json.dumps(
+                {"part": i + 1, "parts": nparts, "queries": part},
+                separators=(",", ":"),
+            ),
+            flush=True,
+        )
     # LAST line: the same flat summary — the driver's bounded tail
     # capture truncated the HEAD of round 5's single 3 KB line and
     # recorded parsed:null, so the primary parse target stays the final
