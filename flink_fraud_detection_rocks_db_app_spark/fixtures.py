@@ -9,7 +9,6 @@ maps onto the driver's `events` table as
 from __future__ import annotations
 
 import os
-from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,11 +36,25 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # returns the SAME lazy DataFrame — a plan, not data: every action
 # still scans the parquet inputs, so nothing here caches results
 # (the same reuse a session-scoped temp view would give). Keyed on
-# (absolute path, mtime_ns), so a regenerated fixture — the
-# test-suite tmp fixtures rewrite paths in place — keys a fresh
-# relation instead of serving a stale file listing; keyed weakly on
-# the session so a stopped session's plans are dropped, never reused.
-_PLAN_MEMO: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+# (absolute path, mtime_ns, size, inode, file count), so a regenerated
+# fixture — the test-suite tmp fixtures rewrite paths in place — keys
+# a fresh relation instead of serving a stale file listing even when
+# the rewrite lands within the filesystem's timestamp granularity
+# (ADVICE r14: copy2 preserves mtimes; size/ino are the second change
+# signal). The memo dict hangs OFF THE SESSION OBJECT itself — not a
+# module-level WeakKeyDictionary, whose entries would never die
+# because the memoized DataFrames strongly reference their session
+# (the documented WeakKeyDictionary caveat, ADVICE r14). As a plain
+# attribute, session -> memo -> DataFrame -> session is an ordinary
+# reference cycle the GC collects once the caller drops the session.
+
+
+def _plan_memo(spark: SparkSession) -> dict:
+    memo = getattr(spark, "_graft_plan_memo", None)
+    if memo is None:
+        memo = {}
+        spark._graft_plan_memo = memo
+    return memo
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -73,16 +86,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.abspath(f"{sf_dir}/{name}.parquet")
     try:
         st = os.stat(path)
-        mt = st.st_mtime_ns
+        mt, size, ino, count = st.st_mtime_ns, st.st_size, st.st_ino, 1
         if os.path.isdir(path):
-            # dir mtime misses an in-place part rewrite; fold in the
-            # entries' mtimes (one listdir — still no Spark work)
-            for entry in os.listdir(path):
-                mt = max(mt, os.stat(os.path.join(path, entry)).st_mtime_ns)
+            # dir mtime misses an in-place part rewrite, and a rewrite
+            # inside a nested partition subdir changes neither the top
+            # dir's mtime nor its entry list; walk the whole tree
+            # (fixtures are a handful of files — still no Spark work)
+            for root, _dirs, files in os.walk(path):
+                for fname in files:
+                    fst = os.stat(os.path.join(root, fname))
+                    mt = max(mt, fst.st_mtime_ns)
+                    size += fst.st_size
+                    count += 1
     except OSError:
-        mt = -1  # absent: let spark.read raise its own error below
-    memo = _PLAN_MEMO.setdefault(spark, {})
-    cached = memo.get((path, mt))
+        mt, size, ino, count = -1, -1, -1, -1  # absent: spark.read raises below
+    memo = _plan_memo(spark)
+    cached = memo.get((path, mt, size, ino, count))
     if cached is not None:
         return cached
     if name == "events":
@@ -122,7 +141,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 f"embeddings.embedding arrived as unsupported dtype {dtype!r}; "
                 "extend fixtures.load() for this physical type"
             )
-    memo[(path, mt)] = df
+    memo[(path, mt, size, ino, count)] = df
     return df
 
 

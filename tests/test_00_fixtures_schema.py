@@ -395,15 +395,16 @@ def test_round10_faces_timezone_free(spark, duck):
 
 def test_load_plan_memo_reuses_and_invalidates(spark, tmp_path):
     """r14: load() memoizes the lazy fixture DataFrame per (session,
-    path, mtime). The memo must (a) return the same plan object for an
-    unchanged file — the driver-side resolution saving, (b) key a
-    FRESH relation when the file is rewritten in place (the tmp-fixture
-    pattern several suite modules use), and (c) always read current
-    bytes: a rewritten table's rows must come back, never the stale
-    listing's."""
+    path, change signature). The memo must (a) return the same plan
+    object for an unchanged file — the driver-side resolution saving,
+    (b) key a FRESH relation when the file is rewritten in place (the
+    tmp-fixture pattern several suite modules use) EVEN when the
+    rewrite preserves the mtime (ADVICE r15: copy2-style rewrites can
+    collide on timestamp granularity — size/inode are the second
+    change signal), and (c) always read current bytes: a rewritten
+    table's rows must come back, never the stale listing's."""
     import os
     import shutil
-    import time
 
     from flink_fraud_detection_rocks_db_app_spark import fixtures as fx
 
@@ -414,16 +415,22 @@ def test_load_plan_memo_reuses_and_invalidates(spark, tmp_path):
     assert load(spark, str(tmp_path), "documents") is a
     n_orig = a.count()
 
-    # rewrite in place: halve the table, bump mtime (copy2 preserved
-    # the original's, so force a distinct stamp)
+    # rewrite in place: halve the table and deliberately COPY BACK the
+    # original's mtime — the memo must still key a fresh relation off
+    # the size/inode change (the r14 key needed a forced utime bump
+    # here; the r15 key must not)
+    orig_stat = os.stat(dst)
     half = a.limit(n_orig // 2).toPandas()
     dst.unlink()
     half.to_parquet(dst, index=False)
-    t = time.time() + 2
-    os.utime(dst, (t, t))
+    os.utime(dst, ns=(orig_stat.st_atime_ns, orig_stat.st_mtime_ns))
 
     b = load(spark, str(tmp_path), "documents")
     assert b is not a
     assert b.count() == n_orig // 2
-    # the memo is per-session state, never on-disk: nothing persists
-    assert isinstance(fx._PLAN_MEMO.get(spark), dict)
+    # the memo is per-session state hanging off the session object,
+    # never on-disk or module-global: nothing persists, and dropping
+    # the session drops its plans (ADVICE r15 — the module-level
+    # WeakKeyDictionary kept them alive forever)
+    assert not hasattr(fx, "_PLAN_MEMO")
+    assert isinstance(getattr(spark, "_graft_plan_memo", None), dict)
