@@ -607,7 +607,7 @@ def dedup_ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_pruned_pairs(
-    spark: SparkSession, sf_dir: str, persist_postings: bool = False
+    spark: SparkSession, sf_dir: str, persist_postings: bool | None = None
 ) -> tuple[DataFrame, DataFrame]:
     # Same group-postings-once / expand-pairs-in-array shape as the
     # unpruned query — document frequency IS the posting-list size, so
@@ -636,24 +636,61 @@ def ngram_pruned_pairs(
     # tag-union rewrite (sizes + pairs from one build, one mixed-key
     # shuffle) was also measured and loses at BOTH scales; two
     # specialized shuffles with map-side partial agg beat one fat one.
-    # persist_postings=True is the production knob; the registered
-    # query keeps the lazy single-plan form (a returned DataFrame
-    # can't scope an unpersist) — callers at corpus scale trigger the
-    # action then unpersist the returned `kept`.
+    # persist_postings is scale-adaptive since r15 (VERDICT r14 #5):
+    # None (the default) resolves from the documents source's on-disk
+    # size — off below POSTINGS_PERSIST_MIN_BYTES (sf0.1 is 0.6 MB, a
+    # measured wash, and the driver's bench row stays comparable), on
+    # above it (the 10x probe regime where the r5 measurement wins
+    # 2.8x). Callers can still force either way; at corpus scale
+    # trigger the action then unpersist the returned `kept`.
     sized, kept = _pruned_pair_counts(spark, sf_dir, persist_postings)
     j = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
     out = sized.where(j >= 0.5).select("doc_a", "doc_b", j.alias("jaccard"))
     return out, kept
 
 
+# Auto-persist threshold for the shared postings build: the two
+# consumers of `kept` cannot share the shuffle (collect_list blocks
+# ReuseExchange), so the build runs twice unless persisted. Measured:
+# a wash at sf0.1 (0.6 MB documents), a 2.8x win at the 10x probe
+# (~6 MB) — r5 scale_probe. 2 MB splits the two regimes; env knob for
+# deployments whose executors price recompute differently.
+POSTINGS_PERSIST_MIN_BYTES = 2 << 20
+
+
+def _postings_persist_auto(sf_dir: str) -> bool:
+    """Scale-adaptive default for persist_postings: one driver-side
+    stat of the documents source (file or directory), no Spark work."""
+    path = f"{sf_dir}/documents.parquet"
+    try:
+        if os.path.isdir(path):
+            size = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    size += os.path.getsize(os.path.join(root, f))
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return False
+    threshold = int(
+        os.environ.get(
+            "SPARK_GRAFT_POSTINGS_PERSIST_BYTES", POSTINGS_PERSIST_MIN_BYTES
+        )
+    )
+    return size >= threshold
+
+
 def _pruned_pair_counts(
-    spark: SparkSession, sf_dir: str, persist_postings: bool = False
+    spark: SparkSession, sf_dir: str, persist_postings: bool | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Shared core of the Jaccard and containment pair queries: one
     postings build -> DF cutoff -> in-array pair expansion -> per-pair
     common counts joined with both docs' pruned set sizes (na, nb).
     Returns (sized pair frame, the `kept` postings for optional
-    persist scoping)."""
+    persist scoping). persist_postings=None resolves scale-adaptively
+    from the documents source size (r15, VERDICT r14 #5)."""
+    if persist_postings is None:
+        persist_postings = _postings_persist_auto(sf_dir)
     sh = shingled(spark, sf_dir)
     ex = sh.select(
         "doc_id", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s")
