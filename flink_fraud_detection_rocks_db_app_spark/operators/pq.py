@@ -69,7 +69,11 @@ _SUBS = (
     )
     + ")"
 )
-_SVV = f"transform({_SUBS}, s -> aggregate(zip_with(s, s, (x, y) -> x * y), {_FOLD}))"
+# svv references the staged `subs` COLUMN, not a re-inlined copy of
+# the _SUBS text (r15, VERDICT r14 #8): _with_subs always aliases subs
+# first, so the parser sees ~60 bytes here instead of the full slice
+# grid a second time. The computed values are identical.
+_SVV = f"transform(subs, s -> aggregate(zip_with(s, s, (x, y) -> x * y), {_FOLD}))"
 
 
 def _codebook_from_vectors(vectors: DataFrame) -> list[list[list[float]]]:
@@ -125,6 +129,14 @@ def _dists_arr(cb, m: int) -> str:
     return "array(" + ", ".join(_dist_txt(m, cb[m][c]) for c in range(PQ_KS)) + ")"
 
 
+def _luts_txt(cb) -> str:
+    """The full M×KS distance grid as ONE expression string (array of
+    per-subspace KS-distance arrays) — a single SQL parse instead of
+    one per subspace (r15, VERDICT r14 #8; the sign-LSH single-parse
+    precedent, r14 §10)."""
+    return "array(" + ", ".join(_dists_arr(cb, m) for m in range(PQ_M)) + ")"
+
+
 def _with_subs(df: DataFrame) -> DataFrame:
     return df.withColumn("subs", F.expr(_SUBS)).withColumn("svv", F.expr(_SVV))
 
@@ -138,10 +150,13 @@ def _encoded_over(vectors: DataFrame, cb) -> DataFrame:
     dot products, if codegen's subexpression elimination ever bails at
     larger M/KS) stays single-copy."""
     df = _with_subs(vectors)
-    for m in range(PQ_M):
-        df = df.withColumn(f"_d{m}", F.expr(_dists_arr(cb, m)))
+    # one parse for the whole M×KS distance grid (staged as a single
+    # array-of-arrays column — multi-use keeps CollapseProject from
+    # inlining it, so the tree stays single-copy exactly as the
+    # per-subspace columns did), one parse for the argmin row
+    df = df.withColumn("_d", F.expr(_luts_txt(cb)))
     codes = ", ".join(
-        f"CAST(array_position(_d{m}, array_min(_d{m})) - 1 AS INT)"
+        f"CAST(array_position(_d[{m}], array_min(_d[{m}])) - 1 AS INT)"
         for m in range(PQ_M)
     )
     return df.select("vec_id", F.expr(f"array({codes})").alias("codes"))
@@ -153,10 +168,9 @@ def _encoded(spark: SparkSession, sf_dir: str, cb) -> DataFrame:
 
 def _queries_with_luts(spark: SparkSession, sf_dir: str, cb) -> DataFrame:
     """(query_id, luts array<array<double>>): the M×KS ADC table."""
-    luts = "array(" + ", ".join(_dists_arr(cb, m) for m in range(PQ_M)) + ")"
     return (
         _with_subs(_vectors(spark, sf_dir).where(F.col("vec_id") < N_QUERIES))
-        .select(F.col("vec_id").alias("query_id"), F.expr(luts).alias("luts"))
+        .select(F.col("vec_id").alias("query_id"), F.expr(_luts_txt(cb)).alias("luts"))
     )
 
 
