@@ -98,13 +98,18 @@ def session_cap(keys, t_us, amounts):
 
 
 def main() -> None:
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):  # Spark-written scaled dirs (r15 sf1 probe)
+        src = f"{src}/*.parquet"
     pdf = duckdb.sql(
         f"""
         SELECT user_id AS account_id, epoch_us(ts) AS t_us,
                value AS amount, event_id
-        FROM '{sf_dir}/events.parquet'
+        FROM '{src}'
         ORDER BY account_id, t_us, event_id
         """
     ).df()

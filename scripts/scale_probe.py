@@ -191,16 +191,11 @@ PROBED = [
     # r15 (VERDICT r14 #7): the remaining members of the driver bench's
     # ten most expensive BATCH rows (r14 run-C floor ordering), so the
     # sf0.1 -> sf1 (x10) exponent table covers all of them — the
-    # refine pair re-ranks a REFINE_FACTOR*k ADC pool against raw
-    # vectors (candidate pool fixed, corpus scan grows), the drift
-    # monitor is an O(M x KS x SUBDIM) aggregate over the codes scan,
-    # DSIR is O(V)-broadcast scan-local scoring + the integer
-    # acceptance gate, and hard negatives composes the BM25 and
-    # embedding arms
-    "ann_ivfpq_refine_topk",
+    # refine recall column re-ranks a REFINE_FACTOR*k ADC pool against
+    # raw vectors (candidate pool fixed, corpus scan grows), and hard
+    # negatives composes the BM25 and embedding arms (refine_topk /
+    # drift_monitor / dsir were already probed above)
     "ann_ivfpq_refine_recall_at_k",
-    "ann_pq_drift_monitor",
-    "dsir_importance_sample",
     "hard_negatives_topk",
 ]
 
